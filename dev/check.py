@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 dev/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle query in DuckDB against views over the sfDir parquet tables, and
+compares with the Spark-written parquet under <verifyOutDir>/<name>/.
+Reports exact match (hash-equivalent) and tolerant match per query.
+
+Dev-only tooling — the shipped library never depends on this.
+"""
+import duckdb, json, sys, glob, math
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def cells_equal(a, b, tol):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return tol and abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+def compare(sdf, ddf):
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return "SCHEMA-MISMATCH cols spark=%s duck=%s" % (sorted(sdf.columns), sorted(ddf.columns))
+    if len(sdf) != len(ddf):
+        return f"ROWCOUNT-MISMATCH spark={len(sdf)} duck={len(ddf)}"
+    s, d = canon(sdf), canon(ddf)
+    exact, close = True, True
+    first_bad = None
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not cells_equal(a, b, tol=False):
+                exact = False
+                if not cells_equal(a, b, tol=True):
+                    close = False
+                    if first_bad is None:
+                        first_bad = (c, i, a, b)
+                    break
+    if exact:
+        return "EXACT"
+    if close:
+        return "CLOSE (float ulp only)"
+    return f"MISMATCH first at col={first_bad[0]} row={first_bad[1]}: spark={first_bad[2]!r} duck={first_bad[3]!r}"
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    result_dirs = sorted(glob.glob(f"{outdir}/*/"))
+    names = [p.rstrip("/").split("/")[-1] for p in result_dirs]
+    failures = 0
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"{name:35s} NO-OUTPUT"); failures += 1; continue
+        sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        if name not in oracle:
+            print(f"{name:35s} rows-only: {len(sdf)} rows" + (" (EMPTY!)" if len(sdf) == 0 else ""))
+            if len(sdf) == 0: failures += 1
+            continue
+        try:
+            ddf = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"{name:35s} ORACLE-SQL-ERROR {e}"); failures += 1; continue
+        verdict = compare(sdf, ddf)
+        print(f"{name:35s} {verdict}")
+        if verdict.startswith(("MISMATCH", "SCHEMA", "ROWCOUNT")):
+            failures += 1
+    extra = set(oracle) - set(names)
+    for name in extra:
+        print(f"{name:35s} ORACLE-WITHOUT-RESULT"); failures += 1
+    print(f"\n{'FAIL' if failures else 'OK'}: {failures} failing of {len(names)} queries")
+    sys.exit(1 if failures else 0)
+
+main()

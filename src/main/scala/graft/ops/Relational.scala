@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational surface (joins / aggregations / windows / set ops).
+  *
+  * The reference has no joins at all (SURVEY.md §2.7) but its harness tables
+  * are TPC-H-shaped, and any realistic query against them needs the full
+  * join/agg surface — all Catalyst built-ins, declared lazily so the
+  * optimizer does pruning/pushdown/broadcast selection.
+  *
+  * Float determinism policy (oracle hash-parity with DuckDB): per-row double
+  * arithmetic is IEEE-identical across engines, but multi-row double SUM/AVG
+  * is order-dependent. Money-like sums are therefore accumulated as
+  * low-scale decimals (per-row double→decimal cast at scale 2 is
+  * cross-engine-unambiguous, decimal addition is exact, and products of
+  * decimal-cast inputs stay exact rationals), then cast back to double. Averages divide the exact decimal sum by the
+  * count in double space. This makes every aggregate bit-reproducible
+  * regardless of partitioning, which is exactly what a 1000-executor run
+  * needs for reproducible results too.
+  */
+object Relational {
+
+  /** Money cast: exact decimal at scale 2. Scale is deliberately LOW — a
+    * double→decimal(s) cast is cross-engine-unambiguous only when
+    * |x|·10^s stays far below 2^53 (DuckDB rounds via double multiply);
+    * at scale 2 the flip probability is ~1e-9 per row vs ~1e-3 at scale 8. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Small-ratio cast (discount/tax ∈ [0,1], 2-decimal). */
+  def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Decimal literal 1.00 for exact (1−d)/(1+t) arithmetic. */
+  def one: Column = lit(1).cast(DecimalType(3, 2))
+
+  /** Exact, partitioning-independent sum of a money column. */
+  def dsum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Exact sum of an already-decimal expression. */
+  def dsumExpr(c: Column): Column = sum(c).cast("double")
+
+  /** Exact, partitioning-independent mean of a money column. */
+  def davg(c: Column): Column = sum(money(c)).cast("double") / count(c)
+
+  /** Exact per-row revenue: extendedprice × (1 − discount), all decimal. */
+  def revenueExpr: Column = money(col("l_extendedprice")) * (one - pct(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary. One partial+final hash aggregate, no
+    * sort until the final (tiny) result; scan reads only the 7 needed
+    * columns (column pruning). Scales as a single map-side-combine shuffle
+    * of ≤ |groups| rows per partition. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val disc  = revenueExpr
+    val charge = revenueExpr * (one + pct(col("l_tax")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(disc).as("sum_disc_price"),
+        dsumExpr(charge).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
+    * Shape at scale: filters push into all three parquet scans; customer
+    * (filtered on segment) joins orders on custkey, result joins lineitem
+    * on orderkey; AQE picks broadcast for the filtered customer side when
+    * it fits. Total order enforced with a full tie-break so LIMIT 10 is
+    * deterministic. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1998-07-01"
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumExpr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region/year. Nation and
+    * region are tiny at every scale factor → explicit broadcast; the big
+    * fact-side joins shuffle on their keys. */
+  def q5LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExpr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join: order counts per priority among orders that have at
+    * least one high-quantity line. Semi join avoids materializing the
+    * (huge) matched lineitem rows — only the existence bit flows. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 45.0)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join: customers with no orders, counted per market segment. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Window top-k: 3 highest-value orders per customer (row_number over a
+    * per-customer ordering). One shuffle on o_custkey; the window rank
+    * filter happens before any further join, so only k rows per key
+    * survive. */
+  def qWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Grouping sets via rollup: revenue by (status, priority) with
+    * subtotals — exercises the multi-grouping aggregate surface. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+}
