@@ -1,0 +1,293 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Exact, Privacy, Profile, RowTransforms}
+import graft.compliance.Checklist
+
+/** Named query bindings for SURVEY.md §2's operator inventory (A/P/V/C
+  * series), with DuckDB oracle SQL generated from the same schema lists so
+  * the two sides can't drift.
+  */
+object QueryCatalog {
+
+  // lineitem schema split (static — FIXTURES.md §2)
+  private val LiNumeric = Seq(
+    "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+    "l_linenumber" -> "int", "l_quantity" -> "double",
+    "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double")
+  private val LiString = Seq("l_returnflag", "l_linestatus")
+  private val LiTs = Seq("l_shipdate")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_profile_lineitem" -> ((s, d) => Profile.profile(Tables.lineitem(s, d))),
+    "a2_value_counts" -> ((s, d) => Profile.valueCounts(Tables.lineitem(s, d), "l_returnflag")),
+    "a3_mode" -> ((s, d) => Profile.mode(Tables.lineitem(s, d), "l_returnflag")),
+    "a4_rare_categories" -> ((s, d) => Profile.rareCategories(Tables.supplier(s, d), "s_name", 5)),
+    "a5_distinct_counts" -> ((s, d) => Profile.distinctCounts(Tables.lineitem(s, d))),
+    "a7_row_counts" -> ((s, d) =>
+      Tables.names.map(t => Profile.rowCount(Tables.load(s, d, t), t))
+        .reduce(_ union _).orderBy(col("table_name"))),
+    "a8_mu_sigma" -> ((s, d) =>
+      Profile.muSigma(Tables.lineitem(s, d), LiNumeric.map(_._1))),
+    "a9_category_pmf" -> ((s, d) => Profile.categoryPmf(Tables.lineitem(s, d), "l_returnflag")),
+    "c1_checklist" -> ((s, _) => Checklist.defaultChecklist(s).toDF().orderBy(col("key"))),
+    "c2_checklist_score" -> ((s, _) => Checklist.score(Checklist.defaultChecklist(s))),
+    "p_row_transforms" -> ((s, d) => pRowTransforms(s, d)),
+    "p8_standardize" -> ((s, d) => p8Standardize(s, d)),
+    "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
+    "v1_sdc_suppress" -> ((s, d) =>
+      Privacy.sdcSuppressBroadcast(
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
+        .orderBy(col("s_suppkey"))),
+    "v2_generalize" -> ((s, d) =>
+      Privacy.generalizeNumeric(Tables.lineitem(s, d), "l_extendedprice", 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "v3_dp_noise" -> ((s, d) =>
+      Privacy.dpNoise(Tables.lineitem(s, d), Seq("l_quantity"), epsilon = 1.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    "v4_synthetic" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Privacy.syntheticSample(li, Seq("l_quantity", "l_extendedprice", "l_returnflag"),
+        n = li.count(), seed = 42L)
+    }),
+    "v5_smart_suggest" -> ((s, d) => Privacy.smartSuggest(Tables.lineitem(s, d))),
+    "v7_quasi_suggestions" -> ((s, d) => {
+      val renamed = Tables.customer(s, d)
+        .select(col("c_acctbal").as("income"), col("c_mktsegment").as("city"),
+                col("c_name").as("name"))
+      val hits = Privacy.quasiSuggestions(renamed).sorted
+      import s.implicits._
+      hits.toDF("quasi_id")
+    }),
+  )
+
+  private def pRowTransforms(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      nullif(col("l_discount"), lit(0.0)).as("disc"),
+      nullif(col("l_discount"), lit(0.0)).as("disc_orig"),
+      col("l_quantity"), col("l_returnflag"))
+    val imputed = RowTransforms.imputeMean(base, "disc")
+    imputed.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("disc").as("disc_imputed"),
+        RowTransforms.nullLabel(col("disc_orig")).as("disc_label"),
+        RowTransforms.castString(col("l_quantity")).as("qty_str"),
+        RowTransforms.replaceRare(col("l_returnflag"), Seq("N")).as("flag_replaced"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def p8Standardize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    RowTransforms.standardize(
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("z_qty"), col("l_extendedprice").as("z_price")),
+        li.select(col("l_quantity").as("z_qty"), col("l_extendedprice").as("z_price")),
+        Seq("z_qty", "z_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def p9OneHot(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    RowTransforms.oneHot(li, li, "l_returnflag")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** pRowTransforms needs the discount column's nullif-view in its stat. */
+  private def pRowTransformsSql: String = {
+    val meanDisc = Exact.meanSql("disc")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc,
+       |         l_quantity, l_returnflag
+       |  FROM lineitem),
+       |m AS (SELECT $meanDisc AS mean_disc FROM base)
+       |SELECT b.l_orderkey, b.l_linenumber,
+       |  COALESCE(b.disc, m.mean_disc) AS disc_imputed,
+       |  COALESCE(CAST(b.disc AS VARCHAR), 'NA') AS disc_label,
+       |  CAST(b.l_quantity AS VARCHAR) AS qty_str,
+       |  CASE WHEN b.l_returnflag IN ('N') THEN 'OTHER' ELSE b.l_returnflag END AS flag_replaced
+       |FROM base b, m
+       |ORDER BY b.l_orderkey, b.l_linenumber""".stripMargin
+  }
+
+  private def profileNumericSql(c: String, dtype: String): String =
+    s"""SELECT '$c' AS "column", '$dtype' AS dtype, COUNT(*) AS n_total,
+       |  COUNT(*) - COUNT($c) AS n_missing,
+       |  CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) * 100.0 AS missing_pct,
+       |  COUNT(DISTINCT $c) AS n_unique,
+       |  ${Exact.meanSql(c)} AS mean,
+       |  ${Exact.stdSql(c)} AS std,
+       |  CAST(MIN($c) AS DOUBLE) AS min_num,
+       |  quantile_cont($c, 0.25) AS p25,
+       |  quantile_cont($c, 0.5) AS median,
+       |  quantile_cont($c, 0.75) AS p75,
+       |  CAST(MAX($c) AS DOUBLE) AS max_num,
+       |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       |  CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_freq
+       |FROM lineitem""".stripMargin
+
+  private def profileOtherSql(c: String, dtype: String, withTop: Boolean): String = {
+    val top =
+      if (withTop)
+        s"""  (SELECT v FROM (SELECT $c AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1) q
+           |   ORDER BY cnt DESC, v ASC LIMIT 1) AS top_value,
+           |  (SELECT cnt FROM (SELECT $c AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1) q
+           |   ORDER BY cnt DESC, v ASC LIMIT 1) AS top_freq""".stripMargin
+      else "  CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_freq"
+    s"""SELECT '$c' AS "column", '$dtype' AS dtype, COUNT(*) AS n_total,
+       |  COUNT(*) - COUNT($c) AS n_missing,
+       |  CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) * 100.0 AS missing_pct,
+       |  COUNT(DISTINCT $c) AS n_unique,
+       |  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS p25,
+       |  CAST(NULL AS DOUBLE) AS median, CAST(NULL AS DOUBLE) AS p75,
+       |  CAST(NULL AS DOUBLE) AS max_num,
+       |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str,
+       |$top
+       |FROM lineitem""".stripMargin
+  }
+
+  private def a1Sql: String = {
+    val parts =
+      LiNumeric.map { case (c, t) => profileNumericSql(c, t) } ++
+      LiString.map(c => profileOtherSql(c, "string", withTop = true)) ++
+      LiTs.map(c => profileOtherSql(c, "timestamp_ntz", withTop = false))
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
+  private def a5Sql: String = {
+    val all = LiNumeric.map(_._1) ++ LiString ++ LiTs
+    all.map(c => s"""SELECT '$c' AS "column", COUNT(DISTINCT $c) AS n_unique FROM lineitem""")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
+  private def a7Sql: String =
+    Tables.names
+      .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY table_name")
+
+  private def a8Sql: String =
+    LiNumeric.map { case (c, _) =>
+      s"""SELECT '$c' AS "column", ${Exact.meanSql(c)} AS mu,
+         |  CASE WHEN COUNT($c) < 2 THEN 1.0
+         |       WHEN ${Exact.stdSql(c)} = 0.0 THEN 1.0
+         |       ELSE ${Exact.stdSql(c)} END AS sigma
+         |FROM lineitem""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  private def v5Sql: String = {
+    val numeric = LiNumeric.map { case (c, _) =>
+      s"""SELECT '$c' AS "column",
+         |  CASE WHEN COUNT(DISTINCT $c) > 50 THEN 'generalize+dp' ELSE 'dp' END AS suggestion,
+         |  1.0 AS epsilon
+         |FROM lineitem""".stripMargin
+    }
+    val strs = LiString.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  CASE WHEN COUNT(DISTINCT $c) > 20 THEN 'sdc' ELSE CAST(NULL AS VARCHAR) END AS suggestion,
+         |  CAST(NULL AS DOUBLE) AS epsilon
+         |FROM lineitem""".stripMargin
+    }
+    (numeric ++ strs).mkString(
+      "SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) WHERE suggestion IS NOT NULL ORDER BY \"column\"")
+  }
+
+  private def c1Sql: String = {
+    val rows = Checklist.DefaultItems
+      .map(i => s"('${i.key}', '${i.description.replace("'", "''")}', false, '')")
+      .mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(key, description, status, notes) ORDER BY key""".stripMargin
+  }
+
+  private def c2Sql: String = {
+    val rows = Checklist.DefaultItems.map(i => s"(${i.status})").mkString(", ")
+    s"SELECT COALESCE(AVG(CAST(status AS DOUBLE)), 0.0) AS score FROM (VALUES $rows) AS t(status)"
+  }
+
+  private def p8Sql: String = {
+    def z(src: String, alias: String) = {
+      val mu = s"(CAST(${Exact.s1Sql(src)} AS DOUBLE) / 100.0 / COUNT($src))"
+      val sd = Exact.stdPopSql(src)
+      (mu, sd, alias)
+    }
+    s"""WITH f AS (
+       |  SELECT
+       |    ${Exact.s1Sql("l_quantity")} AS s1q, ${Exact.s2Sql("l_quantity")} AS s2q, COUNT(l_quantity) AS nq,
+       |    ${Exact.s1Sql("l_extendedprice")} AS s1p, ${Exact.s2Sql("l_extendedprice")} AS s2p, COUNT(l_extendedprice) AS np
+       |  FROM lineitem)
+       |SELECT l.l_orderkey, l.l_linenumber,
+       |  (CAST(l.l_quantity AS DOUBLE) - (CAST(f.s1q AS DOUBLE) / 100.0 / f.nq))
+       |    / SQRT(GREATEST(0.0, CAST(CAST(f.nq AS DECIMAL(10,0)) * f.s2q - f.s1q * f.s1q AS DOUBLE) / f.nq / f.nq / 10000.0)) AS z_qty,
+       |  (CAST(l.l_extendedprice AS DOUBLE) - (CAST(f.s1p AS DOUBLE) / 100.0 / f.np))
+       |    / SQRT(GREATEST(0.0, CAST(CAST(f.np AS DECIMAL(10,0)) * f.s2p - f.s1p * f.s1p AS DOUBLE) / f.np / f.np / 10000.0)) AS z_price
+       |FROM lineitem l, f
+       |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+  }
+
+  private def v2Sql: String = {
+    val probs = (0 to 10).map(i => (i.toDouble / 10).toString).mkString(", ")
+    s"""WITH q AS (SELECT quantile_cont(l_extendedprice, [$probs]) AS qs FROM lineitem),
+       |bins AS (
+       |  SELECT i, q.qs[i + 1] AS lo, q.qs[i + 2] AS hi
+       |  FROM q, range(10) t(i)),
+       |labeled AS (
+       |  SELECT l.l_orderkey, l.l_linenumber,
+       |    CASE WHEN b.i = 9 THEN printf('[%.2f, %.2f]', b.lo, b.hi)
+       |         ELSE printf('[%.2f, %.2f)', b.lo, b.hi) END AS l_extendedprice
+       |  FROM lineitem l
+       |  JOIN bins b ON l.l_extendedprice >= b.lo
+       |    AND (l.l_extendedprice < b.hi OR (b.i = 9 AND l.l_extendedprice <= b.hi)))
+       |SELECT * FROM labeled ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_profile_lineitem" -> a1Sql,
+    "a2_value_counts" ->
+      """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC""".stripMargin,
+    "a3_mode" ->
+      """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 1""".stripMargin,
+    "a4_rare_categories" ->
+      """SELECT s_name AS value, COUNT(*) AS cnt FROM supplier
+        |GROUP BY 1 HAVING COUNT(*) < 5 ORDER BY value""".stripMargin,
+    "a5_distinct_counts" -> a5Sql,
+    "a7_row_counts" -> a7Sql,
+    "a8_mu_sigma" -> a8Sql,
+    "a9_category_pmf" ->
+      """SELECT value, cnt, CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS p
+        |FROM (SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem GROUP BY 1) q
+        |ORDER BY cnt DESC, value ASC""".stripMargin,
+    "c1_checklist" -> c1Sql,
+    "c2_checklist_score" -> c2Sql,
+    "p_row_transforms" -> pRowTransformsSql,
+    "p8_standardize" -> p8Sql,
+    "p9_onehot" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS "l_returnflag__A",
+        |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS "l_returnflag__N",
+        |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS "l_returnflag__R"
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "v1_sdc_suppress" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN COUNT(*) OVER (PARTITION BY s_name) < 5 THEN 'OTHER' ELSE s_name END AS s_name
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "v2_generalize" -> v2Sql,
+    "v5_smart_suggest" -> v5Sql,
+    "v7_quasi_suggestions" ->
+      """SELECT s.quasi_id
+        |FROM (VALUES ('age'),('gender'),('zipcode'),('pincode'),('city'),('state'),('education'),('income')) s(quasi_id)
+        |WHERE s.quasi_id IN ('income', 'city')
+        |ORDER BY s.quasi_id""".stripMargin,
+  )
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Cross-engine-deterministic numeric aggregate expressions.
+  *
+  * Double SUM/AVG/STDDEV are order-dependent (partial aggregates merge in
+  * partition order), so a distributed run can't hash-match a single-node
+  * oracle — or itself across reruns with different partitioning. These
+  * helpers accumulate in exact integer/decimal space instead:
+  *
+  *  - money values (≤2 decimal places) become exact BIGINT cents;
+  *  - first/second moments are exact decimal sums of cents / squared cents;
+  *  - the final mean/std are derived from the exact moments with a FIXED
+  *    double operation order, mirrored verbatim in the oracle SQL.
+  *
+  * The variance uses the textbook n·S2 − S1² form on exact integers, so no
+  * catastrophic cancellation can occur before the single final rounding to
+  * double. This is also the right design at 100 TB: bit-identical results
+  * regardless of executor count, speculative retries, or AQE re-planning.
+  */
+object Exact {
+
+  /** Exact cents: value must have ≤2 decimal places (all testdata money
+    * columns do). double→decimal(18,2) is cross-engine-unambiguous at this
+    * low scale; ×100 and the long cast are exact. */
+  def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * lit(100)).cast(LongType)
+
+  /** Exact first moment Σ cents as DECIMAL(19,0) — width 19 forces int128
+    * storage in DuckDB so S1·S1 cannot overflow its int64 fast path. */
+  def s1(c: Column): Column =
+    sum(cents(c).cast(DecimalType(19, 0))).cast(DecimalType(19, 0))
+
+  /** Exact second moment Σ cents² as DECIMAL(21,0) per-row (≲1e14 each),
+    * summed exactly in decimal space. */
+  def s2(c: Column): Column =
+    sum((cents(c) * cents(c)).cast(DecimalType(21, 0))).cast(DecimalType(26, 0))
+
+  /** mean = S1/100/n with fixed double op order. */
+  def meanFromMoments(s1: Column, n: Column): Column =
+    s1.cast("double") / 100.0 / n
+
+  /** Sample std (ddof=1, pandas `std()` convention) from exact moments:
+    * sqrt(max(0, (n·S2 − S1²)/n/(n−1)/10000)). */
+  def stdFromMoments(s1: Column, s2: Column, n: Column): Column = {
+    val num = (n.cast(DecimalType(10, 0)) * s2 - s1 * s1).cast("double")
+    sqrt(greatest(lit(0.0), num / n / (n - lit(1)) / 10000.0))
+  }
+
+  /** Population std (ddof=0, sklearn StandardScaler convention). */
+  def stdPopFromMoments(s1: Column, s2: Column, n: Column): Column = {
+    val num = (n.cast(DecimalType(10, 0)) * s2 - s1 * s1).cast("double")
+    sqrt(greatest(lit(0.0), num / n / n / 10000.0))
+  }
+
+  // ---- Driver-side versions for fitted parameters (collected moments) ----
+
+  def meanDouble(s1: java.math.BigDecimal, n: Long): Double =
+    s1.doubleValue() / 100.0 / n
+
+  def stdDouble(s1: java.math.BigDecimal, s2: java.math.BigDecimal, n: Long): Double = {
+    if (n < 2) return Double.NaN
+    val num = java.math.BigDecimal.valueOf(n).multiply(s2)
+      .subtract(s1.multiply(s1)).doubleValue()
+    math.sqrt(math.max(0.0, num / n / (n - 1) / 10000.0))
+  }
+
+  def stdPopDouble(s1: java.math.BigDecimal, s2: java.math.BigDecimal, n: Long): Double = {
+    if (n < 1) return Double.NaN
+    val num = java.math.BigDecimal.valueOf(n).multiply(s2)
+      .subtract(s1.multiply(s1)).doubleValue()
+    math.sqrt(math.max(0.0, num / n / n / 10000.0))
+  }
+
+  // ---- DuckDB SQL mirrors (same math, same op order, same types) ----
+
+  /** SQL fragment: exact cents of column `c`. */
+  def centsSql(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  def s1Sql(c: String): String =
+    s"CAST(SUM(CAST(${centsSql(c)} AS DECIMAL(19,0))) AS DECIMAL(19,0))"
+
+  def s2Sql(c: String): String =
+    s"CAST(SUM(CAST(${centsSql(c)} * ${centsSql(c)} AS DECIMAL(21,0))) AS DECIMAL(26,0))"
+
+  def meanSql(c: String): String =
+    s"CAST(${s1Sql(c)} AS DOUBLE) / 100.0 / COUNT($c)"
+
+  def stdSql(c: String): String =
+    s"SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / (COUNT($c) - 1) / 10000.0))"
+
+  def stdPopSql(c: String): String =
+    s"SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / COUNT($c) / 10000.0))"
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Anonymization operators (SURVEY.md §2.5 V1–V5, V7) — the reference
+  * engine's signature capability (`modules/privacy.py`).
+  *
+  * Everything is a lazy Column-expression plan: a full Protect chain
+  * (suppress → generalize → noise) fuses into one whole-stage-codegen pass
+  * plus at most one shuffle per suppressed column — vs the reference's full
+  * table copy per stage (`modules/privacy.py:5,14,25`).
+  */
+object Privacy {
+
+  /** V1 SDC rare-category suppression (`modules/privacy.py:4-11`): values
+    * of `cols` whose GLOBAL frequency < threshold become "OTHER"; non-string
+    * columns are silently skipped, as in the reference (`:7`).
+    *
+    * Implementation: count-over-partition window per column — a single
+    * shuffle per suppressed column and no join. At 100 TB with a
+    * low-cardinality column, prefer [[sdcSuppressBroadcast]]: groupBy
+    * (map-side combinable) + broadcast of only the rare set.
+    */
+  def sdcSuppress(df: DataFrame, cols: Seq[String], threshold: Long = 5): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(f => cols.contains(f.name) && f.dataType == StringType)
+      .map(_.name)
+    strCols.foldLeft(df) { (d, c) =>
+      val cnt = count(lit(1)).over(Window.partitionBy(col(c)))
+      d.withColumn(c, when(cnt < threshold, lit("OTHER")).otherwise(col(c)))
+    }
+  }
+
+  /** V1 at scale: per-column grouped counts (tiny: ≤ |distinct|) joined
+    * back via broadcast — the full table shuffles zero times. */
+  def sdcSuppressBroadcast(df: DataFrame, cols: Seq[String], threshold: Long = 5): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(f => cols.contains(f.name) && f.dataType == StringType)
+      .map(_.name)
+    strCols.foldLeft(df) { (d, c) =>
+      val rare = d.groupBy(col(c).as("__rare_v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") < threshold)
+        .select(col("__rare_v"))
+      d.join(broadcast(rare), col(c) <=> col("__rare_v"), "left")
+        .withColumn(c, when(col("__rare_v").isNotNull, lit("OTHER")).otherwise(col(c)))
+        .drop("__rare_v")
+    }
+  }
+
+  /** V2 numeric generalization by empirical quantile binning
+    * (`modules/privacy.py:13-22`). Bin edges are EXACT percentiles
+    * (sort-based `percentile`, not approx — SURVEY §4.3); duplicate edges
+    * are merged as `pd.qcut(duplicates="drop")` does. Labels follow the
+    * declared labels-as-truth convention (SURVEY §4.4.3): left-closed
+    * `[lo, hi)`, last bin closed, bounds printed with 2 decimals.
+    *
+    * The edge list is tiny (≤ bins+1 doubles) — collected to the driver
+    * and compiled into a when-chain, which codegens into the scan pass.
+    */
+  def generalizeNumeric(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    val probs = (0 to bins).map(i => i.toDouble / bins)
+    val edgesRow = df
+      .agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
+      .head()
+    val edges = edgesRow.getSeq[Double](0).distinct
+    if (edges.length < 2) return df.withColumn(c, lit(null).cast("string"))
+    val labeled = labelExpr(col(c), edges)
+    df.withColumn(c, labeled)
+  }
+
+  /** when-chain mapping a value into its `[lo, hi)` label (last bin
+    * closed). Kept separate so tests can exercise edge semantics. */
+  def labelExpr(v: Column, edges: Seq[Double]): Column = {
+    val pairs = edges.zip(edges.tail)
+    val lastIdx = pairs.length - 1
+    pairs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((lo, hi), i)) =>
+        val in =
+          if (i == lastIdx) v >= lo && v <= hi
+          else v >= lo && v < hi
+        when(in, format_string("[%.2f, %s", lit(lo),
+          format_string(if (i == lastIdx) "%.2f]" else "%.2f)", lit(hi))))
+          .otherwise(acc)
+    }
+  }
+
+  /** V3 DP-style Laplace noise (`modules/privacy.py:24-31`): adds iid
+    * Laplace(0, sensitivity/max(ε,1e-6)) to each value. The reference is
+    * unseeded; we are seeded-by-default (SURVEY §4.4.4) via `rand(seed)` +
+    * inverse CDF — a pure codegen'd column expression, no UDF.
+    *
+    * Determinism caveat (documented): `rand(seed)` is seeded per
+    * partition, so results are stable for a fixed partitioning but not
+    * across repartitioning — acceptable because the oracle checks
+    * distribution moments, not rows (SURVEY §2 match mode `seeded`).
+    */
+  def dpNoise(df: DataFrame, cols: Seq[String], epsilon: Double,
+              sensitivity: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val b = sensitivity / math.max(epsilon, 1e-6)
+    val numCols = df.schema.fields
+      .filter(f => cols.contains(f.name) && f.dataType.isInstanceOf[NumericType])
+      .map(_.name)
+    numCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val u = rand(seed + i) - 0.5
+      val lap = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) * b
+      d.withColumn(c, col(c).cast("double") + lap)
+    }
+  }
+
+  /** V4 lightweight synthetic sampler (`modules/privacy.py:33-53`):
+    * column-independent synthesis, correlations intentionally destroyed.
+    * Numeric → 50% bootstrap resample + 50% Normal(μ, σ or 1); categorical
+    * → iid draws from the empirical PMF via inverse-CDF range join.
+    * Seeded; row order explicitly arbitrary (as the reference's index is).
+    *
+    * Columns are assembled by zipping independent samples on a synthetic
+    * row id. At scale each column's sample is one pass + one tiny
+    * broadcast (PMF/moments), and the zip is a co-partitioned join on the
+    * generated id.
+    */
+  def syntheticSample(df: DataFrame, cols: Seq[String], n: Long,
+                      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val base = spark.range(n).select(col("id").as("__row_id"))
+
+    val sampled: Seq[DataFrame] = fields.zipWithIndex.map { case (f, i) =>
+      val c = f.name
+      if (f.dataType.isInstanceOf[NumericType]) {
+        val m = Profile.muSigma(df, Seq(c)).head()
+        val (mu, sigma) = (m.getDouble(1), m.getDouble(2))
+        // Half bootstrap (sampled rows re-labeled with fresh ids), half
+        // gaussian; both seeded.
+        val boot = df.select(col(c).cast("double").as(c))
+          .sample(withReplacement = true, 1.0, seed + i)
+          .limit((n / 2).toInt)
+          .withColumn("__row_id",
+            row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+        val gaussN = n - n / 2
+        val gauss = spark.range(gaussN)
+          .select((col("id") + (n / 2)).as("__rid_raw"))
+          .withColumn(c, randn(seed + 1000 + i) * sigma + mu)
+          .select(col("__rid_raw").as("__row_id"), col(c))
+        val together = boot.select(col("__row_id"), col(c)).union(gauss)
+        together
+      } else {
+        // Inverse-CDF sampling of the empirical PMF: cumulative bounds per
+        // category (tiny), range-joined against u~U(0,1).
+        val pmf = Profile.categoryPmf(df, c)
+          .withColumn("cum_hi", sum(col("p")).over(
+            Window.partitionBy().orderBy(col("cnt").desc, col("value").asc_nulls_first)))
+          .withColumn("cum_lo", col("cum_hi") - col("p"))
+          .select(col("value").as(c), col("cum_lo"), col("cum_hi"))
+        val u = base.withColumn("__u", rand(seed + 2000 + i))
+        u.join(broadcast(pmf),
+            col("__u") >= col("cum_lo") && col("__u") < col("cum_hi"), "left")
+          .select(col("__row_id"), col(c))
+      }
+    }
+    sampled.reduce((a, b) => a.join(b, Seq("__row_id"), "inner"))
+      .drop("__row_id")
+  }
+
+  /** V5 smart suggestion heuristic (`modules/privacy.py:55-68`): per
+    * column, dtype + distinct-count dispatch into a suggested transform.
+    * One wide count_distinct aggregate — a single pass. */
+  def smartSuggest(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val aggs = fields.map(f => count_distinct(col(f.name)).as(s"${f.name}__u"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map { f =>
+      val u = col(s"${f.name}__u")
+      val isStr = f.dataType == StringType
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      val suggestion =
+        if (isStr) when(u > 20, "sdc").otherwise(lit(null).cast("string"))
+        else if (isNum) when(u > 50, "generalize+dp").otherwise("dp")
+        else lit(null).cast("string")
+      val eps =
+        if (isNum) lit(1.0)
+        else lit(null).cast("double")
+      struct(lit(f.name).as("column"), suggestion.as("suggestion"), eps.as("epsilon"))
+    }
+    wide.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+      .filter(col("suggestion").isNotNull)
+      .orderBy(col("column"))
+  }
+
+  /** V7 quasi-identifier suggestions (`modules/risk.py:8`): static list ∩
+    * actual columns. */
+  val QuasiIdSuggestions: Seq[String] =
+    Seq("age", "gender", "zipcode", "pincode", "city", "state", "education", "income")
+
+  def quasiSuggestions(df: DataFrame): Seq[String] =
+    QuasiIdSuggestions.filter(df.columns.contains)
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling / frequency operators (SURVEY.md §2.3 A1–A9).
+  *
+  * Reference semantics: `modules/utility.py:17-86` (basic_stats),
+  * `modules/privacy.py:8` + `modules/utility.py:102-103` (value counts),
+  * `modules/utility.py:70-71` (mode with smallest-value tie-break),
+  * `modules/privacy.py:8-9` (rare categories), `modules/privacy.py:58`
+  * (distinct counts), `modules/privacy.py:44` (μ/σ with `or 1.0` fallback),
+  * `modules/privacy.py:50` (normalized PMF).
+  *
+  * Scale notes: `profile` makes ONE pass over the numeric columns (a single
+  * wide partial+final aggregate — not a per-column loop like the reference),
+  * one pass for string/timestamp min/max/distinct, plus one small groupBy
+  * per string column for the mode. At 100 TB that is 2 scans + k tiny
+  * shuffles instead of the reference's 2·k full passes.
+  */
+object Profile {
+
+  private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  /** A1 `basic_stats`: one row per input column. Numeric moments use the
+    * exact-cents policy in [[Exact]]; quantiles use Spark's exact sort-based
+    * `percentile` (linear interpolation — pandas/DuckDB-compatible, NOT
+    * `percentile_approx`). */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val numCols = fields.filter(f => isNum(f.dataType)).map(_.name)
+    val othCols = fields.filterNot(f => isNum(f.dataType)).map(_.name)
+    val strCols = fields.filter(_.dataType == StringType).map(_.name)
+
+    def dtypeName(dt: DataType): String = dt.sql.toLowerCase
+
+    // One wide aggregate covering every column's scan-side stats.
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n_total")) ++
+      numCols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__n"),
+          count_distinct(col(c)).as(s"${c}__uniq"),
+          Exact.s1(col(c)).as(s"${c}__s1"),
+          Exact.s2(col(c)).as(s"${c}__s2"),
+          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__q"),
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      } ++
+      othCols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__n"),
+          count_distinct(col(c)).as(s"${c}__uniq"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    // Re-shape the single wide row into one struct per column, then explode.
+    val rowStructs: Seq[Column] =
+      fields.map { f =>
+        val c = f.name
+        val base = Seq(
+          lit(c).as("column"),
+          lit(dtypeName(f.dataType)).as("dtype"),
+          col("__n_total").as("n_total"),
+          (col("__n_total") - col(s"${c}__n")).as("n_missing"),
+          ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
+            .as("missing_pct"),
+          col(s"${c}__uniq").as("n_unique"))
+        val numeric =
+          if (isNum(f.dataType)) Seq(
+            Exact.meanFromMoments(col(s"${c}__s1"), col(s"${c}__n")).as("mean"),
+            Exact.stdFromMoments(col(s"${c}__s1"), col(s"${c}__s2"), col(s"${c}__n")).as("std"),
+            col(s"${c}__min").as("min_num"),
+            col(s"${c}__q").getItem(0).as("p25"),
+            col(s"${c}__q").getItem(1).as("median"),
+            col(s"${c}__q").getItem(2).as("p75"),
+            col(s"${c}__max").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+          else Seq(
+            lit(null).cast("double").as("mean"),
+            lit(null).cast("double").as("std"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("p25"),
+            lit(null).cast("double").as("median"),
+            lit(null).cast("double").as("p75"),
+            lit(null).cast("double").as("max_num"),
+            col(s"${c}__min").as("min_str"),
+            col(s"${c}__max").as("max_str"))
+        struct(base ++ numeric: _*)
+      }
+    val exploded = wide
+      .select(explode(array(rowStructs: _*)).as("r"))
+      .select(col("r.*"))
+
+    // Mode (top-1 with pandas' smallest-on-tie rule) per string column —
+    // small groupBy shuffles, joined back by column name.
+    val topOne: Option[DataFrame] = strCols.toSeq match {
+      case Nil => None
+      case cs =>
+        val tops = cs.map { c =>
+          val vc = df.groupBy(col(c).as("top_value")).agg(count(lit(1)).as("top_freq"))
+          vc.orderBy(col("top_freq").desc, col("top_value").asc)
+            .limit(1)
+            .withColumn("column", lit(c))
+            .select(col("column"), col("top_value"), col("top_freq"))
+        }
+        Some(tops.reduce(_ union _))
+    }
+
+    val withTop = topOne match {
+      case Some(t) => exploded.join(t, Seq("column"), "left")
+      case None =>
+        exploded
+          .withColumn("top_value", lit(null).cast("string"))
+          .withColumn("top_freq", lit(null).cast("long"))
+    }
+    withTop.orderBy(col("column"))
+  }
+
+  /** A2 `value_counts(dropna=False)`: counts per category including the
+    * null group, ordered count-desc then value-asc (deterministic). */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc_nulls_first)
+
+  /** A3 mode/top-1 (smallest value wins ties, as pandas `mode().iloc[0]`). */
+  def mode(df: DataFrame, c: String): DataFrame =
+    valueCounts(df, c).limit(1)
+
+  /** A4 rare-category set: categories with global count < threshold. */
+  def rareCategories(df: DataFrame, c: String, threshold: Long): DataFrame =
+    df.groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < threshold)
+      .orderBy(col("value").asc_nulls_first)
+
+  /** A5 distinct count per column (one wide aggregate, one pass). */
+  def distinctCounts(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map(c => count_distinct(col(c)).as(s"${c}__u"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = df.columns.map(c =>
+      struct(lit(c).as("column"), col(s"${c}__u").as("n_unique")))
+    wide.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("column"))
+  }
+
+  /** A7 table row counts (here: one table; the session-level variant unions
+    * all named slots). */
+  def rowCount(df: DataFrame, label: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows")).withColumn("table_name", lit(label))
+      .select(col("table_name"), col("n_rows"))
+
+  /** A8 per-column μ/σ for the synthesizer: std has the reference's
+    * `or 1.0` fallback (NaN from a single row, 0 from a constant column —
+    * both become 1.0; `modules/privacy.py:44`). */
+  def muSigma(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+          Exact.s1(col(c)).as(s"${c}__s1"),
+          Exact.s2(col(c)).as(s"${c}__s2"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      val mu = Exact.meanFromMoments(col(s"${c}__s1"), col(s"${c}__n"))
+      val sd = Exact.stdFromMoments(col(s"${c}__s1"), col(s"${c}__s2"), col(s"${c}__n"))
+      val sdSafe = when(col(s"${c}__n") < 2, 1.0)
+        .when(sd === 0.0, 1.0)
+        .otherwise(sd)
+      struct(lit(c).as("column"), mu.as("mu"), sdSafe.as("sigma"))
+    }
+    wide.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("column"))
+  }
+
+  /** A9 normalized category distribution (empirical PMF). The total comes
+    * from a window over the (already tiny) grouped result — no second scan. */
+  def categoryPmf(df: DataFrame, c: String): DataFrame = {
+    val counts = df.groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()))
+      .orderBy(col("cnt").desc, col("value").asc_nulls_first)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-level projections/transforms (SURVEY.md §2.2 P1–P9). All are pure
+  * column expressions that fuse into a single whole-stage-codegen pass —
+  * no shuffles except the tiny fitted-parameter aggregates (P5/P8/P9),
+  * which broadcast as literals.
+  */
+object RowTransforms {
+
+  /** P1 column selection by name list (`modules/risk.py:28`). */
+  def selectCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P2 numeric-column projection (`modules/utility.py:131`). */
+  def selectNumeric(df: DataFrame): DataFrame =
+    selectCols(df, df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq)
+
+  /** P3 drop column (`modules/utility.py:131`). */
+  def dropCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** P4 conditional replace: members of `rare` → "OTHER"
+    * (`modules/privacy.py:10`). */
+  def replaceRare(c: Column, rare: Seq[String]): Column =
+    when(c.isin(rare: _*), lit("OTHER")).otherwise(c)
+
+  /** P5 mean imputation (`modules/utility.py:136`) — fitted mean computed
+    * with the exact-moments policy, then applied as a literal. */
+  def imputeMean(df: DataFrame, c: String): DataFrame = {
+    val row = df.agg(Exact.s1(col(c)).as("s1"), count(col(c)).as("n")).head()
+    val mean =
+      if (row.isNullAt(0) || row.getLong(1) == 0L) 0.0
+      else Exact.meanDouble(row.getDecimal(0), row.getLong(1))
+    df.withColumn(c, coalesce(col(c).cast("double"), lit(mean)))
+  }
+
+  /** P6 null→"NA" label (`modules/utility.py:100-101`), crash-free order:
+    * stringify first, then default (SURVEY §4.4.2). */
+  def nullLabel(c: Column): Column =
+    coalesce(c.cast("string"), lit("NA"))
+
+  /** P7 cast-to-string (`modules/utility.py:68`). */
+  def castString(c: Column): Column = c.cast("string")
+
+  /** P8 z-score standardization with POPULATION σ (ddof=0 — the sklearn
+    * StandardScaler convention, `modules/risk.py:16`), parameters fitted
+    * on `fit` and applied to `df` (fit-on-anon / transform-real asymmetry
+    * of the reference). Constant columns (σ=0) pass through unscaled with
+    * σ treated as 1, matching sklearn's `scale_ = 1` rule. */
+  def standardize(df: DataFrame, fit: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(Exact.s1(col(c)).as(s"${c}__s1"), Exact.s2(col(c)).as(s"${c}__s2"),
+          count(col(c)).as(s"${c}__n"))
+    }
+    val row = fit.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val s1 = row.getDecimal(3 * i)
+      val n = row.getLong(3 * i + 2)
+      val mu = Exact.meanDouble(s1, n)
+      val sd = Exact.stdPopDouble(s1, row.getDecimal(3 * i + 1), n)
+      val sdSafe = if (sd == 0.0 || sd.isNaN) 1.0 else sd
+      d.withColumn(c, (col(c).cast("double") - mu) / sdSafe)
+    }
+  }
+
+  /** P9 one-hot encoding with explicit category columns fitted on `fit`
+    * (`modules/risk.py:18`): categories are the sorted distinct values of
+    * the FIT table; unseen values in `df` produce all-zero vectors —
+    * exactly `handle_unknown="ignore"`. */
+  def oneHot(df: DataFrame, fit: DataFrame, c: String): DataFrame = {
+    val cats = fit.select(col(c)).na.drop().distinct()
+      .orderBy(col(c)).collect().map(_.getString(0)).toSeq
+    cats.foldLeft(df) { (d, cat) =>
+      d.withColumn(s"${c}__$cat", when(col(c) === cat, 1.0).otherwise(0.0))
+    }
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for specs. 4 threads / 4 shuffle partitions
+  * keeps multi-partition semantics (partial aggs, exchange) in play so
+  * partitioning-sensitive bugs surface in unit tests. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val Sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // Session is shared across suites in one JVM; don't stop it here.
+    super.afterAll()
+  }
+}

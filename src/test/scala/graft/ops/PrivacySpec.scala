@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sdcSuppress: only sub-threshold categories become OTHER; window and broadcast forms agree") {
+    val df = (Seq.fill(10)("common") ++ Seq("rare1", "rare2", "rare2")).toDF("v")
+    for (out <- Seq(Privacy.sdcSuppress(df, Seq("v"), 5),
+                    Privacy.sdcSuppressBroadcast(df, Seq("v"), 5))) {
+      val counts = out.groupBy("v").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("common" -> 10L, "OTHER" -> 3L))
+    }
+  }
+
+  test("sdcSuppress skips non-string columns silently") {
+    val df = Seq((1.0, "x")).toDF("num", "s")
+    val out = Privacy.sdcSuppress(df, Seq("num", "s"), 5)
+    assert(out.schema("num").dataType.typeName == "double")
+  }
+
+  test("generalizeNumeric: ≤ bins labels, covers all rows, label format") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val out = Privacy.generalizeNumeric(df, "x", 10)
+    val labels = out.select("x").distinct().collect().map(_.getString(0))
+    assert(labels.length <= 10)
+    assert(labels.forall(_.matches("""\[\d+\.\d{2}, \d+\.\d{2}[\)\]]""")))
+    assert(out.filter(col("x").isNull).count() == 0)
+  }
+
+  test("generalizeNumeric: duplicate edges merged (skewed data)") {
+    val df = (Seq.fill(95)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0, 6.0)).toDF("x")
+    val out = Privacy.generalizeNumeric(df, "x", 10)
+    assert(out.select("x").distinct().count() <= 10)
+    assert(out.filter(col("x").isNull).count() == 0)
+  }
+
+  test("dpNoise: seeded, mean shift → 0, scale ≈ b for large n") {
+    val n = 200000
+    val df = spark.range(n).select(lit(10.0).as("x"))
+    val eps = 1.0
+    val noised = Privacy.dpNoise(df, Seq("x"), eps, 1.0, seed = 7L)
+    val stats = noised.agg(avg("x"), stddev_samp("x")).collect()(0)
+    // Laplace(0, b=1): mean 10, std sqrt(2)·b
+    assert(math.abs(stats.getDouble(0) - 10.0) < 0.05)
+    assert(math.abs(stats.getDouble(1) - math.sqrt(2.0)) < 0.05)
+    // seeded determinism under fixed partitioning
+    val again = Privacy.dpNoise(df, Seq("x"), eps, 1.0, seed = 7L)
+      .agg(avg("x")).collect()(0).getDouble(0)
+    assert(again == stats.getDouble(0))
+  }
+
+  test("syntheticSample: n rows, numeric moments within tolerance, PMF preserved") {
+    val src = graft.Tables.lineitem(spark, Sf)
+    val n = 6000L
+    val out = Privacy.syntheticSample(src, Seq("l_quantity", "l_returnflag"), n, seed = 42L)
+    assert(out.count() == n)
+    val srcStats = src.agg(avg("l_quantity"), stddev_samp("l_quantity")).collect()(0)
+    val outStats = out.agg(avg("l_quantity"), stddev_samp("l_quantity")).collect()(0)
+    assert(math.abs(srcStats.getDouble(0) - outStats.getDouble(0)) < 1.5)
+    assert(math.abs(srcStats.getDouble(1) - outStats.getDouble(1)) < 1.5)
+    val srcPmf = Profile.categoryPmf(src, "l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val outPmf = Profile.categoryPmf(out, "l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    srcPmf.foreach { case (k, p) => assert(math.abs(outPmf(k) - p) < 0.05) }
+  }
+
+  test("smartSuggest dispatch rules") {
+    val df = Seq.tabulate(60)(i => (i.toDouble, (i % 3).toDouble, s"cat$i", "low"))
+      .toDF("high_card_num", "low_card_num", "high_card_str", "low_card_str")
+    val sug = Privacy.smartSuggest(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sug("high_card_num") == "generalize+dp")
+    assert(sug("low_card_num") == "dp")
+    assert(sug("high_card_str") == "sdc")
+    assert(!sug.contains("low_card_str"))
+  }
+
+  test("quasiSuggestions intersects static list with columns") {
+    val df = Seq((1, "m", 50000.0)).toDF("age", "gender", "income")
+    assert(Privacy.quasiSuggestions(df) == Seq("age", "gender", "income"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mixed = Seq(
+    (Some(1.0), Some("a")), (Some(2.0), Some("b")), (None, Some("b")),
+    (Some(4.0), None), (Some(2.5), Some("a"))
+  ).toDF("x", "s")
+
+  test("profile: counts, missing, unique on mixed nulls") {
+    val p = Profile.profile(mixed).collect().map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getLong(2) == 5)                   // n_total
+    assert(x.getLong(3) == 1)                   // n_missing
+    assert(math.abs(x.getDouble(4) - 20.0) < 1e-12) // missing_pct
+    assert(x.getLong(5) == 4)                   // n_unique
+    val s = p("s")
+    assert(s.getLong(3) == 1 && s.getLong(5) == 2)
+  }
+
+  test("profile: mean/std match pandas ddof=1 semantics") {
+    val p = Profile.profile(mixed).collect().map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    // values 1.0, 2.0, 4.0, 2.5 → mean 2.375, std ddof=1
+    assert(math.abs(x.getDouble(6) - 2.375) < 1e-12)
+    val expectedStd = math.sqrt(Seq(1.0, 2.0, 4.0, 2.5)
+      .map(v => math.pow(v - 2.375, 2)).sum / 3)
+    assert(math.abs(x.getDouble(7) - expectedStd) < 1e-12)
+  }
+
+  test("profile: constant column std is 0, single-value quantiles collapse") {
+    val const = Seq(7.0, 7.0, 7.0).toDF("c")
+    val row = Profile.profile(const).collect()(0)
+    assert(row.getDouble(7) == 0.0)
+    assert(row.getDouble(9) == 7.0 && row.getDouble(10) == 7.0)
+  }
+
+  test("profile: all-null column") {
+    val nulls = Seq[Option[Double]](None, None).toDF("n")
+    val row = Profile.profile(nulls).collect()(0)
+    assert(row.getLong(3) == 2 && row.getLong(5) == 0)
+  }
+
+  test("mode: smallest value wins ties (pandas mode().iloc[0])") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("v")
+    val m = Profile.mode(df, "v").collect()(0)
+    assert(m.getString(0) == "a" && m.getLong(1) == 2)
+  }
+
+  test("valueCounts includes null group") {
+    val df = Seq(Some("x"), None, Some("x"), None, None).toDF("v")
+    val vc = Profile.valueCounts(df, "v").collect()
+    assert(vc(0).isNullAt(0) && vc(0).getLong(1) == 3)
+    assert(vc(1).getString(0) == "x" && vc(1).getLong(1) == 2)
+  }
+
+  test("rareCategories respects threshold") {
+    val df = (Seq.fill(10)("big") ++ Seq("rare1", "rare2")).toDF("v")
+    val rare = Profile.rareCategories(df, "v", 5).collect().map(_.getString(0))
+    assert(rare.sameElements(Array("rare1", "rare2")))
+  }
+
+  test("categoryPmf sums to 1") {
+    val pmf = Profile.categoryPmf(Seq("a", "a", "b", "c").toDF("v"), "v").collect()
+    assert(math.abs(pmf.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    assert(pmf(0).getString(0) == "a" && math.abs(pmf(0).getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("muSigma: sigma fallback 1.0 for constant and single-row columns") {
+    val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("c", "x")
+    val m = Profile.muSigma(const, Seq("c", "x")).collect().map(r => r.getString(0) -> r).toMap
+    assert(m("c").getDouble(2) == 1.0) // σ=0 → 1.0
+    val single = Seq(5.0).toDF("y")
+    val ms = Profile.muSigma(single, Seq("y")).collect()(0)
+    assert(ms.getDouble(2) == 1.0) // n<2 → 1.0
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RowTransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("imputeMean fills nulls with exact mean") {
+    val df = Seq(Some(1.0), Some(3.0), None).toDF("x")
+    val out = RowTransforms.imputeMean(df, "x").collect().map(_.getDouble(0)).sorted
+    assert(out.sameElements(Array(1.0, 2.0, 3.0)))
+  }
+
+  test("imputeMean on all-null column → 0.0 fallback") {
+    val df = Seq[Option[Double]](None, None).toDF("x")
+    val out = RowTransforms.imputeMean(df, "x").collect().map(_.getDouble(0))
+    assert(out.forall(_ == 0.0))
+  }
+
+  test("standardize: population sigma (ddof=0), fit/transform asymmetry") {
+    val fit = Seq(0.0, 10.0).toDF("x") // μ=5, σ_pop=5
+    val df = Seq(5.0, 15.0).toDF("x")
+    val out = RowTransforms.standardize(df, fit, Seq("x")).collect().map(_.getDouble(0))
+    assert(out.sameElements(Array(0.0, 2.0)))
+  }
+
+  test("standardize: constant fit column passes through (σ→1)") {
+    val fit = Seq(3.0, 3.0).toDF("x")
+    val df = Seq(4.0).toDF("x")
+    val out = RowTransforms.standardize(df, fit, Seq("x")).collect()(0).getDouble(0)
+    assert(out == 1.0) // (4-3)/1
+  }
+
+  test("oneHot: categories from fit; unseen value → all zeros") {
+    val fit = Seq("a", "b").toDF("c")
+    val df = Seq("a", "z").toDF("c")
+    val out = RowTransforms.oneHot(df, fit, "c").collect()
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getDouble(1) == 1.0 && a.getDouble(2) == 0.0)
+    val z = out.find(_.getString(0) == "z").get
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
+  }
+
+  test("nullLabel stringifies then defaults (crash-free on any dtype)") {
+    val df = Seq(Some(1.5), None).toDF("x")
+    val out = df.select(RowTransforms.nullLabel(col("x"))).collect().map(_.getString(0))
+    assert(out.sameElements(Array("1.5", "NA")))
+  }
+}
