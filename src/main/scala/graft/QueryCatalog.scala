@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Exact, Privacy, Profile, RowTransforms}
+import graft.ops.{Drift, Exact, Privacy, Profile, RowTransforms}
 import graft.compliance.Checklist
+import graft.risk.Linkage
 
 /** Named query bindings for SURVEY.md §2's operator inventory (A/P/V/C
   * series), with DuckDB oracle SQL generated from the same schema lists so
@@ -62,6 +63,36 @@ object QueryCatalog {
       val hits = Privacy.quasiSuggestions(renamed).sorted
       import s.implicits._
       hits.toDF("quasi_id")
+    }),
+    "d1_ks_statistic" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.ksStatistic(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_quantity")
+    }),
+    "d2_chi2_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.chi2Drift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_returnflag")
+    }),
+    "d3_drift_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.driftAll(li, li.filter(col("l_orderkey") % 2 === 1).drop("l_tax"))
+    }),
+    "v6_linkage_risk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Linkage.linkageRisk(
+        li.filter(col("l_orderkey") % 100 === 0),
+        li.filter(col("l_orderkey") % 100 === 50),
+        Seq("l_quantity", "l_discount", "l_returnflag"))
+    }),
+    "v6_linkage_risk_lsh" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Linkage.linkageRiskLSH(
+        li.filter(col("l_orderkey") % 100 === 0),
+        li.filter(col("l_orderkey") % 100 === 50),
+        Seq("l_quantity", "l_discount", "l_returnflag"))
     }),
   )
 
@@ -250,7 +281,96 @@ object QueryCatalog {
        |SELECT * FROM labeled ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** KS SQL: the same union+window CDF plan, parameterized by column and
+    * the two side filters. */
+  private def ksSql(c: String, filterA: String, filterB: String): String =
+    s"""WITH a AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterA) AND $c IS NOT NULL),
+       |b AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterB) AND $c IS NOT NULL),
+       |u AS (SELECT v, 1 AS ca, 0 AS cb FROM a UNION ALL SELECT v, 0, 1 FROM b),
+       |counts AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb FROM u GROUP BY v),
+       |cdfs AS (SELECT v,
+       |  SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |  SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |  SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb FROM counts)
+       |SELECT '$c' AS "column",
+       |  MAX(CASE WHEN ta >= 5 AND tb >= 5
+       |      THEN ABS(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb) END) AS ks
+       |FROM cdfs""".stripMargin
+
+  /** chi²-like SQL mirror (reference formula verbatim incl. the 1e-9). */
+  private def chi2Sql(c: String, filterA: String, filterB: String): String =
+    s"""WITH ca AS (SELECT COALESCE(CAST($c AS VARCHAR), 'NA') AS k, COUNT(*) AS oa
+       |            FROM lineitem WHERE ($filterA) GROUP BY 1),
+       |cb AS (SELECT COALESCE(CAST($c AS VARCHAR), 'NA') AS k, COUNT(*) AS ob
+       |       FROM lineitem WHERE ($filterB) GROUP BY 1),
+       |j AS (SELECT COALESCE(ca.k, cb.k) AS k, COALESCE(oa, 0) AS oa, COALESCE(ob, 0) AS ob
+       |      FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+       |t AS (SELECT k,
+       |  CAST(oa - ob AS DOUBLE) * (oa - ob) / (CAST(oa + ob AS DOUBLE) + 1e-9) AS term,
+       |  SUM(oa) OVER () AS ta, SUM(ob) OVER () AS tb FROM j),
+       |cc AS (SELECT SUM(term) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |       ta, tb FROM t)
+       |SELECT '$c' AS "column",
+       |  MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END) AS chi2_like
+       |FROM cc""".stripMargin
+
+  private def d3Sql: String = {
+    val before = "1 = 1"
+    val after = "l_orderkey % 2 = 1"
+    val sharedNumeric = LiNumeric.map(_._1).filterNot(_ == "l_tax")
+    val parts =
+      sharedNumeric.map { c =>
+        s"""SELECT "column", 'ks' AS type, ROUND(ks, 6) AS metric FROM (${ksSql(c, before, after)}) x"""
+      } ++
+      (LiString ++ LiTs).map { c =>
+        s"""SELECT "column", 'chi2_like' AS type, ROUND(chi2_like, 6) AS metric FROM (${chi2Sql(c, before, after)}) x"""
+      }
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
+  /** V6 SQL: standardize (population σ from exact moments, fit on anon) +
+    * one-hot, cross join, min distance per anon row, score, ordered mean. */
+  private def v6Sql: String = {
+    val anonF = "l_orderkey % 100 = 0"
+    val realF = "l_orderkey % 100 = 50"
+    s"""WITH af AS (SELECT l_quantity, l_discount, l_returnflag FROM lineitem WHERE $anonF),
+       |rf AS (SELECT l_quantity, l_discount, l_returnflag FROM lineitem WHERE $realF),
+       |m AS (SELECT
+       |  CAST(${Exact.s1Sql("l_quantity")} AS DOUBLE) / 100.0 / COUNT(l_quantity) AS muq,
+       |  ${Exact.stdPopSql("l_quantity")} AS sdq,
+       |  CAST(${Exact.s1Sql("l_discount")} AS DOUBLE) / 100.0 / COUNT(l_discount) AS mud,
+       |  ${Exact.stdPopSql("l_discount")} AS sdd
+       |  FROM af),
+       |a AS (SELECT ROW_NUMBER() OVER (ORDER BY l_quantity, l_discount, l_returnflag) AS aid,
+       |  (CAST(l_quantity AS DOUBLE) - m.muq) / m.sdq AS f1,
+       |  (CAST(l_discount AS DOUBLE) - m.mud) / m.sdd AS f2,
+       |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS f3,
+       |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS f4,
+       |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS f5
+       |  FROM af, m),
+       |r AS (SELECT
+       |  (CAST(l_quantity AS DOUBLE) - m.muq) / m.sdq AS f1,
+       |  (CAST(l_discount AS DOUBLE) - m.mud) / m.sdd AS f2,
+       |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS f3,
+       |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS f4,
+       |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS f5
+       |  FROM rf, m),
+       |d AS (SELECT a.aid, MIN(SQRT(
+       |    (a.f1 - r.f1) * (a.f1 - r.f1) + (a.f2 - r.f2) * (a.f2 - r.f2) +
+       |    (a.f3 - r.f3) * (a.f3 - r.f3) + (a.f4 - r.f4) * (a.f4 - r.f4) +
+       |    (a.f5 - r.f5) * (a.f5 - r.f5))) AS d0
+       |  FROM a CROSS JOIN r GROUP BY a.aid),
+       |sc AS (SELECT
+       |  SUM(1.0 - d0 / (d0 + 1e-9)) OVER (ORDER BY aid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  COUNT(*) OVER () AS n FROM d)
+       |SELECT ROUND(LEAST(1.0, GREATEST(0.0, MAX(cum) / MAX(n))), 9) AS risk_score FROM sc""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d1_ks_statistic" -> ksSql("l_quantity", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d2_chi2_drift" -> chi2Sql("l_returnflag", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d3_drift_all" -> d3Sql,
+    "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,
     "a2_value_counts" ->
       """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ks: identical samples → 0") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val ks = Drift.ksStatistic(df, df, "x").collect()(0).getDouble(1)
+    assert(ks == 0.0)
+  }
+
+  test("ks: disjoint samples → 1") {
+    val a = (1 to 50).map(_.toDouble).toDF("x")
+    val b = (100 to 150).map(_.toDouble).toDF("x")
+    val ks = Drift.ksStatistic(a, b, "x").collect()(0).getDouble(1)
+    assert(ks == 1.0)
+  }
+
+  test("ks: matches hand-computed two-sample statistic") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at x∈[2,3)... computed exactly:
+    // F_a after 2 = 0.5, F_b = 0 → D = 0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0, 7.0).toDF("x")
+    val ks = Drift.ksStatistic(a, b, "x").collect()(0).getDouble(1)
+    assert(math.abs(ks - 0.4) < 1e-12) // max gap: after 2 → 2/5 - 0 = 0.4
+  }
+
+  test("ks: null when a side has < 5 rows") {
+    val a = Seq(1.0, 2.0).toDF("x")
+    val b = (1 to 10).map(_.toDouble).toDF("x")
+    assert(Drift.ksStatistic(a, b, "x").collect()(0).isNullAt(1))
+  }
+
+  test("chi2-like: identical tables → 0") {
+    val df = Seq("a", "a", "b").toDF("v")
+    val m = Drift.chi2Drift(df, df, "v").collect()(0).getDouble(1)
+    assert(math.abs(m) < 1e-9)
+  }
+
+  test("chi2-like: reference formula incl. 1e-9, null counts as NA") {
+    val a = Seq(Some("x"), Some("x"), None).toDF("v")       // x:2, NA:1
+    val b = Seq(Some("x"), Some("y")).toDF("v")             // x:1, y:1
+    val m = Drift.chi2Drift(a, b, "v").collect()(0).getDouble(1)
+    val expected = math.pow(2 - 1, 2) / (3 + 1e-9) +        // x
+      math.pow(1 - 0, 2) / (1 + 1e-9) +                     // NA
+      math.pow(0 - 1, 2) / (1 + 1e-9)                       // y
+    assert(math.abs(m - expected) < 1e-12)
+  }
+
+  test("driftAll: dispatch + silent skip of columns missing in after") {
+    val before = Seq((1.0, "a", 2.0)).toDF("num", "cat", "dropped")
+    val after = Seq((1.0, "a")).toDF("num", "cat")
+    val rows = Drift.driftAll(before, after).collect()
+    assert(rows.map(_.getString(0)).sameElements(Array("cat", "num")))
+    assert(rows.find(_.getString(0) == "num").get.getString(1) == "ks")
+    assert(rows.find(_.getString(0) == "cat").get.getString(1) == "chi2_like")
+  }
+}
