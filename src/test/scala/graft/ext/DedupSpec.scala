@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy cat today"),  // near-dup of 0
+    (2L, "spark makes big data processing fast and scalable always"),
+    (3L, "the quick brown fox jumps over the lazy dog today"),  // exact dup of 0
+    (4L, "completely different content about databases and queries here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id with multiplicity") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 2L) // docs 0 and 3
+    assert(out(1L) == 1L && out(2L) == 1L && out(4L) == 1L)
+    assert(!out.contains(3L))
+  }
+
+  test("normalized dedup collapses case/whitespace variants") {
+    val d = Seq((0L, "Hello  World"), (1L, "hello world")).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(d, "text", "doc_id").collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)) && pairs.contains((1L, 3L))) // exact dup pairs
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH recalls the same pairs as exact jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signature: identical docs identical sigs; near-dups mostly agree") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    assert(agree01 > 16) // jaccard ~0.75 → most minhashes agree
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree02 < 8)
+  }
+
+  test("simhash: exact dups hamming 0; near-dups small; unrelated large") {
+    val fps = docs
+      .select(col("doc_id"), Dedup.spreadHashes(col("text")).as("__hs"))
+      .select(col("doc_id"), Dedup.simhashExpr("__hs").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0L), fps(3L)) == 0)
+    assert(hamming(fps(0L), fps(1L)) <= 10)
+    assert(hamming(fps(0L), fps(4L)) > 10)
+  }
+
+  test("simhash pairs finds exact-dup pair via block join") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats: counts and quality composite") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextStats.textStats(df, "text", "doc_id").collect()(0)
+    assert(r.getInt(1) == 22)            // n_chars
+    assert(r.getInt(2) == 6)             // n_tokens
+    assert(r.getInt(4) == 3)             // the, on, the
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+    val q = 0.5 * 0.3 + math.min(1.0, 6.0 / 50.0) * 0.5 + 1.0 * 0.2
+    assert(math.abs(r.getDouble(6) - q) < 1e-12)
+  }
+
+  test("langId: marker hits pick the language; no hits → und") {
+    val df = Seq(
+      (1L, "the fast query"),
+      (2L, "der hund und die katze"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = TextStats.langId(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint: equal for equal text, different for different") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}

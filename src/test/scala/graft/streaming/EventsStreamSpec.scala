@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("streaming tumbling window with watermark drops late data") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+
+    mem.addData(Ev(1, t("10:05"), 1, "click", 1.0), Ev(2, t("10:45"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    mem.addData(Ev(3, t("12:30"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // this event is older than the watermark → must be dropped
+    mem.addData(Ev(4, t("10:07"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // close the 12:00 window too
+    mem.addData(Ev(5, t("14:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tumbling_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(out("2024-01-01 10:00:00.0") == 2L) // late event 4 NOT counted
+    assert(out("2024-01-01 12:00:00.0") == 1L)
+  }
+
+  test("streaming dropDuplicatesWithinWatermark dedups by event_id") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.dedupWithinWatermark(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    mem.addData(
+      Ev(1, t("10:00"), 1, "click", 1.0),
+      Ev(1, t("10:01"), 1, "click", 1.0),  // duplicate id within watermark
+      Ev(2, t("10:02"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("batch sessionize splits on gaps > 30 minutes") {
+    val events = Seq(
+      Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
+      Ev(3, t("11:00"), 1, "a", 0), // 50-min gap → new session
+      Ev(4, t("10:00"), 2, "a", 0)
+    ).toDF()
+    val out = Events.sessionize(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) == 2L)
+    assert(out((1L, 2L)) == 1L)
+    assert(out((2L, 1L)) == 1L)
+  }
+}
