@@ -1,23 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every catalog query at the target scale factor
+  * and prints ONE JSON line. A warmup pass (table counts + one trivial
+  * query) absorbs JVM/codegen/parquet-footer startup so per-query numbers
+  * measure the operators, not the first query's JIT. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch every table (footers, codecs), then run the whole
+    // catalog once at the smallest scale factor so codegen compilation and
+    // JIT happen before the timed pass (standard steady-state practice —
+    // the timed numbers then measure operators, not janino/C2).
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", {
+      val guess = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (new java.io.File(guess).isDirectory) guess else sfDir
+    })
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -52,11 +52,16 @@ object ExtCatalog {
   private def thSql(t: String): String =
     s"((ascii($t) * 31 + ascii(substr($t, 2, 1))) * 31 + ascii(substr($t, 3, 1))) * 31 + length($t)"
 
-  /** Shingle CTEs shared by the dedup oracles. */
+  /** Shingle CTEs shared by the dedup oracles — arithmetic shingle hashes
+    * mirroring Dedup.shingleHashes (same fold, same constants; shingle
+    * strings are never built on either side). */
   private val shingleCtes =
-    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-       |       FROM toks, UNNEST(range(1, greatest(len(ts) - 1, 2))) AS t(i)),
+    s"""toks AS (SELECT doc_id, text,
+       |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  ((((ths[i] % 1000000007) * 1000003 + ths[i + 1]) % 1000000007) * 1000003 + ths[i + 2]) % 1000000007 AS s
+       |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 2))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
 
   private def jaccardSql: String =
@@ -74,13 +79,8 @@ object ExtCatalog {
     val perms = Dedup.minhashPerms(32)
       .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
       .mkString("[", ", ", "]")
-    val shingleHash =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split(s, ' '), t -> CAST(${thSql("t")} AS BIGINT))), " +
-      s"(a, x) -> (a * 1000003 + x) % 1000000007)"
     s"""WITH $shingleCtes,
-       |shh AS (SELECT doc_id, $shingleHash AS h FROM sh),
-       |hs AS (SELECT doc_id, list(h) AS hl FROM shh GROUP BY 1),
+       |hs AS (SELECT doc_id, list(s) AS hl FROM sh GROUP BY 1),
        |sig AS (SELECT doc_id,
        |  list_transform($perms, p ->
        |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg

@@ -87,6 +87,18 @@ object QueryCatalog {
         li.filter(col("l_orderkey") % 100 === 50),
         Seq("l_quantity", "l_discount", "l_returnflag"))
     }),
+    "d4_model_utility" -> ((s, d) => {
+      // prop-mode (SURVEY §2.4 D4): MLlib optimizers differ from sklearn,
+      // so no SQL oracle — the driver records a rows-only check and the
+      // spec asserts the property bounds.
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("target", (col("l_returnflag") === "A").cast("int"))
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+                col("l_tax"), col("target"))
+      val noised = graft.ops.Privacy.dpNoise(li, Seq("l_quantity"), epsilon = 1.0)
+      graft.ml.UtilityCheck.modelUtility(li, noised, "target")
+    }),
     "v6_linkage_risk_lsh" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Linkage.linkageRiskLSH(

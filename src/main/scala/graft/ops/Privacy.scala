@@ -61,12 +61,18 @@ object Privacy {
     * The edge list is tiny (≤ bins+1 doubles) — collected to the driver
     * and compiled into a when-chain, which codegens into the scan pass.
     */
-  def generalizeNumeric(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+  def generalizeNumeric(df: DataFrame, c: String, bins: Int = 10,
+                        centsHistogram: Boolean = true): DataFrame = {
     val probs = (0 to bins).map(i => i.toDouble / bins)
-    val edgesRow = df
-      .agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
-      .head()
-    val edges = edgesRow.getSeq[Double](0).distinct
+    // Exact edges either from the cents histogram (≤2-decimal data — all
+    // harness money columns; far cheaper at scale) or the sort-based
+    // percentile aggregate (general doubles). Both match quantile_cont.
+    val raw: Seq[Double] =
+      if (centsHistogram) Exact.quantilesViaCentsHistogram(df, c, probs)
+      else df.agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
+        .head().getSeq[Double](0)
+    if (raw.exists(_.isNaN)) return df.withColumn(c, lit(null).cast("string"))
+    val edges = raw.distinct
     if (edges.length < 2) return df.withColumn(c, lit(null).cast("string"))
     val labeled = labelExpr(col(c), edges)
     df.withColumn(c, labeled)
@@ -127,42 +133,60 @@ object Privacy {
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     val base = spark.range(n).select(col("id").as("__row_id"))
+    val n2 = n / 2
+    // One fused pass fits every numeric column's (μ, σ, count).
+    val numCols = fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val moments: Map[String, (Double, Double, Long)] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val stats = Profile.muSigma(df, numCols).collect()
+          .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        val cnts = df.agg(count(col(numCols.head)).as("c0"),
+            numCols.tail.map(c => count(col(c)).as(s"c_$c")): _*).head()
+        numCols.zipWithIndex.map { case (c, i) =>
+          c -> (stats(c)._1, stats(c)._2, cnts.getLong(i))
+        }.toMap
+      }
 
-    val sampled: Seq[DataFrame] = fields.zipWithIndex.map { case (f, i) =>
+    // Columns attach to the id spine one at a time: numeric bootstrap
+    // halves come from a seeded sample indexed with RDD zipWithIndex (a
+    // narrow per-partition numbering — no global sort, no single-partition
+    // limit), gaussians and categorical draws are pure column expressions.
+    fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
       val c = f.name
       if (f.dataType.isInstanceOf[NumericType]) {
-        val m = Profile.muSigma(df, Seq(c)).head()
-        val (mu, sigma) = (m.getDouble(1), m.getDouble(2))
-        // Half bootstrap (sampled rows re-labeled with fresh ids), half
-        // gaussian; both seeded.
-        val boot = df.select(col(c).cast("double").as(c))
-          .sample(withReplacement = true, 1.0, seed + i)
-          .limit((n / 2).toInt)
-          .withColumn("__row_id",
-            row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
-        val gaussN = n - n / 2
-        val gauss = spark.range(gaussN)
-          .select((col("id") + (n / 2)).as("__rid_raw"))
-          .withColumn(c, randn(seed + 1000 + i) * sigma + mu)
-          .select(col("__rid_raw").as("__row_id"), col(c))
-        val together = boot.select(col("__row_id"), col(c)).union(gauss)
-        together
+        val (mu, sigma, srcCount) = moments(c)
+        val src = df.select(col(c).cast("double").as("__v")).na.drop()
+        val total = math.max(srcCount, 1L)
+        val frac = math.min(1.0, (n2.toDouble * 1.2 + 100.0) / total)
+        val bootRdd = src.sample(withReplacement = true, frac, seed + i)
+          .rdd.zipWithIndex()
+          .filter(_._2 < n2)
+          .map { case (r, idx) => org.apache.spark.sql.Row(idx, r.getDouble(0)) }
+        val bootSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__row_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__boot", org.apache.spark.sql.types.DoubleType)))
+        val boot = spark.createDataFrame(bootRdd, bootSchema)
+        val gauss = randn(seed + 1000 + i) * sigma + mu
+        acc.join(boot, Seq("__row_id"), "left")
+          // ids ≥ n/2 (and any bootstrap shortfall) draw from the gaussian
+          .withColumn(c, when(col("__row_id") < n2, coalesce(col("__boot"), gauss))
+            .otherwise(gauss))
+          .drop("__boot")
       } else {
         // Inverse-CDF sampling of the empirical PMF: cumulative bounds per
-        // category (tiny), range-joined against u~U(0,1).
+        // category (tiny), broadcast-range-joined against u~U(0,1).
         val pmf = Profile.categoryPmf(df, c)
           .withColumn("cum_hi", sum(col("p")).over(
             Window.partitionBy().orderBy(col("cnt").desc, col("value").asc_nulls_first)))
           .withColumn("cum_lo", col("cum_hi") - col("p"))
           .select(col("value").as(c), col("cum_lo"), col("cum_hi"))
-        val u = base.withColumn("__u", rand(seed + 2000 + i))
-        u.join(broadcast(pmf),
+        acc.withColumn("__u", rand(seed + 2000 + i))
+          .join(broadcast(pmf),
             col("__u") >= col("cum_lo") && col("__u") < col("cum_hi"), "left")
-          .select(col("__row_id"), col(c))
+          .drop("__u", "cum_lo", "cum_hi")
       }
-    }
-    sampled.reduce((a, b) => a.join(b, Seq("__row_id"), "inner"))
-      .drop("__row_id")
+    }.drop("__row_id")
   }
 
   /** V5 smart suggestion heuristic (`modules/privacy.py:55-68`): per

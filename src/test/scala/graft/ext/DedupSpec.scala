@@ -66,6 +66,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fps(0L), fps(4L)) > 10)
   }
 
+  test("simhashed (codegen agg form) equals simhashExpr (HOF form)") {
+    val viaAgg = Dedup.simhashed(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = docs
+      .select(col("doc_id"), Dedup.spreadHashes(col("text")).as("__hs"))
+      .select(col("doc_id"), Dedup.simhashExpr("__hs").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("simhash pairs finds exact-dup pair via block join") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

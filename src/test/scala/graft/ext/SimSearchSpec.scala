@@ -17,7 +17,7 @@ class SimSearchSpec extends SparkSpec {
   ).toDF("vec_id", "embedding")
 
   test("cosine topk ranks by similarity with deterministic ties") {
-    val out = SimSearch.cosineTopK(emb.filter(col("vec_id") === 0), emb, 4)
+    val out = SimSearch.cosineTopK(emb.filter(col("vec_id") === 0), emb, 4, dim = 4)
       .collect()
     assert(out.map(_.getLong(2)).take(2).sameElements(Array(1L, 4L)))
     assert(out.last.getLong(2) == 3L) // opposite vector ranks last
@@ -25,7 +25,7 @@ class SimSearchSpec extends SparkSpec {
   }
 
   test("cosine handles self-exclusion") {
-    val out = SimSearch.cosineTopK(emb.filter(col("vec_id") === 0), emb, 10).collect()
+    val out = SimSearch.cosineTopK(emb.filter(col("vec_id") === 0), emb, 10, dim = 4).collect()
     assert(!out.map(_.getLong(2)).contains(0L))
   }
 
@@ -42,7 +42,7 @@ class SimSearchSpec extends SparkSpec {
 
   test("near-dup pairs threshold filter keeps only the close pair") {
     // cos(0,1) = 0.9/√0.82 ≈ 0.9939; every other pair is far below 0.99
-    val pairs = SimSearch.cosineNearDupPairs(emb, 0.99).collect()
+    val pairs = SimSearch.cosineNearDupPairs(emb, 0.99, dim = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.sameElements(Array((0L, 1L))))
   }
