@@ -1,0 +1,118 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.compliance.Checklist
+import graft.io.YamlConfig.PipelineConfig
+import graft.ml.UtilityCheck
+import graft.ops.{Drift, Privacy, Profile}
+import graft.report.Html
+import graft.risk.Linkage
+import java.time.Instant
+
+/** The user-facing 6-step pipeline (SURVEY.md §3; reference `app.py:104`:
+  * Upload → Risk → Protect → Utility → Compliance → Report), re-expressed
+  * as a session over named lazy DataFrames instead of Streamlit reruns
+  * over materialized copies.
+  *
+  * Every step returns lazy plans where the semantics allow; the only
+  * eager points are fitted parameters (quantile edges, moments, distinct
+  * categories — all tiny) and the report's bounded previews. A user of
+  * the reference switches by constructing a session and calling the same
+  * six steps.
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  /** Named dataset slots (reference `st.session_state`, `app.py:108-110`). */
+  @volatile var real: Option[DataFrame] = None
+  @volatile var anon: Option[DataFrame] = None
+  @volatile var protected_ : Option[DataFrame] = None
+
+  var lastRisk: Option[RiskResult] = None
+  var lastQuasi: Seq[String] = Seq.empty
+
+  def uploadReal(df: DataFrame): this.type = { real = Some(df); this }
+  def uploadAnon(df: DataFrame): this.type = { anon = Some(df); this }
+
+  /** Step 2 — risk: V7 suggestions ∩ columns, V6 linkage score. */
+  def assessRisk(quasi: Seq[String] = Seq.empty): RiskResult = {
+    val a = anon.getOrElse(sys.error("no anon dataset uploaded"))
+    val r = real.getOrElse(sys.error("no real dataset uploaded"))
+    val q = if (quasi.nonEmpty) quasi else Privacy.quasiSuggestions(a)
+    require(q.nonEmpty, "no quasi-identifier columns found")
+    val score = Linkage.linkageRisk(a, r, q).head().getDouble(0)
+    lastQuasi = q
+    val res = RiskResult(score, q)
+    lastRisk = Some(res)
+    res
+  }
+
+  /** Step 3 — protect: V5-suggested or explicit config through V1→V2→V3
+    * (→V4), one lazy plan end to end. */
+  def protect(config: PipelineConfig): DataFrame = {
+    val a = anon.getOrElse(sys.error("no anon dataset uploaded"))
+    var df = a
+    if (config.sdcCols.nonEmpty)
+      df = Privacy.sdcSuppressBroadcast(df, config.sdcCols, config.sdcThreshold)
+    config.generalizeCols.foreach { c =>
+      df = Privacy.generalizeNumeric(df, c, config.generalizeBins)
+    }
+    if (config.dpCols.nonEmpty)
+      df = Privacy.dpNoise(df, config.dpCols, config.epsilon, config.sensitivity, config.seed)
+    if (config.synthetic)
+      df = Privacy.syntheticSample(df, df.columns.toSeq, a.count(), config.seed)
+    protected_ = Some(df)
+    df
+  }
+
+  /** Step 4 — utility: A1 profiles, D3 drift, optional D4 model check. */
+  def measureUtility(target: Option[String] = None): UtilityResult = {
+    val before = anon.getOrElse(sys.error("no anon dataset uploaded"))
+    val after = protected_.getOrElse(sys.error("protect() has not run"))
+    val model = target.map(t => UtilityCheck.modelUtility(before, after, t))
+    UtilityResult(
+      statsBefore = Profile.profile(before),
+      statsAfter = Profile.profile(after),
+      drift = Drift.driftAll(before, after),
+      modelUtility = model)
+  }
+
+  /** Step 5 — compliance: C1 checklist + C2 score. */
+  def compliance(): (DataFrame, Double) = {
+    val ds = Checklist.defaultChecklist(spark)
+    (ds.toDF(), Checklist.score(ds).head().getDouble(0))
+  }
+
+  /** Step 6 — report: C3 summary + S4 HTML (injectable clock). */
+  def report(title: String = "SafeData Run",
+             clock: () => Instant = () => Instant.now()): String = {
+    val summary = RunSummary(
+      quasiIds = lastQuasi,
+      riskScore = lastRisk.map(_.riskScore),
+      rowsBefore = anon.map(_.count()),
+      rowsAfter = protected_.map(_.count()))
+    val tables = Seq.newBuilder[(String, DataFrame)]
+    anon.foreach(df => tables += ("anon preview" -> df))
+    protected_.foreach(df => tables += ("protected preview" -> df))
+    Html.render(title,
+      Seq("run summary" -> summary.toJson),
+      tables.result(), clock = clock)
+  }
+}
+
+/** Reference `app.py:165`: overall score + quasi set. */
+final case class RiskResult(riskScore: Double, quasi: Seq[String])
+
+/** Reference `app.py:241-246`. */
+final case class RunSummary(quasiIds: Seq[String], riskScore: Option[Double],
+                            rowsBefore: Option[Long], rowsAfter: Option[Long]) {
+  def toJson: String = {
+    val q = quasiIds.map(s => "\"" + s + "\"").mkString("[", ", ", "]")
+    s"""{"quasi_ids": $q, "risk_score": ${riskScore.map(_.toString).getOrElse("null")}, """ +
+      s""""rows_before": ${rowsBefore.map(_.toString).getOrElse("null")}, """ +
+      s""""rows_after": ${rowsAfter.map(_.toString).getOrElse("null")}}"""
+  }
+}
+
+/** Utility-step bundle (SURVEY §3 entry point 3). */
+final case class UtilityResult(statsBefore: DataFrame, statsAfter: DataFrame,
+                               drift: DataFrame, modelUtility: Option[DataFrame])
