@@ -30,6 +30,13 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.lshTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "x_embed_neardup" -> ((s, d) =>
+      // corpus has no planted embedding dups (max pairwise cos ≈ 0.6), so
+      // the similar-pair threshold is 0.4 to exercise the operator with a
+      // non-empty result; the id bound keeps the exact form's pair count
+      // O(subset²) — the LSH path covers the full set.
+      SimSearch.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300), 0.4)),
     "t_text_stats" -> ((s, d) =>
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
@@ -190,6 +197,13 @@ object ExtCatalog {
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
     "x_embed_topk" -> topkSql,
+    "x_embed_neardup" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  (${dotSql("a.embedding", "b.embedding")}) /
+         |  (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) AS cos
+         |  FROM s a CROSS JOIN s b WHERE a.vec_id < b.vec_id)
+         |SELECT ida, idb, cos FROM pairs WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,
