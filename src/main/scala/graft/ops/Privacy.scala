@@ -123,10 +123,11 @@ object Privacy {
     * → iid draws from the empirical PMF via inverse-CDF range join.
     * Seeded; row order explicitly arbitrary (as the reference's index is).
     *
-    * Columns are assembled by zipping independent samples on a synthetic
-    * row id. At scale each column's sample is one pass + one tiny
-    * broadcast (PMF/moments), and the zip is a co-partitioned join on the
-    * generated id.
+    * Columns attach to a `spark.range(n)` id spine: numeric draws are pure
+    * column expressions over a broadcast cents histogram (inverse CDF),
+    * categorical draws are a broadcast range join on the cumulative PMF.
+    * At scale each column costs one histogram/PMF aggregate plus zero
+    * shuffles of the output.
     */
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long,
                       seed: Long = 42L): DataFrame = {
@@ -134,45 +135,53 @@ object Privacy {
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     val base = spark.range(n).select(col("id").as("__row_id"))
     val n2 = n / 2
-    // One fused pass fits every numeric column's (μ, σ, count).
+    // One fused pass fits every numeric column's (μ, σ).
     val numCols = fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val moments: Map[String, (Double, Double, Long)] =
+    val moments: Map[String, (Double, Double)] =
       if (numCols.isEmpty) Map.empty
-      else {
-        val stats = Profile.muSigma(df, numCols).collect()
-          .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-        val cnts = df.agg(count(col(numCols.head)).as("c0"),
-            numCols.tail.map(c => count(col(c)).as(s"c_$c")): _*).head()
-        numCols.zipWithIndex.map { case (c, i) =>
-          c -> (stats(c)._1, stats(c)._2, cnts.getLong(i))
-        }.toMap
-      }
+      else Profile.muSigma(df, numCols).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
 
-    // Columns attach to the id spine one at a time: numeric bootstrap
-    // halves come from a seeded sample indexed with RDD zipWithIndex (a
-    // narrow per-partition numbering — no global sort, no single-partition
-    // limit), gaussians and categorical draws are pure column expressions.
+    // Columns attach to the id spine as pure column expressions — no
+    // sampling jobs, no joins on the numeric path. The bootstrap half is
+    // iid draws from the empirical distribution, realized as inverse-CDF
+    // over a broadcast cents histogram (a bootstrap IS iid empirical
+    // sampling; only the RNG mechanics differ, and V4 is seeded/rows-only
+    // by declared match mode). The lookup is a binary search over two
+    // broadcast arrays — the one UDF in the engine, used exactly where
+    // per-row access to broadcast state has no expression form.
     fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
       val c = f.name
       if (f.dataType.isInstanceOf[NumericType]) {
-        val (mu, sigma, srcCount) = moments(c)
-        val src = df.select(col(c).cast("double").as("__v")).na.drop()
-        val total = math.max(srcCount, 1L)
-        val frac = math.min(1.0, (n2.toDouble * 1.2 + 100.0) / total)
-        val bootRdd = src.sample(withReplacement = true, frac, seed + i)
-          .rdd.zipWithIndex()
-          .filter(_._2 < n2)
-          .map { case (r, idx) => org.apache.spark.sql.Row(idx, r.getDouble(0)) }
-        val bootSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__row_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("__boot", org.apache.spark.sql.types.DoubleType)))
-        val boot = spark.createDataFrame(bootRdd, bootSchema)
-        val gauss = randn(seed + 1000 + i) * sigma + mu
-        acc.join(boot, Seq("__row_id"), "left")
-          // ids ≥ n/2 (and any bootstrap shortfall) draw from the gaussian
-          .withColumn(c, when(col("__row_id") < n2, coalesce(col("__boot"), gauss))
-            .otherwise(gauss))
-          .drop("__boot")
+        val (mu, sigma) = moments(c)
+        val hist = df.select(Exact.cents(col(c)).as("b"))
+          .filter(col("b").isNotNull)
+          .groupBy("b").agg(count(lit(1)).as("cnt"))
+          .orderBy("b").collect()
+        val values: Array[Double] = hist.map(_.getLong(0) / 100.0)
+        val cum: Array[Double] = {
+          val counts = hist.map(_.getLong(1).toDouble)
+          val total = counts.sum
+          counts.scanLeft(0.0)(_ + _).tail.map(_ / total)
+        }
+        if (values.isEmpty) {
+          // all-null source column → all-null synthesis (modules/privacy.py:40-42)
+          acc.withColumn(c, lit(null).cast("double"))
+        } else {
+          // explicit broadcast: the histogram ships to each executor once,
+          // not once per task inside the UDF closure
+          val bv = spark.sparkContext.broadcast((values, cum))
+          val sampleEmpirical = udf { (u: Double) =>
+            val (vs, cm) = bv.value
+            val j = java.util.Arrays.binarySearch(cm, u)
+            val idx = math.min(if (j >= 0) j else -j - 1, vs.length - 1)
+            vs(idx)
+          }
+          val gauss = randn(seed + 1000 + i) * sigma + mu
+          acc.withColumn(c,
+            when(col("__row_id") < n2, sampleEmpirical(rand(seed + i)))
+              .otherwise(gauss))
+        }
       } else {
         // Inverse-CDF sampling of the empirical PMF: cumulative bounds per
         // category (tiny), broadcast-range-joined against u~U(0,1).

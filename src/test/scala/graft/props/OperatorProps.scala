@@ -1,0 +1,115 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.ops.{Drift, Privacy}
+import graft.risk.Linkage
+import graft.ext.Dedup
+
+/** Property-based checks from SURVEY.md §5.2. Each case materializes a
+  * small DataFrame, so the per-property case count is reduced — the point
+  * is structural invariants, not fuzz volume. */
+object OperatorProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val word: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "rare1", "rare2")
+  private val words: Gen[List[String]] = Gen.listOfN(25, word)
+
+  property("V1: no surviving category has frequency < threshold") =
+    forAll(words, Gen.choose(1L, 6L)) { (vs, t) =>
+      vs.nonEmpty ==> {
+        val out = Privacy.sdcSuppress(vs.toDF("v"), Seq("v"), t)
+          .groupBy("v").count().collect()
+        out.forall(r => r.getString(0) == "OTHER" || r.getLong(1) >= t)
+      }
+    }
+
+  property("V1: window and broadcast forms agree") =
+    forAll(words) { vs =>
+      vs.nonEmpty ==> {
+        val df = vs.toDF("v")
+        val a = Privacy.sdcSuppress(df, Seq("v"), 3)
+          .groupBy("v").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val b = Privacy.sdcSuppressBroadcast(df, Seq("v"), 3)
+          .groupBy("v").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        a == b
+      }
+    }
+
+  property("V2: at most `bins` labels, every non-null value labeled") =
+    forAll(Gen.listOfN(40, Gen.choose(-100.0, 100.0).map(v => math.rint(v * 100) / 100)),
+           Gen.choose(2, 8)) { (vs, bins) =>
+      vs.nonEmpty ==> {
+        val out = Privacy.generalizeNumeric(vs.toDF("x"), "x", bins)
+        val labels = out.select("x").distinct().count()
+        labels <= bins && out.filter(col("x").isNull).count() == 0
+      }
+    }
+
+  property("D1: KS ∈ [0,1] and 0 on identical samples") =
+    forAll(Gen.listOfN(20, Gen.choose(-50.0, 50.0))) { vs =>
+      (vs.size >= 5) ==> {
+        val df = vs.toDF("x")
+        val self = Drift.ksStatistic(df, df, "x").collect()(0).getDouble(1)
+        val other = Drift.ksStatistic(df, vs.map(_ + 1.0).toDF("x"), "x")
+          .collect()(0).getDouble(1)
+        self == 0.0 && other >= 0.0 && other <= 1.0
+      }
+    }
+
+  property("D2: 0 on identical inputs, non-negative always") =
+    forAll(words, words) { (as, bs) =>
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val (da, db) = (as.toDF("v"), bs.toDF("v"))
+        val self = Drift.chi2Drift(da, da, "v").collect()(0).getDouble(1)
+        val cross = Drift.chi2Drift(da, db, "v").collect()(0).getDouble(1)
+        math.abs(self) < 1e-9 && cross >= 0.0
+      }
+    }
+
+  property("V6: score 1.0 iff an exact quasi duplicate exists") =
+    forAll(Gen.choose(0, 3), Gen.choose(1, 4)) { (nDup, nOther) =>
+      val anonRows = (1 to nDup).map(i => (i * 10.0, "m")) ++
+        (1 to nOther).map(i => (1000.0 + i, "f"))
+      val realRows = (1 to nDup).map(i => (i * 10.0, "m")) ++
+        (1 to nOther).map(i => (5000.0 + i, "f"))
+      val risk = Linkage.linkageRisk(
+        anonRows.toDF("q", "g"), realRows.toDF("q", "g"), Seq("q", "g"))
+        .collect()(0).getDouble(0)
+      val expected = nDup.toDouble / (nDup + nOther)
+      math.abs(risk - expected) < 1e-6
+    }
+
+  property("minhash signature: length fixed, values in [0, P)") =
+    forAll(Gen.listOfN(12, word)) { ws =>
+      (ws.size >= 3) ==> {
+        val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+        val sig = df.select(Dedup.minhashSignature(col("text"), 3, 16).as("s"))
+          .collect()(0).getSeq[Long](0)
+        sig.size == 16 && sig.forall(v => v >= 0 && v < 2147483647L)
+      }
+    }
+
+  property("jaccard pairs: scores in (0,1], symmetric id order") =
+    forAll(Gen.listOfN(3, Gen.listOfN(10, word))) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.0).collect()
+      pairs.forall { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        a < b && j > 0.0 && j <= 1.0
+      }
+    }
+}
