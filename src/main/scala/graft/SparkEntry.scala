@@ -29,6 +29,7 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Relational.qAntiJoin(s, d)),
     "q_window_topk" -> ((s, d) => Relational.qWindowTopK(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
+    "q_rolling_sum" -> ((s, d) => Relational.qRollingSum(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -94,6 +95,16 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q_rolling_sum" ->
+      """WITH b AS (SELECT l_suppkey, l_shipdate,
+        |  CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ep,
+        |  CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem),
+        |r AS (SELECT l_suppkey, l_shipdate,
+        |  CAST(SUM(q) OVER (PARTITION BY l_suppkey ORDER BY ep
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+        |  FROM b)
+        |SELECT l_suppkey, l_shipdate, MAX(qty_7d) AS qty_7d
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

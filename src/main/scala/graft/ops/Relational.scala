@@ -145,6 +145,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Range-frame rolling window: per supplier, trailing-7-day quantity
+    * sum ordered by ship date (epoch-second range frame). One shuffle on
+    * the partition key; exact cents accumulation keeps the running sums
+    * bit-stable. */
+  def qRollingSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("__ep"))
+      .rangeBetween(-6L * 86400L, 0L)
+    l.select(col("l_suppkey"), col("l_shipdate"),
+        unix_timestamp(col("l_shipdate")).as("__ep"),
+        money(col("l_quantity")).as("__q"))
+      .withColumn("qty_7d", sum(col("__q")).over(w).cast("double"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(max(col("qty_7d")).as("qty_7d"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"))
+  }
+
   /** Grouping sets via rollup: revenue by (status, priority) with
     * subtotals — exercises the multi-grouping aggregate surface. */
   def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
