@@ -71,6 +71,21 @@ object Events {
   */
 object EventsStream {
 
+  /** Streaming source over an events parquet directory. The harness
+    * events table stores TIMESTAMP(NANOS), which Spark's reader rejects;
+    * the stream declares ts as long (nanosAsLong) and floor-divides to
+    * micros — the same coercion the batch reader and DuckDB apply. */
+  def readEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling windowed count with a watermark: late events beyond
     * `watermark` are dropped; windows finalize in append mode. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

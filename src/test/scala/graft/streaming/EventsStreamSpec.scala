@@ -56,6 +56,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids.sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("file-source stream over the real events parquet matches the batch aggregate") {
+    // copy the events file into a streaming source dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventsStream.tumblingCounts(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("file_stream_out")
+      .groupBy().sum("n").collect()(0).getLong(0)
+    val batch = graft.Tables.events(spark, Sf).count()
+    assert(streamed == batch) // every event landed in exactly one window
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
