@@ -47,6 +47,17 @@ object ExtCatalog {
       Multimodal.decode(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
         .toDF().orderBy(col("doc_id"))),
+    "s_props_json" -> ((s, d) =>
+      // JSON scalar-function surface (SURVEY §2.7): extract props.k and
+      // aggregate exactly (integer sums).
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        .orderBy("event_type")),
     "s_tumbling" -> ((s, d) => Events.tumbling(Tables.events(s, d))),
     "s_sliding" -> ((s, d) => Events.sliding(Tables.events(s, d))),
     "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -214,6 +225,13 @@ object ExtCatalog {
         |  CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_props_json" ->
+      """SELECT event_type,
+        |  COUNT(CAST(props->>'k' AS BIGINT)) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(CAST(props->>'k' AS BIGINT)) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n,
