@@ -1,48 +1,54 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: times every catalog query at the target scale factor
-  * and prints ONE JSON line. A warmup pass (table counts + one trivial
-  * query) absorbs JVM/codegen/parquet-footer startup so per-query numbers
-  * measure the operators, not the first query's JIT. */
+  * and prints ONE JSON line. A warmup pass (table counts + the catalog at
+  * the smallest available scale factor) absorbs JVM/codegen/parquet-footer
+  * startup so per-query numbers measure the operators, not janino/C2. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(appName = "graft-bench")
 
-    // Warmup: touch every table (footers, codecs), then run the whole
-    // catalog once at the smallest scale factor so codegen compilation and
-    // JIT happen before the timed pass (standard steady-state practice —
-    // the timed numbers then measure operators, not janino/C2).
+    // Warmup 1: touch every table (footers, codecs).
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", {
+    // Warmup 2: run the whole catalog at a SMALLER scale factor so codegen
+    // compilation and JIT happen before the timed pass. If no smaller
+    // directory exists we skip this pass entirely — running it at the
+    // target scale would double wall time and fully warm the page cache,
+    // overstating steady-state numbers for cold-read workloads.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
       val guess = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
-      if (new java.io.File(guess).isDirectory) guess else sfDir
-    })
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      Option.when(guess != sfDir && new java.io.File(guess).isDirectory)(guess)
+    }
+    warmDir match {
+      case Some(dir) =>
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, dir).count() catch { case _: Throwable => () }
+        }
+      case None =>
+        System.err.println("[bench] no smaller scale-factor dir found; skipping catalog warmup")
     }
 
+    // Timed pass. A query that throws is reported with value -1 (and
+    // listed under "failed") so a failure can't masquerade as a timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,11 +10,7 @@ import graft.io.{Csv, YamlConfig}
 object DemoPipeline {
   def main(args: Array[String]): Unit = {
     val Array(realCsv, anonCsv) = args
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus = "4", appName = "graft-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
     val s = new GraftSession(spark)

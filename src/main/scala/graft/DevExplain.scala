@@ -7,11 +7,7 @@ import org.apache.spark.sql.SparkSession
 object DevExplain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus = "4", appName = "graft-devexplain")
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { name =>
       println(s"===== $name =====")

@@ -11,13 +11,8 @@ import graft.ops.{Exact, Salting}
 object DevScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.ui.enabled", "false")
-      .enableHiveSupport()
-      .getOrCreate()
+    val spark = Sessions.local(cpus = "8", appName = "graft-devscale",
+      extraConf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
     spark.sparkContext.setLogLevel("ERROR")
 
     Bucketing.writeBucketed(Tables.lineitem(spark, sfDir), "devscale_li", "l_orderkey", 8)

@@ -9,12 +9,7 @@ import graft.streaming.EventsStream
 object DevStream {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus = "8", appName = "graft-devstream")
     spark.sparkContext.setLogLevel("ERROR")
 
     // stream source dirs must contain only data files — stage a copy

@@ -8,13 +8,7 @@ object DevTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(appName = "graft-devtime")
     names.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -40,7 +40,11 @@ object QueryCatalog {
     "p8_standardize" -> ((s, d) => p8Standardize(s, d)),
     "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
     "v1_sdc_suppress" -> ((s, d) =>
-      Privacy.sdcSuppressBroadcast(
+      // window variant: supplier is small at every SF, so one count-over-
+      // partition shuffle beats the groupBy+broadcast pair of jobs; at
+      // 100 TB on a wide table, sdcSuppressBroadcast is the right form
+      // (exercised in protect() and its spec).
+      Privacy.sdcSuppress(
           Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
         .orderBy(col("s_suppkey"))),
     "v2_generalize" -> ((s, d) =>
@@ -50,11 +54,11 @@ object QueryCatalog {
     "v3_dp_noise" -> ((s, d) =>
       Privacy.dpNoise(Tables.lineitem(s, d), Seq("l_quantity"), epsilon = 1.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
-    "v4_synthetic" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      Privacy.syntheticSample(li, Seq("l_quantity", "l_extendedprice", "l_returnflag"),
-        n = li.count(), seed = 42L)
-    }),
+    "v4_synthetic" -> ((s, d) =>
+      // n omitted → source row count, derived inside the fused stats pass
+      // (no separate count job).
+      Privacy.syntheticSample(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag"), seed = 42L)),
     "v5_smart_suggest" -> ((s, d) => Privacy.smartSuggest(Tables.lineitem(s, d))),
     "v7_quasi_suggestions" -> ((s, d) => {
       val renamed = Tables.customer(s, d)

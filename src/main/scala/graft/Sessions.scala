@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.GraftFunctions
+
+/** One place to build the engine's local sessions, so every entry point
+  * (Bench, Verify, dev mains, specs) runs with the same configuration:
+  *
+  *  - `spark.sql.shuffle.partitions` = core count (not the 200 default —
+  *    right-sized for local[32]; a cluster deployment would size this to
+  *    2–3× total cores or rely on AQE coalescing).
+  *  - `spark.sql.legacy.parquet.nanosAsLong` set ONCE here, not as a side
+  *    effect of a table loader (the testdata `events.ts` column is
+  *    TIMESTAMP(NANOS) parquet, which Spark's reader otherwise rejects).
+  *  - `spark.sql.codegen.cache.maxEntries` raised from the 100 default:
+  *    the engine's catalog is ~50 queries × several codegen stages, so the
+  *    default LRU evicts warmup-compiled classes before the timed/verify
+  *    pass re-uses them, re-paying seconds of janino per big expression.
+  *  - graft native SQL functions (vec_dot) injected via
+  *    SparkSessionExtensions.
+  */
+object Sessions {
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+            appName: String = "graft",
+            extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .withExtensions(GraftFunctions.install)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+}

@@ -18,11 +18,15 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    * read nanos as long and floor-divide to micros (exactly what DuckDB's
-    * nanos→micros coercion does, so oracle comparisons line up). */
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong` is set — `Sessions.local`
+    * sets it at session construction (a loader must not mutate global conf
+    * as a side effect). Nanos are read as long and floor-divided to micros,
+    * exactly DuckDB's nanos→micros coercion, so oracle comparisons line up. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session via graft.Sessions.local " +
+        "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

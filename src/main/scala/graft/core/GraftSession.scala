@@ -54,12 +54,15 @@ final class GraftSession(val spark: SparkSession) {
     if (config.sdcCols.nonEmpty)
       df = Privacy.sdcSuppressBroadcast(df, config.sdcCols, config.sdcThreshold)
     config.generalizeCols.foreach { c =>
-      df = Privacy.generalizeNumeric(df, c, config.generalizeBins)
+      // Auto-detect: cents-histogram quantiles only when the column
+      // verifiably has ≤2 decimals and fits DECIMAL(18,2); arbitrary
+      // user columns fall back to sort-based percentiles.
+      df = Privacy.generalizeNumericAuto(df, c, config.generalizeBins)
     }
     if (config.dpCols.nonEmpty)
       df = Privacy.dpNoise(df, config.dpCols, config.epsilon, config.sensitivity, config.seed)
     if (config.synthetic)
-      df = Privacy.syntheticSample(df, df.columns.toSeq, a.count(), config.seed)
+      df = Privacy.syntheticSample(df, df.columns.toSeq, seed = config.seed)
     protected_ = Some(df)
     df
   }

@@ -20,21 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Left-associated flat dot product over `dim` elements. Flat
-    * element_at chains are whole-stage-codegen'd; the equivalent
-    * aggregate/zip_with HOF runs interpreted and re-evaluates captured
-    * arrays per element (measured ~6× slower at 64 dims). Addition order
-    * (t1+t2)+t3… matches both the HOF fold and the oracle SQL. */
+  /** Left-associated dot product via the native [[graft.functions.VecDot]]
+    * expression: a codegen'd constant-size loop. The earlier flat 64-term
+    * `element_at` chain had the same values but cost seconds of janino
+    * compilation per plan (and the `aggregate` HOF runs interpreted). The
+    * sequential `s += a[i]*b[i]` fold matches a left-associated SQL sum
+    * term-for-term, so scores stay bit-stable and oracle-mirrorable.
+    * `dim` is kept for API stability; the loop uses the array length. */
   def dot(a: Column, b: Column, dim: Int = 64): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    call_function("vec_dot", a, b)
 
-  /** Flat squared norm. */
+  /** Squared norm = vec_dot(v, v). */
   def norm2(a: Column, dim: Int = 64): Column =
-    (1 to dim).map { i =>
-      val x = element_at(a, i).cast("double"); x * x
-    }.reduce(_ + _)
+    call_function("vec_dot", a, a)
 
   def cosine(a: Column, b: Column, dim: Int = 64): Column =
     dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
@@ -45,6 +43,7 @@ object SimSearch {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       sqrt(norm2(col(vecCol), dim)).as("qn"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
@@ -94,11 +93,65 @@ object SimSearch {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to [[lshTopK]]: k-means coarse quantizer over the corpus
+    * (fit once, tiny model), each corpus vector assigned to its nearest
+    * centroid list, each query probing only the `nprobe` nearest lists.
+    * The candidate join is an equi-join on the cluster id — at 100 TB the
+    * corpus partitions BY LIST, queries broadcast, and each scan touches
+    * nprobe/nlist of the data. Scores re-rank with the exact vec_dot
+    * cosine, so output columns match [[cosineTopK]] (approximate recall,
+    * rows-only check). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+
+    val toUnitVec = udf { (arr: Seq[Float]) =>
+      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
+    }
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      toUnitVec(col(vecCol)).as("fv"),
+      sqrt(norm2(col(vecCol))).as("cn"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(col("cid"), col("cv"), col("cn"), col("list_id"))
+
+    val centers = model.clusterCenters.map(_.toArray)
+    val probesUdf = udf { (v: Vector) =>
+      val arr = v.toArray
+      centers.zipWithIndex.map { case (ct, i) =>
+        var d = 0.0; var j = 0
+        while (j < arr.length) { val t = arr(j) - ct(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        sqrt(norm2(col(vecCol))).as("qn"), toUnitVec(col(vecCol)).as("fv"))
+      .withColumn("list_id", explode(probesUdf(col("fv"))))
+      .drop("fv")
+
+    val scored = broadcast(q).join(assigned, "list_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold within one
     * table (brute force over a bounded id range; LSH for the full set). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val a = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("ida") < col("idb"))

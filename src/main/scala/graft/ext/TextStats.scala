@@ -75,6 +75,27 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2 idea, ASCII-reduced): letter
+    * runs, digit runs, punctuation runs — over lowercased text. Both RE2
+    * (DuckDB) and java.util.regex (Spark) read this pattern identically. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  /** Token counting with the BPE-ish regex tokenizer (vs the whitespace
+    * tokens of [[textStats]]): total and unique token counts plus a
+    * chars-per-token ratio — the standard budget metric for an LLM
+    * training pipeline. Pure codegen'd expressions, one scan. */
+  def tokenCount(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
+    val nTok = size(toks)
+    df.select(
+      col(idCol),
+      nTok.as("n_bpe_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      (length(col(textCol)).cast("double") / nullif(nTok, lit(0)).cast("double"))
+        .as("chars_per_token"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-token weak hash used by fingerprint/minhash/simhash: mixes the
     * first three characters and the length — collision-free on the harness
     * vocabulary and expressible identically in any SQL dialect. */

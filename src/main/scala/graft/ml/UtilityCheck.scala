@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
 object UtilityCheck {
 
   def modelUtility(before: DataFrame, after: DataFrame, target: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = before.sparkSession
     import spark.implicits._
-    Seq(
-      ("before", evalOne(before, target)),
-      ("after", evalOne(after, target)))
-      .map { case (name, (acc, f1)) => (name, acc, f1) }
+    // The two evaluations are independent job chains — run them
+    // concurrently so the cluster overlaps their (driver-sequential)
+    // optimizer iterations.
+    val evals = Await.result(Future.sequence(Seq(
+      Future(("before", evalOne(before, target))),
+      Future(("after", evalOne(after, target))))), 30.minutes)
+    evals.map { case (name, (acc, f1)) => (name, acc, f1) }
       .toDF("dataset", "accuracy", "weighted_f1")
   }
 
@@ -41,13 +47,17 @@ object UtilityCheck {
 
     val feats = numericFeatures(df, target)
     if (feats.isEmpty) return (Double.NaN, Double.NaN)
-    val nClasses = df.select(col(target)).na.drop().distinct().count()
-    if (nClasses < 2) return (Double.NaN, Double.NaN)
-
-    val imputed = feats.foldLeft(
-      df.select((feats :+ target).map(col): _*)
-        .withColumn("label", col(target).cast("double")).na.drop(Seq("label"))) {
-      (d, c) => graft.ops.RowTransforms.imputeMean(d, c)
+    val base = df.select((feats :+ target).map(col): _*)
+      .withColumn("label", col(target).cast("double")).na.drop(Seq("label"))
+    // ONE aggregate fits the class count and every feature's impute mean
+    // (the previous per-feature imputeMean was k+1 separate scans).
+    val aggs = count_distinct(col("label")).as("__k") +:
+      feats.map(c => avg(col(c)).as(s"${c}__mu"))
+    val st = base.agg(aggs.head, aggs.tail: _*).head()
+    if (st.getLong(0) < 2) return (Double.NaN, Double.NaN)
+    val imputed = feats.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
+      val m = if (st.isNullAt(i + 1)) 0.0 else st.getDouble(i + 1)
+      d.withColumn(c, coalesce(col(c).cast("double"), lit(m)))
     }
     val assembled = new VectorAssembler()
       .setInputCols(feats.toArray).setOutputCol("features")

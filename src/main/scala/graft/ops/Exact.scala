@@ -92,6 +92,71 @@ object Exact {
     }
   }
 
+  /** [[quantilesViaCentsHistogram]] without the full-histogram collect:
+    * the cumulative walk happens inside the plan (ordered window over the
+    * histogram) and only the ≤ 2·|probs| crossing bins come back to the
+    * driver. Same bit-exact interpolation (h = p·(n−1), lo+(hi−lo)·frac).
+    *
+    * The global-order window runs in one task, but over the VALUE DOMAIN
+    * (distinct cents), not the data — bounded regardless of table size,
+    * which is the right trade at 100 TB where collecting a 10⁷-bin
+    * histogram per column to the driver is the actual bottleneck. */
+  def quantilesViaCentsHistogramDistributed(
+      df: org.apache.spark.sql.DataFrame, c: String,
+      probs: Seq[Double]): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(cents(col(c)).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("lo", col("cum") - col("cnt"))
+    val probsArr = array(probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("pi"), lit(p).as("p"))
+    }: _*)
+    // rank r lives in bin b iff lo <= r < cum; each prob needs ranks
+    // floor(h) and floor(h)+1.
+    val inLo = col("r0") >= col("lo") && col("r0") < col("cum")
+    val inHi = col("r0") + 1 >= col("lo") && col("r0") + 1 < col("cum")
+    val crossings = cum
+      .select(col("b"), col("lo"), col("cum"), explode(probsArr).as("pp"),
+        (col("pp.p") * (col("n") - 1).cast("double")).as("h"))
+      .withColumn("r0", floor(col("h")).cast("long"))
+      .filter(inLo || inHi)
+      .groupBy(col("pp.pi").as("pi"))
+      .agg(first(col("h")).as("h"),
+        min(when(inLo, col("b"))).as("blo"),
+        min(when(inHi, col("b"))).as("bhi"))
+      .collect()
+    val byIdx = crossings.map(r =>
+      r.getInt(0) -> ((r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    probs.indices.map { i =>
+      byIdx.get(i) match {
+        case None => Double.NaN // empty histogram
+        case Some((h, blo, bhi)) =>
+          val lo = blo / 100.0
+          if (h == math.floor(h)) lo
+          else {
+            val hi = bhi.getOrElse(blo) / 100.0
+            lo + (hi - lo) * (h - math.floor(h))
+          }
+      }
+    }
+  }
+
+  /** True iff every value of `c` survives the double→DECIMAL(18,2)→double
+    * round trip (≤ 2 decimal places in shortest representation AND no
+    * overflow-to-null at |x| ≥ ~1e16) — the eligibility condition for the
+    * cents-histogram quantile path. One scan, null-safe. */
+  def centsEligible(df: org.apache.spark.sql.DataFrame, c: String): Boolean = {
+    val roundTrip = col(c).cast(DecimalType(18, 2)).cast("double")
+    df.agg(count(when(!(col(c).cast("double") <=> roundTrip), lit(1))).as("bad"))
+      .head().getLong(0) == 0L
+  }
+
   // ---- Driver-side versions for fitted parameters (collected moments) ----
 
   def meanDouble(s1: java.math.BigDecimal, n: Long): Double =

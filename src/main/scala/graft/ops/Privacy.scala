@@ -65,10 +65,11 @@ object Privacy {
                         centsHistogram: Boolean = true): DataFrame = {
     val probs = (0 to bins).map(i => i.toDouble / bins)
     // Exact edges either from the cents histogram (≤2-decimal data — all
-    // harness money columns; far cheaper at scale) or the sort-based
-    // percentile aggregate (general doubles). Both match quantile_cont.
+    // harness money columns; far cheaper at scale since only the crossing
+    // bins reach the driver) or the sort-based percentile aggregate
+    // (general doubles). Both match quantile_cont bitwise.
     val raw: Seq[Double] =
-      if (centsHistogram) Exact.quantilesViaCentsHistogram(df, c, probs)
+      if (centsHistogram) Exact.quantilesViaCentsHistogramDistributed(df, c, probs)
       else df.agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
         .head().getSeq[Double](0)
     if (raw.exists(_.isNaN)) return df.withColumn(c, lit(null).cast("string"))
@@ -77,6 +78,15 @@ object Privacy {
     val labeled = labelExpr(col(c), edges)
     df.withColumn(c, labeled)
   }
+
+  /** [[generalizeNumeric]] with the quantile strategy chosen from the DATA:
+    * the cents-histogram path only when the column verifiably round-trips
+    * through DECIMAL(18,2) (≤2 decimals, no overflow) — one cheap scan —
+    * otherwise the general sort-based percentile. This is the entry point
+    * the user-facing pipeline uses: arbitrary CSV columns with >2 decimal
+    * places or |x| ≥ ~1e16 must not be binned on cents-rounded values. */
+  def generalizeNumericAuto(df: DataFrame, c: String, bins: Int = 10): DataFrame =
+    generalizeNumeric(df, c, bins, centsHistogram = Exact.centsEligible(df, c))
 
   /** when-chain mapping a value into its `[lo, hi)` label (last bin
     * closed). Kept separate so tests can exercise edge semantics. */
@@ -129,47 +139,76 @@ object Privacy {
     * At scale each column costs one histogram/PMF aggregate plus zero
     * shuffles of the output.
     */
-  def syntheticSample(df: DataFrame, cols: Seq[String], n: Long,
+  def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
                       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
-    val base = spark.range(n).select(col("id").as("__row_id"))
-    val n2 = n / 2
-    // One fused pass fits every numeric column's (μ, σ).
-    val numCols = fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val moments: Map[String, (Double, Double)] =
-      if (numCols.isEmpty) Map.empty
-      else Profile.muSigma(df, numCols).collect()
-        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
 
-    // Columns attach to the id spine as pure column expressions — no
-    // sampling jobs, no joins on the numeric path. The bootstrap half is
-    // iid draws from the empirical distribution, realized as inverse-CDF
-    // over a broadcast cents histogram (a bootstrap IS iid empirical
-    // sampling; only the RNG mechanics differ, and V4 is seeded/rows-only
-    // by declared match mode). The lookup is a binary search over two
-    // broadcast arrays — the one UDF in the engine, used exactly where
-    // per-row access to broadcast state has no expression form.
+    // ONE stats job fits every column: each source row explodes into a
+    // row-counter entry plus one (colIdx, cents-bin | category) entry per
+    // synthesized column; a single map-side-combinable aggregate then
+    // yields row count, every numeric cents histogram (μ/σ derive from it
+    // exactly), and every categorical PMF. The fused pass replaces the
+    // previous count + moments + per-column histogram/PMF jobs (~5 jobs →
+    // 1) — at 100 TB, one scan instead of k+2.
+    val counterEntry = struct(lit(-1).as("i"), lit(0L).as("bin"),
+      lit(null).cast("string").as("cat"))
+    val colEntries = fields.zipWithIndex.map { case (f, i) =>
+      if (f.dataType.isInstanceOf[NumericType])
+        struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
+          lit(null).cast("string").as("cat"))
+      else
+        struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
+          col(f.name).cast("string").as("cat"))
+    }
+    val stats = df.select(explode(array(counterEntry +: colEntries: _*)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+
+    val sourceRows = stats.collectFirst {
+      case r if r.getInt(0) == -1 => r.getLong(3)
+    }.getOrElse(0L)
+    val rows = if (n >= 0) n else sourceRows
+    val base = spark.range(rows).select(col("id").as("__row_id"))
+    val n2 = rows / 2
+
     fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
       val c = f.name
       if (f.dataType.isInstanceOf[NumericType]) {
-        val (mu, sigma) = moments(c)
-        val hist = df.select(Exact.cents(col(c)).as("b"))
-          .filter(col("b").isNotNull)
-          .groupBy("b").agg(count(lit(1)).as("cnt"))
-          .orderBy("b").collect()
-        val values: Array[Double] = hist.map(_.getLong(0) / 100.0)
-        val cum: Array[Double] = {
-          val counts = hist.map(_.getLong(1).toDouble)
-          val total = counts.sum
-          counts.scanLeft(0.0)(_ + _).tail.map(_ / total)
-        }
-        if (values.isEmpty) {
+        // Histogram of exact cents (nulls excluded), sorted by bin.
+        val hist = stats.filter(r => r.getInt(0) == i && !r.isNullAt(1))
+          .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+        if (hist.isEmpty) {
           // all-null source column → all-null synthesis (modules/privacy.py:40-42)
           acc.withColumn(c, lit(null).cast("double"))
         } else {
-          // explicit broadcast: the histogram ships to each executor once,
-          // not once per task inside the UDF closure
+          // μ/σ from the exact moments of the same histogram (identical to
+          // Profile.muSigma: sample std with the reference's `or 1.0`
+          // fallback for constant / single-value columns).
+          val nn = hist.map(_._2).sum
+          val s1 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
+            a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(cnt)))
+          }
+          val s2 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
+            a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b))
+              .multiply(java.math.BigDecimal.valueOf(cnt)))
+          }
+          val mu = Exact.meanDouble(s1, nn)
+          val sdRaw = Exact.stdDouble(s1, s2, nn)
+          val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
+
+          // Bootstrap half = iid draws from the empirical distribution,
+          // realized as inverse-CDF over the broadcast histogram (a
+          // bootstrap IS iid empirical sampling; only the RNG mechanics
+          // differ, and V4 is seeded/rows-only by declared match mode).
+          // The binary search is the one UDF in the engine, used exactly
+          // where per-row access to broadcast state has no expression form.
+          val values: Array[Double] = hist.map(_._1 / 100.0)
+          val cum: Array[Double] = {
+            val total = nn.toDouble
+            hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / total)
+          }
           val bv = spark.sparkContext.broadcast((values, cum))
           val sampleEmpirical = udf { (u: Double) =>
             val (vs, cm) = bv.value
@@ -183,17 +222,30 @@ object Privacy {
               .otherwise(gauss))
         }
       } else {
-        // Inverse-CDF sampling of the empirical PMF: cumulative bounds per
-        // category (tiny), broadcast-range-joined against u~U(0,1).
-        val pmf = Profile.categoryPmf(df, c)
-          .withColumn("cum_hi", sum(col("p")).over(
-            Window.partitionBy().orderBy(col("cnt").desc, col("value").asc_nulls_first)))
-          .withColumn("cum_lo", col("cum_hi") - col("p"))
-          .select(col("value").as(c), col("cum_lo"), col("cum_hi"))
-        acc.withColumn("__u", rand(seed + 2000 + i))
-          .join(broadcast(pmf),
-            col("__u") >= col("cum_lo") && col("__u") < col("cum_hi"), "left")
-          .drop("__u", "cum_lo", "cum_hi")
+        // Inverse-CDF over the empirical PMF (nulls are a category, as in
+        // the PMF the previous range-join consumed): cumulative bounds in
+        // (count desc, value asc nulls first) order, compiled into a
+        // when-chain for small vocabularies — no join at all.
+        val cats = stats.filter(_.getInt(0) == i)
+          .map(r => (if (r.isNullAt(2)) null else r.getString(2), r.getLong(3)))
+          .sortBy { case (v, cnt) => (-cnt, v != null, v) } // nulls first among ties
+        val total = cats.map(_._2).sum.toDouble
+        if (cats.isEmpty) acc.withColumn(c, lit(null).cast(f.dataType))
+        else {
+          val cumHi = cats.map(_._2.toDouble / total).scanLeft(0.0)(_ + _).tail
+          // u must be MATERIALIZED once per row before the when-chain: a
+          // rand() instance referenced at k sites advances its RNG state at
+          // each reference, which would skew the drawn distribution.
+          val withU = acc.withColumn("__u", rand(seed + 2000 + i))
+          val u = col("__u")
+          val label = cats.zip(cumHi).zipWithIndex.foldLeft(lit(null).cast("string")) {
+            case (elseExpr, (((v, _), hi), k)) =>
+              val lo = if (k == 0) 0.0 else cumHi(k - 1)
+              when(u >= lo && u < hi,
+                if (v == null) lit(null).cast("string") else lit(v)).otherwise(elseExpr)
+          }
+          withU.withColumn(c, label.cast(f.dataType)).drop("__u")
+        }
       }
     }.drop("__row_id")
   }
@@ -201,23 +253,29 @@ object Privacy {
   /** V5 smart suggestion heuristic (`modules/privacy.py:55-68`): per
     * column, dtype + distinct-count dispatch into a suggested transform.
     *
-    * Distinct counts run as one CONCURRENT job per column rather than a
-    * single multi-count-distinct aggregate: Spark plans k exact distinct
-    * aggregates via Expand (k× the input rows through one shuffle),
-    * while k tiny map-side-combinable jobs scheduled together finish in
-    * the time of the slowest one (measured 2.3s → ~0.7s on 11 columns of
-    * 600k rows). Eager by design — the result is a driver-sized config. */
+    * All distinct counts come from ONE job: each row explodes into
+    * (column, value-as-string) pairs — string casts are injective for
+    * every testdata type, so distinct counts are unchanged — then a
+    * map-side-combinable two-level aggregate (distinct pairs, then count
+    * per column). One scan and one shuffle of the DISTINCT pairs instead
+    * of k scans (or an Expand at k× the row count). Eager by design —
+    * the result is a driver-sized config. */
   def smartSuggest(df: DataFrame): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    val uniq: Map[String, Long] = Await.result(
-      Future.sequence(fields.map { f =>
-        Future(f.name ->
-          df.agg(count_distinct(col(f.name)).as("u")).head().getLong(0))
-      }), 10.minutes).toMap
+    // Only string/numeric columns influence a suggestion — don't haul
+    // other types (binary blobs, arrays) through the explode.
+    val counted = fields.filter(f =>
+      f.dataType == StringType || f.dataType.isInstanceOf[NumericType])
+    val uniq: Map[String, Long] = (if (counted.isEmpty) Map.empty[String, Long]
+      else df.select(explode(array(counted.map(f =>
+          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.c").as("c"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("c", "v").agg(count(lit(1)))
+        .groupBy("c").agg(count(lit(1)).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .withDefaultValue(0L)
     val rows = fields.flatMap { f =>
       val u = uniq(f.name)
       val isStr = f.dataType == StringType

@@ -163,6 +163,81 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"))
   }
 
+  /** Backward as-of join: each left row picks the LATEST right row with
+    * the same key and right.time ≤ left.time (inclusive; DuckDB `ASOF
+    * JOIN` semantics). Spark has no built-in as-of operator, so this
+    * composes union + a running `last(ignoreNulls)` window — the sides
+    * interleave on (time, side) inside one shuffle on the key, instead of
+    * the naive inequality join whose candidate set explodes as
+    * |left|·|right| per key. At 100 TB this is exactly one partitioned
+    * sort-merge pass, the same shape Flink/kdb use for temporal joins.
+    *
+    * Rows of `right` sharing (key, time) are not deterministically ordered
+    * — dedup the right side first if that matters (the catalog query
+    * does). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val payloadType = StructType(rightPayload.map(n => right.schema(n)))
+    val r2 = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(rightPayload.map(col): _*).as("__rv"))
+    val l2 = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(payloadType))
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    // right rows sort before left rows at equal time → inclusive match
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    rightPayload.foldLeft(matched) { (d, n) =>
+      d.withColumn(n, col("__match").getField(n))
+    }.drop("__k", "__t", "__side", "__rv", "__match")
+  }
+
+  /** As-of catalog query: each click event joined to the user's most
+    * recent purchase at or before it. The purchase side is deduplicated
+    * per (user, ts) first so the as-of pick is deterministic. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dedupW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+        col("event_id").as("__pe"))
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn", "__pe")
+    asofJoin(clicks, purchases, "user_id", "user_id", "ts", "purchase_ts",
+      Seq("purchase_ts", "purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Broadcast range join: lineitem rows land in static quantity bands
+    * via a non-equi join against a tiny literal dimension — the planner
+    * picks BroadcastNestedLoopJoin, which is the right physical shape for
+    * a bounded band table at any fact-side scale (no shuffle of the fact
+    * table at all; band assignment rides the scan). */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (1, 1.0, 11.0), (2, 11.0, 21.0), (3, 21.0, 31.0),
+      (4, 31.0, 41.0), (5, 41.0, 51.0)
+    ).toDF("band", "lo", "hi")
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("band"))
+  }
+
   /** Grouping sets via rollup: revenue by (status, priority) with
     * subtotals — exercises the multi-grouping aggregate surface. */
   def qRollup(spark: SparkSession, sfDir: String): DataFrame = {

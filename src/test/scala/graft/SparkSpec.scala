@@ -8,13 +8,7 @@ import org.scalatest.BeforeAndAfterAll
   * keeps multi-partition semantics (partial aggs, exchange) in play so
   * partitioning-sensitive bugs surface in unit tests. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = Sessions.local(cpus = "4", appName = "graft-test")
 
   val Sf = "/root/testdata/sf0.001"
 

@@ -39,6 +39,23 @@ class LinkageSpec extends SparkSpec {
     assert(realF.select(col("f__A")).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("v6 oracle precondition: anon subset carries exactly A/N/R at gated SFs") {
+    // The v6_linkage_risk oracle SQL one-hot-encodes the fitted category
+    // list; the Spark side derives it from the anon subset's distinct
+    // values. This pins the two feature spaces together: if a fixture or
+    // scale factor ever loses a flag value in the l_orderkey%100=0 subset,
+    // this test fails loudly instead of the hash check diverging silently.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)
+      .foreach { d =>
+        val cats = graft.Tables.lineitem(spark, d)
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(cats == Seq("A", "N", "R"), s"at $d")
+      }
+  }
+
   test("LSH risk agrees with exact on an exact-match heavy pair") {
     val anon = (1 to 40).map(i => (i.toDouble, if (i % 2 == 0) "A" else "B")).toDF("q", "f")
     val real = anon
