@@ -23,6 +23,12 @@ def canon(df):
 def cells_equal(a, b, tol):
     if a is None and b is None:
         return True
+    try:  # NaT / NA scalars of any dtype: both-missing counts as equal
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -37,6 +37,17 @@ object ExtCatalog {
       // O(subset²) — the LSH path covers the full set.
       SimSearch.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 300), 0.4)),
+    "x_embed_topk_ivf" -> ((s, d) => {
+      // IVF coarse-quantizer ANN (approximate, k-means lists — rows-only
+      // check like the LSH path; spec asserts recall vs brute force).
+      val e = Tables.embeddings(s, d)
+      SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
+    }),
+    "t_token_count" -> ((s, d) =>
+      TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
     "t_text_stats" -> ((s, d) =>
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
@@ -215,6 +226,22 @@ object ExtCatalog {
          |  (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) AS cos
          |  FROM s a CROSS JOIN s b WHERE a.vec_id < b.vec_id)
          |SELECT ida, idb, cos FROM pairs WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
+    "t_token_count" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+         |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+         |  CAST(n_chars AS DOUBLE) / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS chars_per_token
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "m_frame_sample" ->
+      // corpus is pure ASCII (asserted in MultimodalSpec), so string
+      // substring here mirrors the Spark side's binary substring exactly.
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(length(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS INTEGER) AS frame_len
+        |FROM documents, UNNEST(range(0, 4)) t(i)
+        |WHERE length(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,

@@ -48,7 +48,10 @@ object QueryCatalog {
           Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
         .orderBy(col("s_suppkey"))),
     "v2_generalize" -> ((s, d) =>
-      Privacy.generalizeNumeric(Tables.lineitem(s, d), "l_extendedprice", 10)
+      // DriverSort: bench tables are known to fit a single collected
+      // column; the distributed histogram stays the scale path (protect()).
+      Privacy.generalizeNumeric(Tables.lineitem(s, d), "l_extendedprice", 10,
+        Privacy.QuantileStrategy.DriverSort)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "v3_dp_noise" -> ((s, d) =>

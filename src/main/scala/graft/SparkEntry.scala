@@ -30,6 +30,8 @@ object SparkEntry {
     "q_window_topk" -> ((s, d) => Relational.qWindowTopK(s, d)),
     "q_rollup" -> ((s, d) => Relational.qRollup(s, d)),
     "q_rolling_sum" -> ((s, d) => Relational.qRollingSum(s, d)),
+    "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
+    "q_range_join" -> ((s, d) => Relational.qRangeJoin(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -112,5 +114,25 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |               FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |       FROM events WHERE event_type = 'purchase'),
+        |purch AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+        |          FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+        |FROM clicks c ASOF JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN (VALUES (1, 1.0, 11.0), (2, 11.0, 21.0), (3, 21.0, 31.0),
+        |             (4, 31.0, 41.0), (5, 41.0, 51.0)) b(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Saturating-set buffer for [[CappedDistinct]]. */
+case class CapSet(over: Boolean, items: Seq[String])
+
+/** Distinct count with SATURATION: exact while the running set holds ≤ cap
+  * values, and pinned to cap+1 the moment it exceeds it. For
+  * threshold-style questions ("are there more than 50 distinct values?")
+  * this is exact whenever threshold < cap — and unlike a real distinct
+  * aggregation the state is bounded: every partition's partial collapses
+  * to at most cap+1 strings (usually the single `over` bit), so a
+  * high-cardinality column costs O(1) per row after saturation and the
+  * shuffle carries ~nothing. A 100 TB column with 10⁹ distinct values
+  * shuffles 65 strings instead of 10⁹ rows.
+  *
+  * A typed [[Aggregator]] (ObjectHashAggregate keeps the buffer as a JVM
+  * object; serialization only on shuffle) — the Spark-native form for an
+  * aggregate whose state has no fixed-width encoding.
+  */
+/** [[CappedDistinct]] over pre-hashed 64-bit values — for threshold
+  * questions the column value can be hashed first (xxhash64 is codegen'd;
+  * no string materialization), making the per-row cost a long compare.
+  * `Long.MinValue` is the caller's null sentinel and is not counted. */
+case class CapSetL(over: Boolean, items: Seq[Long])
+class CappedDistinctLong(cap: Int) extends Aggregator[Long, CapSetL, Long] {
+  override def zero: CapSetL = CapSetL(over = false, Nil)
+  override def reduce(b: CapSetL, v: Long): CapSetL =
+    if (b.over || v == Long.MinValue) b
+    else if (b.items.contains(v)) b
+    else if (b.items.length >= cap) CapSetL(over = true, Nil)
+    else CapSetL(over = false, v +: b.items)
+  override def merge(a: CapSetL, b: CapSetL): CapSetL =
+    if (a.over || b.over) CapSetL(over = true, Nil)
+    else {
+      val u = (a.items ++ b.items).distinct
+      if (u.length > cap) CapSetL(over = true, Nil) else CapSetL(over = false, u)
+    }
+  override def finish(r: CapSetL): Long = if (r.over) cap + 1L else r.items.length.toLong
+  override def bufferEncoder: org.apache.spark.sql.Encoder[CapSetL] =
+    org.apache.spark.sql.Encoders.product[CapSetL]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+class CappedDistinct(cap: Int) extends Aggregator[String, CapSet, Long] {
+  override def zero: CapSet = CapSet(over = false, Nil)
+
+  override def reduce(b: CapSet, v: String): CapSet =
+    if (b.over || v == null) b // distinct counts exclude nulls
+    else if (b.items.contains(v)) b
+    else if (b.items.length >= cap) CapSet(over = true, Nil)
+    else CapSet(over = false, v +: b.items)
+
+  override def merge(a: CapSet, b: CapSet): CapSet =
+    if (a.over || b.over) CapSet(over = true, Nil)
+    else {
+      val u = (a.items ++ b.items).distinct
+      if (u.length > cap) CapSet(over = true, Nil) else CapSet(over = false, u)
+    }
+
+  override def finish(r: CapSet): Long = if (r.over) cap + 1L else r.items.length.toLong
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[CapSet] =
+    org.apache.spark.sql.Encoders.product[CapSet]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}

@@ -147,6 +147,35 @@ object Exact {
     }
   }
 
+  /** Exact quantiles by collecting the cents column to the driver and
+    * selecting on the sorted array — identical values to the histogram
+    * paths (sorted[r] IS valueAt(r)), and the fastest strategy while the
+    * single column fits driver memory (600k longs = 4.8 MB; practical to
+    * ~10⁸ rows). A distinct-value shuffle costs ~1 s at sf0.1 regardless
+    * of plan shape, so when the value domain is nearly unique the
+    * "shuffle the domain" trick degenerates and a narrow scan + driver
+    * select wins — the same locality pandas exploits. Beyond driver
+    * memory, use [[quantilesViaCentsHistogramDistributed]]. */
+  def quantilesViaDriverSort(df: org.apache.spark.sql.DataFrame, c: String,
+                             probs: Seq[Double]): Seq[Double] = {
+    val arr: Array[Long] = df.select(cents(col(c)).as("b"))
+      .filter(col("b").isNotNull)
+      .selectExpr("b").as(org.apache.spark.sql.Encoders.scalaLong).collect()
+    java.util.Arrays.sort(arr)
+    val n = arr.length
+    if (n == 0) return probs.map(_ => Double.NaN)
+    probs.map { p =>
+      val h = p * (n - 1)
+      val i = math.floor(h).toInt
+      val lo = arr(i) / 100.0
+      if (h == math.floor(h)) lo
+      else {
+        val hi = arr(i + 1) / 100.0
+        lo + (hi - lo) * (h - math.floor(h))
+      }
+    }
+  }
+
   /** True iff every value of `c` survives the double→DECIMAL(18,2)→double
     * round trip (≤ 2 decimal places in shortest representation AND no
     * overflow-to-null at |x| ≥ ~1e16) — the eligibility condition for the

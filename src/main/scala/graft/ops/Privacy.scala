@@ -61,17 +61,33 @@ object Privacy {
     * The edge list is tiny (≤ bins+1 doubles) — collected to the driver
     * and compiled into a when-chain, which codegens into the scan pass.
     */
+  /** Quantile-edge strategies for [[generalizeNumeric]] — all bit-identical
+    * to `quantile_cont`; they differ only in where the work lands:
+    *  - [[QuantileStrategy.CentsHistogram]]: distributed histogram over the
+    *    value DOMAIN; the scale default for ≤2-decimal columns.
+    *  - [[QuantileStrategy.DriverSort]]: collect the cents column, select
+    *    on the driver — fastest while one column fits driver memory.
+    *  - [[QuantileStrategy.SortPercentile]]: Spark's exact percentile
+    *    aggregate — the general-doubles path (no cents precondition). */
+  sealed trait QuantileStrategy
+  object QuantileStrategy {
+    case object CentsHistogram extends QuantileStrategy
+    case object DriverSort extends QuantileStrategy
+    case object SortPercentile extends QuantileStrategy
+  }
+
   def generalizeNumeric(df: DataFrame, c: String, bins: Int = 10,
-                        centsHistogram: Boolean = true): DataFrame = {
+                        strategy: QuantileStrategy = QuantileStrategy.CentsHistogram): DataFrame = {
     val probs = (0 to bins).map(i => i.toDouble / bins)
-    // Exact edges either from the cents histogram (≤2-decimal data — all
-    // harness money columns; far cheaper at scale since only the crossing
-    // bins reach the driver) or the sort-based percentile aggregate
-    // (general doubles). Both match quantile_cont bitwise.
-    val raw: Seq[Double] =
-      if (centsHistogram) Exact.quantilesViaCentsHistogramDistributed(df, c, probs)
-      else df.agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
-        .head().getSeq[Double](0)
+    val raw: Seq[Double] = strategy match {
+      case QuantileStrategy.CentsHistogram =>
+        Exact.quantilesViaCentsHistogramDistributed(df, c, probs)
+      case QuantileStrategy.DriverSort =>
+        Exact.quantilesViaDriverSort(df, c, probs)
+      case QuantileStrategy.SortPercentile =>
+        df.agg(expr(s"percentile($c, array(${probs.mkString("D,")}D))").as("q"))
+          .head().getSeq[Double](0)
+    }
     if (raw.exists(_.isNaN)) return df.withColumn(c, lit(null).cast("string"))
     val edges = raw.distinct
     if (edges.length < 2) return df.withColumn(c, lit(null).cast("string"))
@@ -86,7 +102,9 @@ object Privacy {
     * the user-facing pipeline uses: arbitrary CSV columns with >2 decimal
     * places or |x| ≥ ~1e16 must not be binned on cents-rounded values. */
   def generalizeNumericAuto(df: DataFrame, c: String, bins: Int = 10): DataFrame =
-    generalizeNumeric(df, c, bins, centsHistogram = Exact.centsEligible(df, c))
+    generalizeNumeric(df, c, bins,
+      if (Exact.centsEligible(df, c)) QuantileStrategy.CentsHistogram
+      else QuantileStrategy.SortPercentile)
 
   /** when-chain mapping a value into its `[lo, hi)` label (last bin
     * closed). Kept separate so tests can exercise edge semantics. */
@@ -139,32 +157,127 @@ object Privacy {
     * At scale each column costs one histogram/PMF aggregate plus zero
     * shuffles of the output.
     */
+  /** Numeric fit: distinct values, cumulative CDF, exact μ / σ-or-1. */
+  private final case class NumFit(values: Array[Double], cum: Array[Double],
+                                  mu: Double, sigma: Double)
+
+  /** Fit from a SORTED cents array (driver path): one pass builds the
+    * distinct (values, cum) inverse-CDF table and the exact moments. */
+  private def fitFromSortedCents(sorted: Array[Long]): NumFit = {
+    val nn = sorted.length
+    val vs = Array.newBuilder[Double]
+    val cm = Array.newBuilder[Double]
+    var i = 0
+    var s1 = 0L // Σ cents: |cents| ≤ ~1e16 guarded by the decimal cast; chunk-safe below
+    var s2 = java.math.BigDecimal.ZERO
+    var chunk = 0L // Σ cents² accumulates in a long chunk, flushed before overflow
+    var s1Big = java.math.BigDecimal.ZERO
+    while (i < nn) {
+      val b = sorted(i)
+      // moments (exact: cents are integers)
+      if (math.abs(s1) > Long.MaxValue / 2) { s1Big = s1Big.add(java.math.BigDecimal.valueOf(s1)); s1 = 0L }
+      s1 += b
+      val sq = java.lang.Math.multiplyHigh(b, b) // detect potential overflow of b*b
+      if (sq != 0L || chunk > Long.MaxValue / 4) { s2 = s2.add(java.math.BigDecimal.valueOf(chunk)); chunk = 0L }
+      if (sq == 0L) chunk += b * b
+      else s2 = s2.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b)))
+      // distinct values + cumulative counts
+      if (i == nn - 1 || sorted(i + 1) != b) {
+        vs += b / 100.0
+        cm += (i + 1).toDouble / nn
+      }
+      i += 1
+    }
+    s2 = s2.add(java.math.BigDecimal.valueOf(chunk))
+    val s1d = s1Big.add(java.math.BigDecimal.valueOf(s1))
+    val mu = Exact.meanDouble(s1d, nn)
+    val sdRaw = Exact.stdDouble(s1d, s2, nn)
+    val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
+    NumFit(vs.result(), cm.result(), mu, sigma)
+  }
+
+  /** Fit from a sorted (bin, count) histogram (distributed path). μ/σ are
+    * the same exact moments as Profile.muSigma (sample std with the
+    * reference's `or 1.0` fallback). */
+  private def fitFromHistogram(hist: Seq[(Long, Long)]): NumFit = {
+    val nn = hist.map(_._2).sum
+    val s1 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
+      a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(cnt)))
+    }
+    val s2 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
+      a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b))
+        .multiply(java.math.BigDecimal.valueOf(cnt)))
+    }
+    val mu = Exact.meanDouble(s1, nn)
+    val sdRaw = Exact.stdDouble(s1, s2, nn)
+    val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
+    NumFit(hist.map(_._1 / 100.0).toArray,
+      hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray, mu, sigma)
+  }
+
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, driverFit: Boolean = true): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val numIdx = fields.zipWithIndex.filter(_._1.dataType.isInstanceOf[NumericType])
+    val catIdx = fields.zipWithIndex.filterNot(_._1.dataType.isInstanceOf[NumericType])
 
-    // ONE stats job fits every column: each source row explodes into a
-    // row-counter entry plus one (colIdx, cents-bin | category) entry per
-    // synthesized column; a single map-side-combinable aggregate then
-    // yields row count, every numeric cents histogram (μ/σ derive from it
-    // exactly), and every categorical PMF. The fused pass replaces the
-    // previous count + moments + per-column histogram/PMF jobs (~5 jobs →
-    // 1) — at 100 TB, one scan instead of k+2.
+    // Fitting strategy (both yield identical NumFit tables):
+    //  - driverFit (default; right while one column fits driver memory,
+    //    practical to ~1e8 rows): each numeric column collects its cents
+    //    narrow-scan CONCURRENTLY and fits on a driver sort — a
+    //    near-unique money column costs a 5 MB collect instead of a ~1 s
+    //    distinct shuffle. Categorical PMFs + the row counter still fuse
+    //    into one tiny aggregate job running alongside.
+    //  - !driverFit (the 100 TB path): ONE fused job — every row explodes
+    //    into a counter entry plus one (colIdx, cents-bin | category)
+    //    entry per column; a single map-side-combinable aggregate yields
+    //    the row count, every cents histogram, and every PMF. One scan
+    //    instead of k+2; only the value DOMAIN shuffles.
     val counterEntry = struct(lit(-1).as("i"), lit(0L).as("bin"),
       lit(null).cast("string").as("cat"))
-    val colEntries = fields.zipWithIndex.map { case (f, i) =>
-      if (f.dataType.isInstanceOf[NumericType])
-        struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
-          lit(null).cast("string").as("cat"))
-      else
-        struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
-          col(f.name).cast("string").as("cat"))
-    }
-    val stats = df.select(explode(array(counterEntry +: colEntries: _*)).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
+    def catEntry(f: org.apache.spark.sql.types.StructField, i: Int) =
+      struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
+        col(f.name).cast("string").as("cat"))
+    def statsJob(entries: Seq[Column]) =
+      df.select(explode(array(entries: _*)).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+
+    val (stats, numFits): (Array[org.apache.spark.sql.Row], Map[Int, NumFit]) =
+      if (driverFit) {
+        val catF = Future(statsJob(
+          counterEntry +: catIdx.map { case (f, i) => catEntry(f, i) }.toSeq))
+        val numF = Future.sequence(numIdx.toSeq.map { case (f, i) =>
+          Future {
+            val sorted = df.select(Exact.cents(col(f.name)).as("b"))
+              .filter(col("b").isNotNull)
+              .selectExpr("b").as(org.apache.spark.sql.Encoders.scalaLong).collect()
+            java.util.Arrays.sort(sorted)
+            i -> (if (sorted.isEmpty) None else Some(fitFromSortedCents(sorted)))
+          }
+        })
+        val st = Await.result(catF, 30.minutes)
+        val nf = Await.result(numF, 30.minutes).collect { case (i, Some(fit)) => i -> fit }
+        (st, nf.toMap)
+      } else {
+        val st = statsJob(counterEntry +: fields.zipWithIndex.map { case (f, i) =>
+          if (f.dataType.isInstanceOf[NumericType])
+            struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
+              lit(null).cast("string").as("cat"))
+          else catEntry(f, i)
+        }.toSeq)
+        val nf = numIdx.flatMap { case (_, i) =>
+          val hist = st.filter(r => r.getInt(0) == i && !r.isNullAt(1))
+            .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+          if (hist.isEmpty) None else Some(i -> fitFromHistogram(hist))
+        }
+        (st, nf.toMap)
+      }
 
     val sourceRows = stats.collectFirst {
       case r if r.getInt(0) == -1 => r.getLong(3)
@@ -176,39 +289,17 @@ object Privacy {
     fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
       val c = f.name
       if (f.dataType.isInstanceOf[NumericType]) {
-        // Histogram of exact cents (nulls excluded), sorted by bin.
-        val hist = stats.filter(r => r.getInt(0) == i && !r.isNullAt(1))
-          .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
-        if (hist.isEmpty) {
-          // all-null source column → all-null synthesis (modules/privacy.py:40-42)
-          acc.withColumn(c, lit(null).cast("double"))
-        } else {
-          // μ/σ from the exact moments of the same histogram (identical to
-          // Profile.muSigma: sample std with the reference's `or 1.0`
-          // fallback for constant / single-value columns).
-          val nn = hist.map(_._2).sum
-          val s1 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
-            a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(cnt)))
-          }
-          val s2 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
-            a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b))
-              .multiply(java.math.BigDecimal.valueOf(cnt)))
-          }
-          val mu = Exact.meanDouble(s1, nn)
-          val sdRaw = Exact.stdDouble(s1, s2, nn)
-          val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
-
+        numFits.get(i) match {
+          case None =>
+            // all-null source column → all-null synthesis (modules/privacy.py:40-42)
+            acc.withColumn(c, lit(null).cast("double"))
+          case Some(NumFit(values, cum, mu, sigma)) =>
           // Bootstrap half = iid draws from the empirical distribution,
-          // realized as inverse-CDF over the broadcast histogram (a
+          // realized as inverse-CDF over the broadcast fit table (a
           // bootstrap IS iid empirical sampling; only the RNG mechanics
           // differ, and V4 is seeded/rows-only by declared match mode).
           // The binary search is the one UDF in the engine, used exactly
           // where per-row access to broadcast state has no expression form.
-          val values: Array[Double] = hist.map(_._1 / 100.0)
-          val cum: Array[Double] = {
-            val total = nn.toDouble
-            hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / total)
-          }
           val bv = spark.sparkContext.broadcast((values, cum))
           val sampleEmpirical = udf { (u: Double) =>
             val (vs, cm) = bv.value
@@ -250,31 +341,80 @@ object Privacy {
     }.drop("__row_id")
   }
 
+  /** The suggestion heuristic only asks "more than 50 / 20 distinct?" —
+    * any saturation cap above both thresholds yields exact decisions. */
+  private val SuggestDistinctCap = 64
+
   /** V5 smart suggestion heuristic (`modules/privacy.py:55-68`): per
     * column, dtype + distinct-count dispatch into a suggested transform.
     *
-    * All distinct counts come from ONE job: each row explodes into
-    * (column, value-as-string) pairs — string casts are injective for
-    * every testdata type, so distinct counts are unchanged — then a
-    * map-side-combinable two-level aggregate (distinct pairs, then count
-    * per column). One scan and one shuffle of the DISTINCT pairs instead
-    * of k scans (or an Expand at k× the row count). Eager by design —
-    * the result is a driver-sized config. */
+    * The dispatch thresholds only need "distinct > 50 (numeric) / > 20
+    * (string)?", never the exact cardinality — so the counts SATURATE at
+    * [[SuggestDistinctCap]] (> both thresholds ⇒ identical decisions,
+    * with a ~2⁻⁶⁴-per-pair hash-collision caveat that cannot flip a
+    * threshold in practice). One narrow scan: xxhash64 per column inside
+    * codegen, then a per-partition capped hash-set sweep over the raw
+    * internal rows (the sanctioned use of the RDD layer: genuinely
+    * imperative per-partition state). Every partition emits ≤ cap+1 longs
+    * per column no matter the cardinality — a full count_distinct on ONE
+    * high-cardinality column alone costs ~0.9 s at sf0.1 (the distinct
+    * shuffle IS the cost), and a typed-Aggregator formulation pays ~1 µs
+    * of encoder overhead per row; this form pays a hash-set insert.
+    * Eager by design — the result is a driver-sized config. */
   def smartSuggest(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    // Only string/numeric columns influence a suggestion — don't haul
-    // other types (binary blobs, arrays) through the explode.
+    // Only string/numeric columns influence a suggestion.
     val counted = fields.filter(f =>
       f.dataType == StringType || f.dataType.isInstanceOf[NumericType])
+    val cap = SuggestDistinctCap
+    val k = counted.length
     val uniq: Map[String, Long] = (if (counted.isEmpty) Map.empty[String, Long]
-      else df.select(explode(array(counted.map(f =>
-          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
-        .select(col("p.c").as("c"), col("p.v").as("v"))
-        .filter(col("v").isNotNull)
-        .groupBy("c", "v").agg(count(lit(1)))
-        .groupBy("c").agg(count(lit(1)).as("u"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      else {
+        // Long.MinValue marks SQL NULL (excluded from distinct counts, as
+        // nunique does); xxhash64 emitting it legitimately is a 2⁻⁶⁴ event.
+        val hashed = df.select(counted.map(f =>
+          when(col(f.name).isNull, lit(Long.MinValue))
+            .otherwise(xxhash64(col(f.name))).as(f.name)): _*)
+        // partial per (partition, column): Some(distinct hashes) or None
+        // once saturated — ≤ cap+1 longs either way.
+        val partials = hashed.queryExecution.toRdd
+          .mapPartitions { iter =>
+            val sets = Array.fill(k)(scala.collection.mutable.HashSet.empty[Long])
+            val over = new Array[Boolean](k)
+            iter.foreach { row =>
+              var j = 0
+              while (j < k) {
+                if (!over(j)) {
+                  val v = row.getLong(j)
+                  if (v != Long.MinValue) {
+                    val s = sets(j)
+                    s.add(v)
+                    if (s.size > cap) { over(j) = true; s.clear() }
+                  }
+                }
+                j += 1
+              }
+            }
+            Iterator.tabulate(k) { j =>
+              j -> (if (over(j)) None else Some(sets(j).toArray))
+            }
+          }.collect()
+        partials.groupBy(_._1).map { case (j, parts) =>
+          val merged = scala.collection.mutable.HashSet.empty[Long]
+          var over = false
+          parts.foreach {
+            case (_, Some(arr)) if !over =>
+              arr.foreach { v =>
+                merged.add(v)
+                if (merged.size > cap) { over = true; merged.clear() }
+              }
+            case (_, None) => over = true
+            case _ => ()
+          }
+          counted(j).name -> (if (over) cap + 1L else merged.size.toLong)
+        }
+      })
       .withDefaultValue(0L)
     val rows = fields.flatMap { f =>
       val u = uniq(f.name)

@@ -208,14 +208,19 @@ object Relational {
     val e = Tables.events(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val dedupW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+    val dedupW = Window.partitionBy(col("user_id"), col("purchase_ts")).orderBy(col("__pe"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"),
         col("event_id").as("__pe"))
       .withColumn("__rn", row_number().over(dedupW))
       .filter(col("__rn") === 1).drop("__rn", "__pe")
+    // inner as-of (clicks with no prior purchase drop out): the gated
+    // output carries no null timestamps — cross-engine null-timestamp
+    // hashing is not contractually defined. Left-outer behavior is
+    // covered by the asofJoin unit spec.
     asofJoin(clicks, purchases, "user_id", "user_id", "ts", "purchase_ts",
       Seq("purchase_ts", "purchase_value"))
+      .filter(col("purchase_ts").isNotNull)
       .orderBy(col("event_id"))
   }
 
