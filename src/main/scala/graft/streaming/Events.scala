@@ -69,15 +69,19 @@ object Events {
   * `spark.readStream.schema(...).parquet(dir)` → transform →
   * `writeStream` with checkpointing.
   */
-object EventsStream {
+object EventsStream extends Serializable {
 
   /** Streaming source over an events parquet directory. The harness
-    * events table stores TIMESTAMP(NANOS), which Spark's reader rejects;
-    * the stream declares ts as long (nanosAsLong) and floor-divides to
-    * micros — the same coercion the batch reader and DuckDB apply. */
+    * events table stores TIMESTAMP(NANOS), which Spark's reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong` is set (once, at
+    * session construction — `graft.Sessions.local` does); the stream
+    * declares ts as long and floor-divides to micros — the same coercion
+    * the batch reader and DuckDB apply. */
   def readEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events parquet is TIMESTAMP(NANOS): build the session via graft.Sessions.local " +
+        "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -98,4 +102,72 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              t_start: java.sql.Timestamp, t_end: java.sql.Timestamp)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming sessionization with CUSTOM STATE — the
+    * `flatMapGroupsWithState` form of [[Events.sessionize]]: per-user
+    * session state (id, bounds, count) lives in the state store; a
+    * session CLOSES and emits either when a later event arrives beyond
+    * the gap, or when the event-time watermark passes lastTs+gap
+    * (EventTimeTimeout). Append-mode output, exactly one row per
+    * completed session. Batch certification: the batch window form is
+    * oracle-gated; `EventsStreamSpec` asserts this form emits the same
+    * sessions through a MemoryStream. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def onUser(user: Long, rows: Iterator[SessionIn],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (!rows.hasNext && state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs)))
+      } else {
+        // micro-batch rows arrive unordered — order within the batch; the
+        // watermark bounds cross-batch disorder.
+        val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val closed = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val eu = usOf(e.ts)
+          cur = cur match {
+            case None => Some(SessionState(1L, eu, eu, 1L))
+            case Some(s) if eu - s.lastUs > gapUs =>
+              closed += SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs))
+              Some(SessionState(s.sessionId + 1L, eu, eu, 1L))
+            case Some(s) =>
+              Some(s.copy(lastUs = math.max(s.lastUs, eu), n = s.n + 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.selectExpr("event_id", "ts", "user_id")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[SessionIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+  }
 }

@@ -73,6 +73,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed == batch) // every event landed in exactly one window
   }
 
+  test("flatMapGroupsWithState sessionization: gap-close and timeout-close") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionizeStream(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+
+    // user 1: two events 10 min apart, then one 50 min later (gap-closes
+    // session 1 in-stream)
+    mem.addData(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t("11:00"), 1, "a", 0))
+    q.processAllAvailable()
+    // user 2 far in the future → watermark passes 11:30 → session 2 of
+    // user 1 times out and emits
+    mem.addData(Ev(4, t("14:00"), 2, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(5, t("18:00"), 2, "a", 0)) // advance watermark again
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("session_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))
+      .toMap
+    assert(out((1L, 1L))._1 == 2L) // first session: 2 events
+    assert(out((1L, 1L))._2 == t("10:00") && out((1L, 1L))._3 == t("10:10"))
+    assert(out((1L, 2L))._1 == 1L) // second session closed by timeout
+    // matches the batch window form on the same events
+    val batch = Events.sessionize(
+      Seq(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
+        Ev(3, t("11:00"), 1, "a", 0)).toDF())
+      .filter(col("user_id") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(batch(1L) == out((1L, 1L))._1)
+    assert(batch(2L) == out((1L, 2L))._1)
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
