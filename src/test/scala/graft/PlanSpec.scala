@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties the engine
+  * promises (pushdown, pruning, broadcast, codegen) must be visible in
+  * the executed plan, not just intended. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter pushdown reaches the parquet scan (x_embed_topk query side)") {
+    val plan = formatted("x_embed_topk")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)"),
+      s"expected vec_id pushdown in:\n$plan")
+  }
+
+  test("column pruning: q1 reads only the 7 needed lineitem columns") {
+    val plan = formatted("q1_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_orderkey"),
+      s"unneeded columns not pruned: $readSchema")
+  }
+
+  test("q5 broadcasts the tiny dimensions, never the fact side") {
+    val plan = formatted("q5_local_supplier_volume")
+    assert(plan.contains("BroadcastHashJoin"), "nation/region should broadcast")
+  }
+
+  test("whole-stage codegen covers the v2 label pass") {
+    val edges = (0 to 10).map(_ * 10000.0)
+    val labeled = Tables.lineitem(spark, Sf)
+      .withColumn("l_extendedprice",
+        graft.ops.Privacy.labelExpr(col("l_extendedprice"), edges))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"label pass fell out of codegen:\n$plan")
+  }
+
+  test("vec_dot participates in whole-stage codegen (no CodegenFallback)") {
+    val e = Tables.embeddings(spark, Sf)
+    val df = e.select(call_function("vec_dot", col("embedding"), col("embedding")).as("n2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_dot"), s"vec_dot not codegen'd:\n$plan")
+  }
+
+  test("sdcSuppressBroadcast never shuffles the fact table") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.ops.Privacy.sdcSuppressBroadcast(
+      Tables.supplier(spark, Sf).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // the only exchange feeds the tiny rare-set aggregate, never the fact scan
+    assert(shuffles.size <= 1, s"unexpected shuffles: ${shuffles.size}")
+  }
+}
