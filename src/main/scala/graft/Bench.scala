@@ -48,7 +48,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also drop the line as a file: sbt wraps stdout in "[info] " prefixes,
+    // so a consumer that greps the raw line has a clean fallback.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

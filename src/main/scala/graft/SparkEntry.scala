@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rolling_sum" -> ((s, d) => Relational.qRollingSum(s, d)),
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_range_join" -> ((s, d) => Relational.qRangeJoin(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -134,5 +135,6 @@ object SparkEntry {
         |             (4, 31.0, 41.0), (5, 41.0, 51.0)) b(band, lo, hi)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q6_forecast_revenue" -> Relational.Q6Sql,
   )
 }

@@ -163,6 +163,25 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"))
   }
 
+  /** TPC-H Q6-style forecast revenue, expressed through the `spark.sql`
+    * entry point over temp views — the SQL surface of the engine (same
+    * Catalyst plan as the DataFrame form; the oracle runs the identical
+    * statement). Exact decimal accumulation: DECIMAL(18,2)×DECIMAL(4,2)
+    * products are exact rationals summed in decimal space. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(Q6Sql)
+  }
+
+  /** Shared by the Spark side (spark.sql) and the DuckDB oracle. */
+  val Q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
   /** Backward as-of join: each left row picks the LATEST right row with
     * the same key and right.time ≤ left.time (inclusive; DuckDB `ASOF
     * JOIN` semantics). Spark has no built-in as-of operator, so this
