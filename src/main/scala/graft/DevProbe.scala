@@ -69,6 +69,10 @@ object DevProbe {
       }
       li.agg(aggs.head, aggs.tail: _*).head()
     }
+    t("v4 count only") {
+      graft.ops.Privacy.syntheticSample(li,
+        Seq("l_quantity", "l_extendedprice", "l_returnflag"), seed = 42L).count()
+    }
     t("v5y again") {
       val capped = udaf(new graft.functions.CappedDistinctLong(64))
       val aggs = li.schema.fields.toSeq.map { f =>
