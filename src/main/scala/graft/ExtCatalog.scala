@@ -48,6 +48,8 @@ object ExtCatalog {
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
+    "x_corpus_clean" -> ((s, d) =>
+      TextStats.corpusClean(Tables.documents(s, d), "text", "doc_id")),
     "t_text_stats" -> ((s, d) =>
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
@@ -186,6 +188,30 @@ object ExtCatalog {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-clean oracle: dedup survivors → quality floor → language
+    * filter, mirroring corpusClean's fixed-order double arithmetic. */
+  private def corpusCleanSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val structs = TextStats.LangMarkers.map { case (lang, markers) =>
+      val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(ts, x -> list_contains($arr, x))), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM surv),
+       |s AS (SELECT doc_id, ts, length(text) AS n_chars, len(ts) AS n_tokens,
+       |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+       |  FROM t),
+       |q AS (SELECT doc_id, ts,
+       |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+       |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+       |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS quality_score FROM s),
+       |b AS (SELECT doc_id, quality_score, list_sort($structs, 'DESC')[1] AS best FROM q)
+       |SELECT doc_id, quality_score FROM b
+       |WHERE quality_score >= 0.5 AND IF(best.score > 0, best.lang, 'und') = 'en'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def langIdSql: String = {
     val structs = TextStats.LangMarkers.map { case (lang, markers) =>
       val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -242,6 +268,7 @@ object ExtCatalog {
         |FROM documents, UNNEST(range(0, 4)) t(i)
         |WHERE length(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "x_corpus_clean" -> corpusCleanSql,
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,

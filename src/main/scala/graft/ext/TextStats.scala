@@ -96,6 +96,25 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Corpus cleaning pass — the composition a training-data pipeline
+    * actually runs: exact-dedup survivors (min doc_id per text) that pass
+    * a quality floor and a language filter. One shuffle (the dedup
+    * aggregate); the quality/language predicates ride the scan. Returns
+    * the surviving doc ids with their scores. */
+  def corpusClean(df: DataFrame, textCol: String, idCol: String,
+                  minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    val survivors = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val scored = textStats(survivors, textCol, idCol)
+      .select(col(idCol), col("quality_score"))
+    val langs = langId(survivors, textCol, idCol)
+    scored.join(langs, idCol)
+      .filter(col("quality_score") >= minQuality && col("lang_pred") === lang)
+      .select(col(idCol), col("quality_score"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-token weak hash used by fingerprint/minhash/simhash: mixes the
     * first three characters and the length — collision-free on the harness
     * vocabulary and expressible identically in any SQL dialect. */
