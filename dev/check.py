@@ -23,12 +23,11 @@ def canon(df):
 def cells_equal(a, b, tol):
     if a is None and b is None:
         return True
-    try:  # NaT / NA scalars of any dtype: both-missing counts as equal
-        import pandas as pd
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
+    # Both-NaT (null timestamps) counts as equal — but ONLY NaT: a Spark
+    # NULL (None) vs a DuckDB NaN must still register as a MISMATCH.
+    import pandas as pd
+    if a is pd.NaT and b is pd.NaT:
+        return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

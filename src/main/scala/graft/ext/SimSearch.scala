@@ -21,20 +21,22 @@ import org.apache.spark.sql.functions._
 object SimSearch {
 
   /** Left-associated dot product via the native [[graft.functions.VecDot]]
-    * expression: a codegen'd constant-size loop. The earlier flat 64-term
-    * `element_at` chain had the same values but cost seconds of janino
-    * compilation per plan (and the `aggregate` HOF runs interpreted). The
-    * sequential `s += a[i]*b[i]` fold matches a left-associated SQL sum
-    * term-for-term, so scores stay bit-stable and oracle-mirrorable.
-    * `dim` is kept for API stability; the loop uses the array length. */
-  def dot(a: Column, b: Column, dim: Int = 64): Column =
-    call_function("vec_dot", a, b)
+    * expression: a codegen'd loop over the full vectors. The earlier flat
+    * 64-term `element_at` chain had the same values but cost seconds of
+    * janino compilation per plan (and the `aggregate` HOF runs
+    * interpreted). The sequential `s += a[i]*b[i]` fold matches a
+    * left-associated SQL sum term-for-term, so scores stay bit-stable and
+    * oracle-mirrorable. Pass `dim` to score only a PREFIX of wider
+    * vectors (adds a slice; omit for whole-vector scoring). */
+  def dot(a: Column, b: Column, dim: Int = -1): Column =
+    if (dim > 0) call_function("vec_dot", slice(a, 1, dim), slice(b, 1, dim))
+    else call_function("vec_dot", a, b)
 
   /** Squared norm = vec_dot(v, v). */
-  def norm2(a: Column, dim: Int = 64): Column =
-    call_function("vec_dot", a, a)
+  def norm2(a: Column, dim: Int = -1): Column =
+    if (dim > 0) dot(a, a, dim) else call_function("vec_dot", a, a)
 
-  def cosine(a: Column, b: Column, dim: Int = 64): Column =
+  def cosine(a: Column, b: Column, dim: Int = -1): Column =
     dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
 
   /** Exact top-k cosine neighbors of each query vector (self-matches
@@ -42,7 +44,7 @@ object SimSearch {
     * norms are precomputed per row, not per pair. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       sqrt(norm2(col(vecCol), dim)).as("qn"))
@@ -150,7 +152,7 @@ object SimSearch {
     * table (brute force over a bounded id range; LSH for the full set). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val a = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))

@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Scale note: per-row compute with no shuffle implications; at 100 TB the
   * scan stays embarrassingly parallel and the expression vectorizes per
   * batch like any codegen'd projection.
+  *
+  * Contract: vectors are non-null float arrays of equal length (the
+  * engine's embedding-column invariant). A NULL array yields NULL; the
+  * loop runs over min(len(a), len(b)), and null ELEMENTS read as 0.0 —
+  * callers needing strict length/null checking validate upstream.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -87,10 +87,16 @@ object Exact {
       if (h == math.floor(h)) lo
       else {
         val hi = valueAt(math.floor(h).toLong + 1)
-        lo + (hi - lo) * (h - math.floor(h))
+        interp(lo, hi, h - math.floor(h))
       }
     }
   }
+
+  /** DuckDB quantile_cont's EXACT interpolation: lo·(1−f) + hi·f. The
+    * algebraically-equal lo+(hi−lo)·f differs by 1 ulp for some inputs
+    * (observed at sf0.1), which flips a %.2f bin label across a rounding
+    * boundary — formula shape matters, not just the math. */
+  def interp(lo: Double, hi: Double, f: Double): Double = lo * (1 - f) + hi * f
 
   /** [[quantilesViaCentsHistogram]] without the full-histogram collect:
     * the cumulative walk happens inside the plan (ordered window over the
@@ -139,10 +145,7 @@ object Exact {
         case Some((h, blo, bhi)) =>
           val lo = blo / 100.0
           if (h == math.floor(h)) lo
-          else {
-            val hi = bhi.getOrElse(blo) / 100.0
-            lo + (hi - lo) * (h - math.floor(h))
-          }
+          else interp(lo, bhi.getOrElse(blo) / 100.0, h - math.floor(h))
       }
     }
   }
@@ -169,10 +172,7 @@ object Exact {
       val i = math.floor(h).toInt
       val lo = arr(i) / 100.0
       if (h == math.floor(h)) lo
-      else {
-        val hi = arr(i + 1) / 100.0
-        lo + (hi - lo) * (h - math.floor(h))
-      }
+      else interp(lo, arr(i + 1) / 100.0, h - math.floor(h))
     }
   }
 

@@ -106,8 +106,19 @@ object Privacy {
       if (Exact.centsEligible(df, c)) QuantileStrategy.CentsHistogram
       else QuantileStrategy.SortPercentile)
 
+  /** C-printf-compatible "%.2f": round the EXACT binary value of the
+    * double half-to-even, as C (and DuckDB's printf) does. Java's own
+    * Formatter instead HALF_UPs the SHORTEST decimal representation,
+    * which flips labels when an edge's shortest repr lands exactly on a
+    * 2-decimal tie but its exact binary value sits below it (observed at
+    * sf0.1: 52923.184999…997 prints ".18" in C, ".19" in Java). */
+  def fmt2(d: Double): String =
+    new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+
   /** when-chain mapping a value into its `[lo, hi)` label (last bin
-    * closed). Kept separate so tests can exercise edge semantics. */
+    * closed). Labels are precomputed driver-side with [[fmt2]] so both
+    * engines print identical bin bounds. Kept separate so tests can
+    * exercise edge semantics. */
   def labelExpr(v: Column, edges: Seq[Double]): Column = {
     val pairs = edges.zip(edges.tail)
     val lastIdx = pairs.length - 1
@@ -116,9 +127,8 @@ object Privacy {
         val in =
           if (i == lastIdx) v >= lo && v <= hi
           else v >= lo && v < hi
-        when(in, format_string("[%.2f, %s", lit(lo),
-          format_string(if (i == lastIdx) "%.2f]" else "%.2f)", lit(hi))))
-          .otherwise(acc)
+        val close = if (i == lastIdx) "]" else ")"
+        when(in, lit(s"[${fmt2(lo)}, ${fmt2(hi)}$close")).otherwise(acc)
     }
   }
 
@@ -168,19 +178,24 @@ object Privacy {
     val vs = Array.newBuilder[Double]
     val cm = Array.newBuilder[Double]
     var i = 0
-    var s1 = 0L // Σ cents: |cents| ≤ ~1e16 guarded by the decimal cast; chunk-safe below
+    var s1 = 0L // Σ cents, flushed to decimal before it can overflow
     var s2 = java.math.BigDecimal.ZERO
     var chunk = 0L // Σ cents² accumulates in a long chunk, flushed before overflow
     var s1Big = java.math.BigDecimal.ZERO
+    // |b| below this bound ⇒ b² ≤ ~9.2e18·(…) stays a valid positive long
+    val SqSafe = 3037000499L // floor(sqrt(Long.MaxValue))
     while (i < nn) {
       val b = sorted(i)
       // moments (exact: cents are integers)
       if (math.abs(s1) > Long.MaxValue / 2) { s1Big = s1Big.add(java.math.BigDecimal.valueOf(s1)); s1 = 0L }
       s1 += b
-      val sq = java.lang.Math.multiplyHigh(b, b) // detect potential overflow of b*b
-      if (sq != 0L || chunk > Long.MaxValue / 4) { s2 = s2.add(java.math.BigDecimal.valueOf(chunk)); chunk = 0L }
-      if (sq == 0L) chunk += b * b
-      else s2 = s2.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b)))
+      if (math.abs(b) <= SqSafe) {
+        val bb = b * b // ≤ Long.MaxValue by the bound above
+        if (chunk > Long.MaxValue - bb) { s2 = s2.add(java.math.BigDecimal.valueOf(chunk)); chunk = 0L }
+        chunk += bb
+      } else {
+        s2 = s2.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b)))
+      }
       // distinct values + cumulative counts
       if (i == nn - 1 || sorted(i + 1) != b) {
         vs += b / 100.0

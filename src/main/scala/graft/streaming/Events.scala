@@ -122,42 +122,59 @@ object EventsStream extends Serializable {
     * session CLOSES and emits either when a later event arrives beyond
     * the gap, or when the event-time watermark passes lastTs+gap
     * (EventTimeTimeout). Append-mode output, exactly one row per
-    * completed session. Batch certification: the batch window form is
-    * oracle-gated; `EventsStreamSpec` asserts this form emits the same
-    * sessions through a MemoryStream. */
+    * completed session; (user_id, session_id) keys stay UNIQUE across
+    * timeouts (a closed session leaves an n=0 tombstone carrying the next
+    * id, so numbering continues like the batch cumulative count).
+    *
+    * Cross-batch disorder (bounded by the watermark = gap) follows session
+    * -window merge semantics: an out-of-order event within `gap` of the
+    * open session's bounds extends them (t_start can move earlier); one
+    * more than `gap` OLDER than the session start emits as its own
+    * earlier singleton session. Batch certification: the batch window
+    * form is oracle-gated; `EventsStreamSpec` asserts this form emits the
+    * same sessions through a MemoryStream. */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60L * 1000L
 
     def onUser(user: Long, rows: Iterator[SessionIn],
                state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (!rows.hasNext && state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        // close + tombstone (n=0): numbering continues at the next event
+        state.update(SessionState(s.sessionId + 1L, 0L, 0L, 0L))
         Iterator.single(SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs)))
       } else {
         // micro-batch rows arrive unordered — order within the batch; the
-        // watermark bounds cross-batch disorder.
+        // watermark bounds how far across batches disorder can reach.
         val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
         val closed = Seq.newBuilder[SessionOut]
-        var cur = state.getOption
+        val nextId = state.getOption.map(_.sessionId).getOrElse(1L)
+        var cur = state.getOption.filter(_.n > 0L)
         sorted.foreach { e =>
           val eu = usOf(e.ts)
           cur = cur match {
-            case None => Some(SessionState(1L, eu, eu, 1L))
-            case Some(s) if eu - s.lastUs > gapUs =>
+            case None => Some(SessionState(nextId, eu, eu, 1L))
+            case Some(s) if eu - s.lastUs > gapUs => // later gap → close, advance id
               closed += SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs))
               Some(SessionState(s.sessionId + 1L, eu, eu, 1L))
-            case Some(s) =>
-              Some(s.copy(lastUs = math.max(s.lastUs, eu), n = s.n + 1L))
+            case Some(s) if s.startUs - eu > gapUs => // straggler far before the session
+              closed += SessionOut(user, s.sessionId, 1L, tsOf(eu), tsOf(eu))
+              Some(s.copy(sessionId = s.sessionId + 1L))
+            case Some(s) => // inside/adjacent: extend both bounds
+              Some(s.copy(startUs = math.min(s.startUs, eu),
+                lastUs = math.max(s.lastUs, eu), n = s.n + 1L))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+          // timeout must sit above the current watermark
+          state.setTimeoutTimestamp(
+            math.max(s.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
         }
         closed.result().iterator
       }

@@ -53,6 +53,18 @@ class PrivacySpec extends SparkSpec {
     assert(again == stats.getDouble(0))
   }
 
+  test("syntheticSample: huge money values don't overflow the moment accumulators") {
+    // cents ≈ 3.5e9 / 4.2e9: cents² exceeds Long.MaxValue, so a naive
+    // long Σcents² wraps negative and collapses σ to the 1.0 fallback
+    val big = Seq.fill(1000)(35000000.00) ++ Seq.fill(1000)(42000000.00)
+    val out = Privacy.syntheticSample(big.toDF("x"), Seq("x"), seed = 1L)
+    val stats = out.agg(avg("x"), stddev_samp("x")).head()
+    assert(math.abs(stats.getDouble(0) - 38500000.0) < 2000000.0)
+    // true σ = 3.5e6; a broken fit (σ→1) would leave only the bootstrap
+    // half's spread (~2.5e6 overall)
+    assert(math.abs(stats.getDouble(1) - 3500000.0) < 500000.0, stats.getDouble(1).toString)
+  }
+
   test("syntheticSample: n rows, numeric moments within tolerance, PMF preserved") {
     val src = graft.Tables.lineitem(spark, Sf)
     val n = 6000L

@@ -110,6 +110,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch(2L) == out((1L, 2L))._1)
   }
 
+  test("sessionizeStream: ids stay unique across timeout-closed sessions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionizeStream(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_ids_out")
+      .outputMode("append").start()
+
+    mem.addData(Ev(1, t("10:00"), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(2, t("12:00"), 2, "a", 0)) // watermark → closes user-1 session 1
+    q.processAllAvailable()
+    mem.addData(Ev(3, t("13:00"), 1, "a", 0)) // user 1 returns after the timeout
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("18:00"), 2, "a", 0)) // watermark → closes user-1 session 2
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("session_ids_out").filter(col("user_id") === 1)
+      .collect().map(r => r.getLong(1)).sorted
+    // numbering continues (1, 2) — a restart at 1 would emit duplicate keys
+    assert(u1.sameElements(Array(1L, 2L)), u1.mkString(","))
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
