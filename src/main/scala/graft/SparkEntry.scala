@@ -33,6 +33,9 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Relational.qAsofJoin(s, d)),
     "q_range_join" -> ((s, d) => Relational.qRangeJoin(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q_cube" -> ((s, d) => Relational.qCube(s, d)),
+    "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
+    "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -136,5 +139,24 @@ object SparkEntry {
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     "q6_forecast_revenue" -> Relational.Q6Sql,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'with_orders' AS segment, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t
+        |UNION ALL
+        |SELECT 'without_orders' AS segment, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t
+        |ORDER BY segment""".stripMargin,
   )
 }

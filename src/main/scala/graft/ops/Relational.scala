@@ -270,4 +270,36 @@ object Relational {
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
+
+  /** Full cube: every grouping-set combination of (status, priority). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Pivot: quantity totals per return flag, line statuses as columns
+    * (explicit value list so the plan needs no discovery pass — the right
+    * form at scale; Spark compiles it to conditional aggregates, exactly
+    * the FILTER form the oracle uses). */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    l.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT over the customer-order key
+    * space (each is a distinct-ifying shuffle on the key). */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("key"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("key"))
+    val withOrders = c.intersect(o).count()
+    val withoutOrders = c.except(o).count()
+    Seq(("with_orders", withOrders), ("without_orders", withoutOrders))
+      .toDF("segment", "n_customers").orderBy(col("segment"))
+  }
 }
