@@ -25,7 +25,12 @@ object DevScaleUp {
     val big = 100000000L
     replicate("lineitem", Map("l_orderkey" -> (i => col("l_orderkey") + lit(i * big))))
     replicate("orders", Map("o_orderkey" -> (i => col("o_orderkey") + lit(i * big))))
-    replicate("documents", Map("doc_id" -> (i => col("doc_id") + lit(i * big))))
+    // texts get a per-copy suffix token: otherwise every doc has
+    // copies-1 byte-identical clones and the dedup family measures a
+    // pathological workload instead of a larger one
+    replicate("documents", Map(
+      "doc_id" -> (i => col("doc_id") + lit(i * big)),
+      "text" -> (i => concat(col("text"), lit(s" v"), lit(i)))))
     replicate("embeddings", Map("vec_id" -> (i => col("vec_id") + lit(i * big))))
     replicate("events", Map("event_id" -> (i => col("event_id") + lit(i * big))))
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>

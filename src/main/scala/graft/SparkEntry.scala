@@ -138,7 +138,7 @@ object SparkEntry {
         |             (4, 31.0, 41.0), (5, 41.0, 51.0)) b(band, lo, hi)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
-    "q6_forecast_revenue" -> Relational.Q6Sql,
+    "q6_forecast_revenue" -> Relational.q6Sql("lineitem"),
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

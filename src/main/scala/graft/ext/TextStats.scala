@@ -31,6 +31,34 @@ object TextStats {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Composite quality score in [0,1] over a text column (shared by
+    * [[textStats]] and [[corpusClean]] — one formula, one op order). */
+  private def qualityScore(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val nTok = size(t)
+    val nChars = length(textCol)
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stopArr, x)))
+    val nDigits = nChars - length(regexp_replace(textCol, "[0-9]", ""))
+    (nStop.cast("double") / nTok) * 0.3 +
+      least(lit(1.0), nTok.cast("double") / 50.0) * 0.5 +
+      (lit(1.0) - nDigits.cast("double") / nChars) * 0.2
+  }
+
+  /** Language prediction over a text column (shared by [[langId]] and
+    * [[corpusClean]]): marker-hit argmax, (score desc, lang asc) ties,
+    * zero hits → "und". */
+  private def langPred(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(t, x => array_contains(arr, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scores: _*), asc = false).getItem(0)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
   /** Token/char statistics + a composite quality score in [0,1]:
     * 0.3·stopword_ratio + 0.5·min(1, n_tokens/50) + 0.2·(1−digit_ratio).
     * The weights are engine policy (the reference has no quality op). */
@@ -40,9 +68,7 @@ object TextStats {
     val nChars = length(col(textCol))
     val stopArr = array(Stopwords.map(lit): _*)
     val nStop = size(filter(t, x => array_contains(stopArr, x)))
-    val nDigits = nChars - length(regexp_replace(col(textCol), "[0-9]", ""))
     val stopRatio = nStop.cast("double") / nTok
-    val digitRatio = nDigits.cast("double") / nChars
     df.select(
       col(idCol),
       nChars.as("n_chars"),
@@ -50,30 +76,15 @@ object TextStats {
       ((nChars - nTok + 1).cast("double") / nTok).as("avg_token_len"),
       nStop.as("n_stopwords"),
       stopRatio.as("stopword_ratio"),
-      (stopRatio * 0.3 + least(lit(1.0), nTok.cast("double") / 50.0) * 0.5 +
-        (lit(1.0) - digitRatio) * 0.2).as("quality_score"))
+      qualityScore(col(textCol)).as("quality_score"))
       .orderBy(col(idCol))
   }
 
   /** Language-ID: marker-hit count per language, argmax with
     * (score desc, lang asc) tie-break; zero hits everywhere → "und". */
-  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct(size(filter(t, x => array_contains(arr, x))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // argmax: sort (score desc, lang asc) == max of (score, negated-lang)…
-    // array_max on structs compares field-by-field: (score, lang) max gives
-    // ties to the LARGEST lang; to get smallest-lang-wins we sort instead.
-    val best = sort_array(array(scores: _*), asc = false).getItem(0)
-    df.select(
-      col(idCol),
-      when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
-        .as("lang_pred"))
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), langPred(col(textCol)).as("lang_pred"))
       .orderBy(col(idCol))
-  }
 
   /** BPE-ish pre-tokenizer pattern (the GPT-2 idea, ASCII-reduced): letter
     * runs, digit runs, punctuation runs — over lowercased text. Both RE2
@@ -98,22 +109,19 @@ object TextStats {
 
   /** Corpus cleaning pass — the composition a training-data pipeline
     * actually runs: exact-dedup survivors (min doc_id per text) that pass
-    * a quality floor and a language filter. One shuffle (the dedup
-    * aggregate); the quality/language predicates ride the scan. Returns
-    * the surviving doc ids with their scores. */
+    * a quality floor and a language filter. ONE shuffle (the dedup
+    * aggregate): quality and language derive from the same projection
+    * over the survivors, so the predicates ride the post-aggregate scan —
+    * no join. Returns the surviving doc ids with their scores. */
   def corpusClean(df: DataFrame, textCol: String, idCol: String,
-                  minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
-    val survivors = df.groupBy(col(textCol))
+                  minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    df.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), col(textCol))
-    val scored = textStats(survivors, textCol, idCol)
-      .select(col(idCol), col("quality_score"))
-    val langs = langId(survivors, textCol, idCol)
-    scored.join(langs, idCol)
+      .select(col(idCol), qualityScore(col(textCol)).as("quality_score"),
+        langPred(col(textCol)).as("lang_pred"))
       .filter(col("quality_score") >= minQuality && col("lang_pred") === lang)
       .select(col(idCol), col("quality_score"))
       .orderBy(col(idCol))
-  }
 
   /** Per-token weak hash used by fingerprint/minhash/simhash: mixes the
     * first three characters and the length — collision-free on the harness

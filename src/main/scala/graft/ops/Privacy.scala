@@ -113,7 +113,12 @@ object Privacy {
     * 2-decimal tie but its exact binary value sits below it (observed at
     * sf0.1: 52923.184999…997 prints ".18" in C, ".19" in Java). */
   def fmt2(d: Double): String =
-    new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+    if (d.isNaN || d.isInfinite) String.format("%.2f", Double.box(d)) // "NaN"/"Infinity"
+    else {
+      val s = new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+      // BigDecimal drops the sign of -0.0; C printf keeps it
+      if (s == "0.00" && (java.lang.Double.doubleToRawLongBits(d) < 0)) "-0.00" else s
+    }
 
   /** when-chain mapping a value into its `[lo, hi)` label (last bin
     * closed). Labels are precomputed driver-side with [[fmt2]] so both

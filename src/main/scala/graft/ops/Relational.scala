@@ -169,18 +169,20 @@ object Relational {
     * statement). Exact decimal accumulation: DECIMAL(18,2)×DECIMAL(4,2)
     * products are exact rationals summed in decimal space. */
   def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
-    spark.sql(Q6Sql)
+    // scoped view name: binding a global "lineitem" would silently pin
+    // later spark.sql calls in the session to this sfDir's snapshot
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_q6_lineitem")
+    spark.sql(q6Sql("graft_q6_lineitem"))
   }
 
-  /** Shared by the Spark side (spark.sql) and the DuckDB oracle. */
-  val Q6Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |  AND l_shipdate < TIMESTAMP '1997-01-01'
-      |  AND l_discount BETWEEN 0.05 AND 0.07
-      |  AND l_quantity < 24.0""".stripMargin
+  /** One statement for both engines (the oracle binds `lineitem`). */
+  def q6Sql(table: String): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+       |FROM $table
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24.0""".stripMargin
 
   /** Backward as-of join: each left row picks the LATEST right row with
     * the same key and right.time ≤ left.time (inclusive; DuckDB `ASOF
@@ -292,14 +294,15 @@ object Relational {
   }
 
   /** Set operations: INTERSECT / EXCEPT over the customer-order key
-    * space (each is a distinct-ifying shuffle on the key). */
+    * space (each is a distinct-ifying shuffle on the key). One LAZY plan —
+    * both branches union into a single action, like every catalog entry. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("key"))
     val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("key"))
-    val withOrders = c.intersect(o).count()
-    val withoutOrders = c.except(o).count()
-    Seq(("with_orders", withOrders), ("without_orders", withoutOrders))
-      .toDF("segment", "n_customers").orderBy(col("segment"))
+    val withOrders = c.intersect(o)
+      .agg(count(lit(1)).as("n_customers")).select(lit("with_orders").as("segment"), col("n_customers"))
+    val withoutOrders = c.except(o)
+      .agg(count(lit(1)).as("n_customers")).select(lit("without_orders").as("segment"), col("n_customers"))
+    withOrders.union(withoutOrders).orderBy(col("segment"))
   }
 }

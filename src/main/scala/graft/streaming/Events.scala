@@ -126,28 +126,44 @@ object EventsStream extends Serializable {
     * timeouts (a closed session leaves an n=0 tombstone carrying the next
     * id, so numbering continues like the batch cumulative count).
     *
-    * Cross-batch disorder (bounded by the watermark = gap) follows session
-    * -window merge semantics: an out-of-order event within `gap` of the
-    * open session's bounds extends them (t_start can move earlier); one
-    * more than `gap` OLDER than the session start emits as its own
-    * earlier singleton session. Batch certification: the batch window
-    * form is oracle-gated; `EventsStreamSpec` asserts this form emits the
-    * same sessions through a MemoryStream. */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
+    * Cross-batch disorder (bounded by the watermark delay, default = gap)
+    * follows session-window merge semantics: an out-of-order event within
+    * `gap` of the open session's bounds extends them (t_start can move
+    * earlier); one more than `gap` OLDER than the session start emits as
+    * its own earlier singleton session (reachable only when the watermark
+    * delay exceeds the gap). Batch certification: the batch window form
+    * is oracle-gated; `EventsStreamSpec` asserts this form emits the same
+    * sessions through a MemoryStream. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermarkDelayMinutes: Option[Int] = None)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val gapMs = gapMinutes.toLong * 60L * 1000L
+    val wmMinutes = watermarkDelayMinutes.getOrElse(gapMinutes)
+    // tombstones (id-continuity markers) are reclaimed after this many
+    // multiples of the gap with no new events — bounding state-store size
+    // per EVER-SEEN user to a retention window, not forever
+    val TombstoneRetention = 10L
 
     def onUser(user: Long, rows: Iterator[SessionIn],
                state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (!rows.hasNext && state.hasTimedOut) {
         val s = state.get
-        // close + tombstone (n=0): numbering continues at the next event
-        state.update(SessionState(s.sessionId + 1L, 0L, 0L, 0L))
-        Iterator.single(SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs)))
+        if (s.n == 0L) { // expired tombstone → reclaim
+          state.remove()
+          Iterator.empty
+        } else {
+          // close + tombstone (n=0): numbering continues at the next event;
+          // the tombstone itself expires after the retention window
+          state.update(SessionState(s.sessionId + 1L, 0L, 0L, 0L))
+          state.setTimeoutTimestamp(
+            math.max(s.lastUs / 1000L + TombstoneRetention * gapMs,
+              state.getCurrentWatermarkMs() + 1L))
+          Iterator.single(SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs)))
+        }
       } else {
         // micro-batch rows arrive unordered — order within the batch; the
         // watermark bounds how far across batches disorder can reach.
@@ -181,7 +197,7 @@ object EventsStream extends Serializable {
     }
 
     events.selectExpr("event_id", "ts", "user_id")
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", s"$wmMinutes minutes")
       .as[SessionIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](

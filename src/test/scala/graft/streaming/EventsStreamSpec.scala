@@ -133,6 +133,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(u1.sameElements(Array(1L, 2L)), u1.mkString(","))
   }
 
+  test("sessionizeStream: pre-session straggler becomes its own earlier session (wm > gap)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionizeStream(mem.toDF(), gapMinutes = 30,
+        watermarkDelayMinutes = Some(240))
+      .writeStream.format("memory").queryName("straggler_out")
+      .outputMode("append").start()
+
+    mem.addData(Ev(1, t("12:00"), 1, "a", 0)) // open session at 12:00
+    q.processAllAvailable()
+    // straggler at 10:00: above the 4h watermark, but > gap before the
+    // open session's start → own earlier singleton session
+    mem.addData(Ev(2, t("10:00"), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t("23:00"), 2, "a", 0)) // watermark → close user 1
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("23:50"), 2, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("straggler_out").filter(col("user_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getTimestamp(3))).sortBy(_._1)
+    assert(u1.length == 2, u1.mkString(","))
+    assert(u1(0) == ((1L, 1L, t("10:00"))), u1(0).toString) // straggler singleton
+    assert(u1(1)._1 == 2L && u1(1)._2 == 1L && u1(1)._3 == t("12:00"))
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
