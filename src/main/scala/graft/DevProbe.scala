@@ -73,6 +73,27 @@ object DevProbe {
       graft.ops.Privacy.syntheticSample(li,
         Seq("l_quantity", "l_extendedprice", "l_returnflag"), seed = 42L).count()
     }
+    t("v4 assembly-only with UDF lookup") {
+      val vals = (0 until 583000).map(_ / 100.0).toArray
+      val cum = (1 to 583000).map(_ / 583000.0).toArray
+      val bv = spark.sparkContext.broadcast((vals, cum))
+      val f = udf { (u: Double) =>
+        val (vs, cm) = bv.value
+        val j = java.util.Arrays.binarySearch(cm, u)
+        val idx = math.min(if (j >= 0) j else -j - 1, vs.length - 1)
+        vs(idx)
+      }
+      spark.range(600000).select(
+        when(col("id") < 300000, f(rand(1))).otherwise(randn(2) * 3.0 + 1.0).as("x"),
+        when(col("id") < 300000, f(rand(3))).otherwise(randn(4) * 3.0 + 1.0).as("y"))
+        .count()
+    }
+    t("v4 assembly-only no UDF") {
+      spark.range(600000).select(
+        when(col("id") < 300000, rand(1)).otherwise(randn(2) * 3.0 + 1.0).as("x"),
+        when(col("id") < 300000, rand(3)).otherwise(randn(4) * 3.0 + 1.0).as("y"))
+        .count()
+    }
     t("v5y again") {
       val capped = udaf(new graft.functions.CappedDistinctLong(64))
       val aggs = li.schema.fields.toSeq.map { f =>

@@ -150,29 +150,45 @@ object Exact {
     }
   }
 
-  /** Exact quantiles by collecting the cents column to the driver and
-    * selecting on the sorted array — identical values to the histogram
-    * paths (sorted[r] IS valueAt(r)), and the fastest strategy while the
-    * single column fits driver memory (600k longs = 4.8 MB; practical to
-    * ~10⁸ rows). A distinct-value shuffle costs ~1 s at sf0.1 regardless
-    * of plan shape, so when the value domain is nearly unique the
-    * "shuffle the domain" trick degenerates and a narrow scan + driver
-    * select wins — the same locality pandas exploits. Beyond driver
-    * memory, use [[quantilesViaCentsHistogramDistributed]]. */
+  /** Collect one numeric column as a primitive double array, nulls and
+    * NaNs dropped — per-partition ArrayBuilder over the INTERNAL rows
+    * (no encoder, no boxing), concatenated on the driver. The fast path
+    * for driver-side fitting while a single column fits driver memory
+    * (600k doubles = 4.8 MB; practical to ~10⁸ rows). */
+  def collectColumnDoubles(df: org.apache.spark.sql.DataFrame, c: String): Array[Double] = {
+    val rows = df.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val parts: Array[Array[Double]] = rows.queryExecution.toRdd
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofDouble
+        it.foreach(r => buf += r.getDouble(0))
+        Iterator.single(buf.result())
+      }.collect()
+    val out = new Array[Double](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  /** Exact quantiles by collecting the RAW double column to the driver
+    * and selecting on the sorted array — exactly what `quantile_cont`
+    * computes (same sort, same [[interp]] formula), with NO ≤2-decimal
+    * precondition. A distinct-value shuffle costs ~1 s at sf0.1
+    * regardless of plan shape, so when the value domain is nearly unique
+    * the "shuffle the domain" trick degenerates and a narrow scan +
+    * driver select wins — the same locality pandas exploits. Beyond
+    * driver memory, use [[quantilesViaCentsHistogramDistributed]]. */
   def quantilesViaDriverSort(df: org.apache.spark.sql.DataFrame, c: String,
                              probs: Seq[Double]): Seq[Double] = {
-    val arr: Array[Long] = df.select(cents(col(c)).as("b"))
-      .filter(col("b").isNotNull)
-      .selectExpr("b").as(org.apache.spark.sql.Encoders.scalaLong).collect()
+    val arr = collectColumnDoubles(df, c)
     java.util.Arrays.sort(arr)
     val n = arr.length
     if (n == 0) return probs.map(_ => Double.NaN)
     probs.map { p =>
       val h = p * (n - 1)
       val i = math.floor(h).toInt
-      val lo = arr(i) / 100.0
-      if (h == math.floor(h)) lo
-      else interp(lo, arr(i + 1) / 100.0, h - math.floor(h))
+      if (h == math.floor(h)) arr(i)
+      else interp(arr(i), arr(i + 1), h - math.floor(h))
     }
   }
 

@@ -176,42 +176,44 @@ object Privacy {
   private final case class NumFit(values: Array[Double], cum: Array[Double],
                                   mu: Double, sigma: Double)
 
-  /** Fit from a SORTED cents array (driver path): one pass builds the
-    * distinct (values, cum) inverse-CDF table and the exact moments. */
-  private def fitFromSortedCents(sorted: Array[Long]): NumFit = {
+  /** Fit from a SORTED raw-double array (driver path): one pass builds
+    * the distinct (values, cum) inverse-CDF table; μ/σ come from two-pass
+    * Kahan-compensated sums — overflow-free at any magnitude, accurate to
+    * the last ulps, and V4's Gaussian half only consumes them as
+    * parameters (seeded/rows-only match mode). Raw doubles mean NO
+    * ≤2-decimal precondition: arbitrary user columns bootstrap on their
+    * exact values. */
+  private def fitFromSortedDoubles(sorted: Array[Double]): NumFit = {
     val nn = sorted.length
     val vs = Array.newBuilder[Double]
     val cm = Array.newBuilder[Double]
     var i = 0
-    var s1 = 0L // Σ cents, flushed to decimal before it can overflow
-    var s2 = java.math.BigDecimal.ZERO
-    var chunk = 0L // Σ cents² accumulates in a long chunk, flushed before overflow
-    var s1Big = java.math.BigDecimal.ZERO
-    // |b| below this bound ⇒ b² ≤ ~9.2e18·(…) stays a valid positive long
-    val SqSafe = 3037000499L // floor(sqrt(Long.MaxValue))
+    var s = 0.0
+    var comp = 0.0
     while (i < nn) {
-      val b = sorted(i)
-      // moments (exact: cents are integers)
-      if (math.abs(s1) > Long.MaxValue / 2) { s1Big = s1Big.add(java.math.BigDecimal.valueOf(s1)); s1 = 0L }
-      s1 += b
-      if (math.abs(b) <= SqSafe) {
-        val bb = b * b // ≤ Long.MaxValue by the bound above
-        if (chunk > Long.MaxValue - bb) { s2 = s2.add(java.math.BigDecimal.valueOf(chunk)); chunk = 0L }
-        chunk += bb
-      } else {
-        s2 = s2.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b)))
-      }
-      // distinct values + cumulative counts
-      if (i == nn - 1 || sorted(i + 1) != b) {
-        vs += b / 100.0
+      val y = sorted(i) - comp
+      val t = s + y
+      comp = (t - s) - y
+      s = t
+      if (i == nn - 1 || sorted(i + 1) != sorted(i)) {
+        vs += sorted(i)
         cm += (i + 1).toDouble / nn
       }
       i += 1
     }
-    s2 = s2.add(java.math.BigDecimal.valueOf(chunk))
-    val s1d = s1Big.add(java.math.BigDecimal.valueOf(s1))
-    val mu = Exact.meanDouble(s1d, nn)
-    val sdRaw = Exact.stdDouble(s1d, s2, nn)
+    val mu = s / nn
+    var s2 = 0.0
+    var c2 = 0.0
+    i = 0
+    while (i < nn) {
+      val d = sorted(i) - mu
+      val y = d * d - c2
+      val t = s2 + y
+      c2 = (t - s2) - y
+      s2 = t
+      i += 1
+    }
+    val sdRaw = if (nn < 2) Double.NaN else math.sqrt(s2 / (nn - 1))
     val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
     NumFit(vs.result(), cm.result(), mu, sigma)
   }
@@ -245,13 +247,14 @@ object Privacy {
     val numIdx = fields.zipWithIndex.filter(_._1.dataType.isInstanceOf[NumericType])
     val catIdx = fields.zipWithIndex.filterNot(_._1.dataType.isInstanceOf[NumericType])
 
-    // Fitting strategy (both yield identical NumFit tables):
+    // Fitting strategy:
     //  - driverFit (default; right while one column fits driver memory,
-    //    practical to ~1e8 rows): each numeric column collects its cents
-    //    narrow-scan CONCURRENTLY and fits on a driver sort — a
-    //    near-unique money column costs a 5 MB collect instead of a ~1 s
-    //    distinct shuffle. Categorical PMFs + the row counter still fuse
-    //    into one tiny aggregate job running alongside.
+    //    practical to ~1e8 rows): each numeric column collects its RAW
+    //    doubles (primitive batches, no encoder) CONCURRENTLY and fits on
+    //    a driver sort — a near-unique money column costs a 5 MB collect
+    //    instead of a ~1 s distinct shuffle, and arbitrary-precision
+    //    columns bootstrap on exact values. Categorical PMFs + the row
+    //    counter still fuse into one tiny aggregate job running alongside.
     //  - !driverFit (the 100 TB path): ONE fused job — every row explodes
     //    into a counter entry plus one (colIdx, cents-bin | category)
     //    entry per column; a single map-side-combinable aggregate yields
@@ -274,11 +277,9 @@ object Privacy {
           counterEntry +: catIdx.map { case (f, i) => catEntry(f, i) }.toSeq))
         val numF = Future.sequence(numIdx.toSeq.map { case (f, i) =>
           Future {
-            val sorted = df.select(Exact.cents(col(f.name)).as("b"))
-              .filter(col("b").isNotNull)
-              .selectExpr("b").as(org.apache.spark.sql.Encoders.scalaLong).collect()
+            val sorted = Exact.collectColumnDoubles(df, f.name)
             java.util.Arrays.sort(sorted)
-            i -> (if (sorted.isEmpty) None else Some(fitFromSortedCents(sorted)))
+            i -> (if (sorted.isEmpty) None else Some(fitFromSortedDoubles(sorted)))
           }
         })
         val st = Await.result(catF, 30.minutes)
