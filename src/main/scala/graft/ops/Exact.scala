@@ -156,8 +156,11 @@ object Exact {
     * for driver-side fitting while a single column fits driver memory
     * (600k doubles = 4.8 MB; practical to ~10⁸ rows). */
   def collectColumnDoubles(df: org.apache.spark.sql.DataFrame, c: String): Array[Double] = {
+    // non-finite values are dropped, as the cents-cast path did (a single
+    // Infinity would otherwise poison every downstream sum and quantile)
     val rows = df.select(col(c).cast("double").as("v"))
-      .filter(col("v").isNotNull && !isnan(col("v")))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity)
     val parts: Array[Array[Double]] = rows.queryExecution.toRdd
       .mapPartitions { it =>
         val buf = new scala.collection.mutable.ArrayBuilder.ofDouble

@@ -61,14 +61,17 @@ object Privacy {
     * The edge list is tiny (≤ bins+1 doubles) — collected to the driver
     * and compiled into a when-chain, which codegens into the scan pass.
     */
-  /** Quantile-edge strategies for [[generalizeNumeric]] — all bit-identical
-    * to `quantile_cont`; they differ only in where the work lands:
+  /** Quantile-edge strategies for [[generalizeNumeric]]:
     *  - [[QuantileStrategy.CentsHistogram]]: distributed histogram over the
-    *    value DOMAIN; the scale default for ≤2-decimal columns.
-    *  - [[QuantileStrategy.DriverSort]]: collect the cents column, select
-    *    on the driver — fastest while one column fits driver memory.
+    *    value DOMAIN; the scale path, valid for ≤2-decimal columns only
+    *    (quantiles of the cents-rounded values).
+    *  - [[QuantileStrategy.DriverSort]]: collect the RAW doubles, select on
+    *    the driver — `quantile_cont` bit-exact for ANY doubles; fastest
+    *    while one column fits driver memory. Equal to CentsHistogram only
+    *    when the column is cents-eligible.
     *  - [[QuantileStrategy.SortPercentile]]: Spark's exact percentile
-    *    aggregate — the general-doubles path (no cents precondition). */
+    *    aggregate — distributed general-doubles path (its interpolation
+    *    can differ from quantile_cont by 1 ulp on rare inputs). */
   sealed trait QuantileStrategy
   object QuantileStrategy {
     case object CentsHistogram extends QuantileStrategy
@@ -178,11 +181,12 @@ object Privacy {
 
   /** Fit from a SORTED raw-double array (driver path): one pass builds
     * the distinct (values, cum) inverse-CDF table; μ/σ come from two-pass
-    * Kahan-compensated sums — overflow-free at any magnitude, accurate to
-    * the last ulps, and V4's Gaussian half only consumes them as
-    * parameters (seeded/rows-only match mode). Raw doubles mean NO
-    * ≤2-decimal precondition: arbitrary user columns bootstrap on their
-    * exact values. */
+    * Kahan-compensated sums — accurate to the last ulps for any finite
+    * data of sane magnitude (d² can still overflow past ~1.3e154; the σ
+    * fallback also catches that Inf), and V4's Gaussian half only
+    * consumes them as parameters (seeded/rows-only match mode). Raw
+    * doubles mean NO ≤2-decimal precondition: arbitrary user columns
+    * bootstrap on their exact values. */
   private def fitFromSortedDoubles(sorted: Array[Double]): NumFit = {
     val nn = sorted.length
     val vs = Array.newBuilder[Double]
@@ -214,7 +218,7 @@ object Privacy {
       i += 1
     }
     val sdRaw = if (nn < 2) Double.NaN else math.sqrt(s2 / (nn - 1))
-    val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
+    val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN || sdRaw.isInfinite) 1.0 else sdRaw
     NumFit(vs.result(), cm.result(), mu, sigma)
   }
 
