@@ -45,6 +45,8 @@ object ExtCatalog {
     }),
     "t_token_count" -> ((s, d) =>
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
+    "t_pii_scan" -> ((s, d) =>
+      TextStats.piiScan(Tables.documents(s, d), "text", "doc_id")),
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
@@ -269,6 +271,16 @@ object ExtCatalog {
         |WHERE length(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "x_corpus_clean" -> corpusCleanSql,
+    "t_pii_scan" -> {
+      val cols = TextStats.PiiPatterns.map { case (name, pat) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS n_$name"
+      }.mkString(",\n  ")
+      val names = TextStats.PiiPatterns.map { case (n, _) => s"n_$n" }
+      s"""SELECT doc_id, ${names.mkString(", ")},
+         |  (${names.mkString(" + ")}) > 0 AS has_pii
+         |FROM (SELECT doc_id, $cols FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,

@@ -86,6 +86,30 @@ object TextStats {
     df.select(col(idCol), langPred(col(textCol)).as("lang_pred"))
       .orderBy(col(idCol))
 
+  /** PII detector patterns (RE2-safe, shared verbatim with the oracle):
+    * conservative surface forms a privacy pipeline screens before
+    * publishing text — emails, dashed/dotted phone numbers, long digit
+    * runs (account/ID-like). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+",
+    "phone" -> "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]",
+    "id_like" -> "[0-9]{9,}")
+
+  /** PII scan over a text column: per-document match counts for each
+    * [[PiiPatterns]] entry plus an aggregate flag — the screening pass a
+    * privacy pipeline runs before releasing documents. Pure codegen'd
+    * regexp extraction, one scan, no shuffle. */
+  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val counts = PiiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(lowered, lit(pat), lit(0))).as(s"n_$name")
+    }
+    val total = PiiPatterns.map { case (name, _) => col(s"n_$name") }.reduce(_ + _)
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("has_pii", total > 0)
+      .orderBy(col(idCol))
+  }
+
   /** BPE-ish pre-tokenizer pattern (the GPT-2 idea, ASCII-reduced): letter
     * runs, digit runs, punctuation runs — over lowercased text. Both RE2
     * (DuckDB) and java.util.regex (Spark) read this pattern identically. */

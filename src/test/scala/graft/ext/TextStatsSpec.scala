@@ -35,4 +35,18 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("piiScan counts emails, dashed phones, and long digit runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact Bob.Smith@example.com or call 555-123-4567 today"),
+      (2L, "account 123456789012 flagged"),
+      (3L, "perfectly clean text with the number 42")
+    ).toDF("doc_id", "text")
+    val out = TextStats.piiScan(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1, 1, 0, true)))
+    assert(out(2L) == ((0, 0, 1, true)))
+    assert(out(3L) == ((0, 0, 0, false)))
+  }
 }
