@@ -9,10 +9,10 @@ import org.apache.spark.sql.types._
   * `modules/utility.py:92-123`).
   *
   * Determinism note: every metric here reduces doubles that were derived
-  * from exact integer counts, and the final summations run through an
-  * ORDERED running-sum window (not an unordered aggregate), so the
+  * from exact integer counts. D1's cumulative CDFs are pure Long
+  * arithmetic (partition-invariant); D2's double term-sum runs through an
+  * ORDERED running-sum window over the few categories, so its
   * floating-point addition order is fixed and identical to the oracle's.
-  * Counts shuffle once per column; the windows act on ≤|distinct| rows.
   */
 object Drift {
 
@@ -21,29 +21,50 @@ object Drift {
     * `scipy.ks_2samp(...).statistic` semantics; null if either side has
     * fewer than 5 non-null rows (`modules/utility.py:95-96`).
     *
-    * Plan: tag + union both sides, count per (value, side) — ONE shuffle —
-    * then a cumulative window over the distinct values (second, tiny
-    * shuffle) gives both empirical CDFs in a single pass. O(n) + sort of
-    * |distinct|, vs the reference's full sort of both arrays.
+    * Plan (scale-safe, no single-task window): tag + union both sides,
+    * count per (value, side) — ONE shuffle — then range-partition the
+    * distinct values and compute the cumulative CDF in TWO parallel
+    * passes: per-bucket cumulative counts (window partitioned by bucket)
+    * plus broadcast per-bucket prefix offsets from a ≤`buckets`-row
+    * aggregate. All cumulative arithmetic is exact integer counts, so the
+    * result is bitwise-identical to a global ordered window while every
+    * O(|distinct|) stage runs on all cores. A continuous column at 100×
+    * scale (|distinct| ≈ n) stays parallel end-to-end; the only
+    * single-partition window left touches ≤`buckets` rows.
     */
-  def ksStatistic(before: DataFrame, after: DataFrame, c: String): DataFrame = {
+  def ksStatistic(before: DataFrame, after: DataFrame, c: String,
+                  buckets: Int = 32): DataFrame = {
     val a = before.select(col(c).cast("double").as("v"))
       .na.drop().withColumn("ca", lit(1L)).withColumn("cb", lit(0L))
     val b = after.select(col(c).cast("double").as("v"))
       .na.drop().withColumn("ca", lit(0L)).withColumn("cb", lit(1L))
     val counts = a.union(b).groupBy("v")
       .agg(sum("ca").as("na"), sum("cb").as("nb"))
-    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val cdfs = counts
-      .withColumn("cuma", sum("na").over(wCum))
-      .withColumn("cumb", sum("nb").over(wCum))
-      .withColumn("ta", sum("na").over(wAll))
-      .withColumn("tb", sum("nb").over(wAll))
-    cdfs.agg(
-      max(when(col("ta") >= 5 && col("tb") >= 5,
-        abs(col("cuma").cast("double") / col("ta") - col("cumb").cast("double") / col("tb"))))
-        .as("ks"))
+    // Contiguous value ranges → bucket id; ties land in one bucket by
+    // construction (range partitioner keys on v). Bucket boundaries vary
+    // with sampling, but offsets make the CDF independent of placement.
+    val parts = counts.repartitionByRange(buckets, col("v"))
+      .withColumn("bucket", spark_partition_id())
+    val wBkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val wAllB = Window.partitionBy()
+    // ≤`buckets` rows: the one single-partition window in the plan.
+    val offsets = parts.groupBy("bucket").agg(sum("na").as("sa"), sum("nb").as("sb"))
+      .withColumn("offa", coalesce(sum("sa").over(wBkt), lit(0L)))
+      .withColumn("offb", coalesce(sum("sb").over(wBkt), lit(0L)))
+      .withColumn("ta", sum("sa").over(wAllB))
+      .withColumn("tb", sum("sb").over(wAllB))
+      .select("bucket", "offa", "offb", "ta", "tb")
+    val wCum = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("pa", sum("na").over(wCum))
+      .withColumn("pb", sum("nb").over(wCum))
+      .join(broadcast(offsets), Seq("bucket"))
+      .agg(
+        max(when(col("ta") >= 5 && col("tb") >= 5,
+          abs((col("pa") + col("offa")).cast("double") / col("ta") -
+            (col("pb") + col("offb")).cast("double") / col("tb"))))
+          .as("ks"))
       .withColumn("column", lit(c))
       .select(col("column"), col("ks"))
   }

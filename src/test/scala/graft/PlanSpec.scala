@@ -50,6 +50,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [vec_dot"), s"vec_dot not codegen'd:\n$plan")
   }
 
+  test("D1 KS cumulative window is range-partitioned, never a single task") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val li = Tables.lineitem(spark, Sf)
+    val df = graft.ops.Drift.ksStatistic(
+      li.select(col("l_extendedprice")), li.select(col("l_extendedprice")), "l_extendedprice")
+    val bigSingleTaskWindows = df.queryExecution.executedPlan.collect {
+      // a Window whose required distribution is all-rows-in-one-partition
+      // is only tolerable on the ≤buckets-row offsets frame (empty
+      // partitionSpec AND a child aggregate keyed by bucket)
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.child.toString.contains("bucket") => w
+    }
+    assert(bigSingleTaskWindows.isEmpty,
+      s"unpartitioned window over the distinct-values frame:\n${df.queryExecution.executedPlan}")
+  }
+
   test("sdcSuppressBroadcast never shuffles the fact table") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.ops.Privacy.sdcSuppressBroadcast(
