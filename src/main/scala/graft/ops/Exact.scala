@@ -150,6 +150,111 @@ object Exact {
     }
   }
 
+  /** Exact quantiles for MANY columns in ONE job, scale-safe: explode the
+    * numeric columns into (columnIdx, centBucket) pairs, histogram with a
+    * single map-side-combinable shuffle, range-partition the bins and
+    * compute cumulative counts per bucket + broadcast per-bucket prefix
+    * offsets (the same two-pass trick as `Drift.ksStatistic` — exact Long
+    * arithmetic, no single-task window), then pull back only the ≤2·|probs|
+    * crossing bins per column. Cents-eligibility (≤2 decimals, fits
+    * DECIMAL(18,2)) is verified inside the same scan.
+    *
+    * Returns per column: `None` when the column is NOT cents-eligible
+    * (caller must fall back to an exact `percentile`/driver sort);
+    * `Some(values)` otherwise, with `Double.NaN` marking an all-null
+    * column (callers emit SQL null, matching `percentile`'s behavior —
+    * eligible columns can never produce a real NaN since cents are
+    * finite). */
+  def quantilesMultiCentsHistogram(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      probs: Seq[Double], buckets: Int = 32): Map[String, Option[Seq[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    if (cols.isEmpty) return Map.empty
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), col(c).cast("double").as("v"))
+    }
+    val exploded = df
+      .select(explode(array(pairs: _*)).as("e"))
+      .select(col("e.ci").as("ci"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+      // roundtrip in decimal space, exactly as centsEligible(): NaN/±Inf/
+      // >2dp/overflow all flag `bad` (their b lands in the null-b bin)
+      .withColumn("bad",
+        when(col("v") <=> col("v").cast(DecimalType(18, 2)).cast("double"), 0L).otherwise(1L))
+      .withColumn("b", cents(col("v")))
+    // Persist BEFORE repartitionByRange: the range partitioner's sampling
+    // pass and the three downstream consumers (offsets, cumulative join,
+    // summary) would otherwise each recompute the scan + histogram shuffle.
+    val hist = exploded.groupBy("ci", "b")
+      .agg(count(lit(1)).as("cnt"), sum("bad").as("bad"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = hist.repartitionByRange(buckets, col("ci"), col("b"))
+      .withColumn("bucket", spark_partition_id())
+    val wPre = Window.partitionBy("ci").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCi = Window.partitionBy("ci")
+    // ≤ buckets·|cols| rows — the only non-bucketed windows in the plan
+    val offsets = parts.groupBy("bucket", "ci")
+      .agg(sum("cnt").as("scnt"), sum("bad").as("sbad"))
+      .withColumn("off", coalesce(sum("scnt").over(wPre), lit(0L)))
+      .withColumn("n", sum("scnt").over(wCi))
+      .withColumn("badci", sum("sbad").over(wCi))
+      .select("bucket", "ci", "off", "n", "badci")
+    val wLoc = Window.partitionBy("bucket", "ci").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts
+      .withColumn("loc", sum("cnt").over(wLoc))
+      .join(broadcast(offsets), Seq("bucket", "ci"))
+      .withColumn("cum", col("loc") + col("off"))
+      .withColumn("lo", col("cum") - col("cnt"))
+    val probsArr = array(probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("pi"), lit(p).as("p"))
+    }: _*)
+    val inLo = col("r0") >= col("lo") && col("r0") < col("cum")
+    val inHi = col("r0") + 1 >= col("lo") && col("r0") + 1 < col("cum")
+    val crossings = cum.filter(col("b").isNotNull)
+      .select(col("ci"), col("b"), col("lo"), col("cum"), col("n"),
+        col("badci"), explode(probsArr).as("pp"))
+      .withColumn("h", col("pp.p") * (col("n") - 1).cast("double"))
+      .withColumn("r0", floor(col("h")).cast("long"))
+      .filter(inLo || inHi)
+      .groupBy(col("ci"), col("pp.pi").as("pi"))
+      .agg(first("h").as("h"), first("badci").as("badci"),
+        min(when(inLo, col("b"))).as("blo"),
+        min(when(inHi, col("b"))).as("bhi"))
+    // per-column summary row (pi = -1) so all-NaN columns — which have
+    // only null-b bins and thus no crossings — still report badci
+    val summary = offsets.groupBy("ci").agg(
+      lit(-1).as("pi"), max("n").cast("double").as("h"),
+      max("badci").as("badci"),
+      lit(null).cast("long").as("blo"), lit(null).cast("long").as("bhi"))
+    val rows =
+      try crossings.unionByName(summary).collect()
+      finally hist.unpersist(blocking = false)
+    val byCi = rows.groupBy(_.getInt(0))
+    cols.zipWithIndex.map { case (c, i) =>
+      val rs = byCi.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+      val badci = rs.headOption.map(_.getLong(3)).getOrElse(0L)
+      if (badci > 0) c -> None
+      else {
+        val byPi = rs.filter(_.getInt(1) >= 0).map(r => r.getInt(1) -> r).toMap
+        c -> Some(probs.indices.map { pi =>
+          byPi.get(pi) match {
+            case None => Double.NaN // column had no non-null values
+            case Some(r) =>
+              val h = r.getDouble(2)
+              val lo = r.getLong(4) / 100.0
+              if (h == math.floor(h)) lo
+              else {
+                val hi = (if (r.isNullAt(5)) r.getLong(4) else r.getLong(5)) / 100.0
+                interp(lo, hi, h - math.floor(h))
+              }
+          }
+        })
+      }
+    }.toMap
+  }
+
   /** Collect one numeric column as a primitive double array, nulls and
     * NaNs dropped — per-partition ArrayBuilder over the INTERNAL rows
     * (no encoder, no boxing), concatenated on the driver. The fast path
@@ -193,6 +298,61 @@ object Exact {
       if (h == math.floor(h)) arr(i)
       else interp(arr(i), arr(i + 1), h - math.floor(h))
     }
+  }
+
+  /** [[collectColumnDoubles]] for MANY columns in ONE scan: per-partition
+    * primitive builders over the internal rows (no encoder, no boxing),
+    * one array per column, concatenated on the driver. Nulls and
+    * non-finite values are dropped per column independently. */
+  def collectColumnsDoubles(df: org.apache.spark.sql.DataFrame,
+                            cols: Seq[String]): Map[String, Array[Double]] = {
+    val k = cols.length
+    val rows = df.select(cols.map(c => col(c).cast("double")): _*)
+    val parts: Array[Array[Array[Double]]] = rows.queryExecution.toRdd
+      .mapPartitions { it =>
+        val bufs = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+        it.foreach { r =>
+          var i = 0
+          while (i < k) {
+            if (!r.isNullAt(i)) {
+              val v = r.getDouble(i)
+              if (!v.isNaN && !v.isInfinite) bufs(i) += v
+            }
+            i += 1
+          }
+        }
+        Iterator.single(bufs.map(_.result()))
+      }.collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      val slices = parts.map(_(i))
+      val out = new Array[Double](slices.map(_.length).sum)
+      var off = 0
+      slices.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+      c -> out
+    }.toMap
+  }
+
+  /** Exact quantiles for MANY columns in ONE scan via [[collectColumnsDoubles]]
+    * + driver sorts — the small-data side of the auto-dispatch (see
+    * [[quantilesMultiCentsHistogram]] for the 100 TB side). No ≤2-decimal
+    * precondition. `Double.NaN` marks an all-null column. */
+  def quantilesViaDriverSortMulti(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, Option[Seq[Double]]] = {
+    val arrays = collectColumnsDoubles(df, cols)
+    cols.map { c =>
+      val arr = arrays(c)
+      java.util.Arrays.sort(arr)
+      val n = arr.length
+      c -> Some(probs.map { p =>
+        if (n == 0) Double.NaN
+        else {
+          val h = p * (n - 1)
+          val i = math.floor(h).toInt
+          if (h == math.floor(h)) arr(i) else interp(arr(i), arr(i + 1), h - math.floor(h))
+        }
+      })
+    }.toMap
   }
 
   /** True iff every value of `c` survives the double→DECIMAL(18,2)→double

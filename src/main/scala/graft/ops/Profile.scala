@@ -24,10 +24,19 @@ object Profile {
 
   private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
 
+  /** Above this the quantile fit stops collecting raw columns to the
+    * driver (10⁷ rows × 8 B ≈ 80 MB/column) and switches to the
+    * domain-shuffling histogram path. */
+  private val DriverSortMaxRows = 10_000_000L
+
   /** A1 `basic_stats`: one row per input column. Numeric moments use the
-    * exact-cents policy in [[Exact]]; quantiles use Spark's exact sort-based
-    * `percentile` (linear interpolation — pandas/DuckDB-compatible, NOT
-    * `percentile_approx`). */
+    * exact-cents policy in [[Exact]]; quantiles route through the fused
+    * scale-safe cents-histogram job ([[Exact.quantilesMultiCentsHistogram]]
+    * — one extra scan for ALL numeric columns, shuffling the value DOMAIN
+    * instead of every value) and only columns that fail the ≤2-decimals
+    * eligibility check fall back to the all-values sort-based `percentile`
+    * buffer inside the wide agg. Both paths are linear-interpolation
+    * exact — pandas/DuckDB-compatible, NOT `percentile_approx`. */
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     val numCols = fields.filter(f => isNum(f.dataType)).map(_.name)
@@ -35,6 +44,18 @@ object Profile {
     val strCols = fields.filter(_.dataType == StringType).map(_.name)
 
     def dtypeName(dt: DataType): String = dt.sql.toLowerCase
+
+    // Auto-dispatch (mirrors generalizeNumericAuto): below the row
+    // threshold a single fused scan + driver sorts is strictly faster than
+    // any shuffle-based plan (Spark job floor dominates); above it, the
+    // scale-safe bucketed cents-histogram shuffles the value DOMAIN, never
+    // the data. Both produce bit-identical quantile_cont interpolation.
+    val quantiles: Map[String, Option[Seq[Double]]] =
+      if (numCols.isEmpty) Map.empty
+      else if (df.count() <= DriverSortMaxRows)
+        Exact.quantilesViaDriverSortMulti(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
+      else
+        Exact.quantilesMultiCentsHistogram(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
 
     // One wide aggregate covering every column's scan-side stats.
     val aggs: Seq[Column] =
@@ -45,9 +66,12 @@ object Profile {
           count_distinct(col(c)).as(s"${c}__uniq"),
           Exact.s1(col(c)).as(s"${c}__s1"),
           Exact.s2(col(c)).as(s"${c}__s2"),
-          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__q"),
           min(col(c)).cast("double").as(s"${c}__min"),
-          max(col(c)).cast("double").as(s"${c}__max"))
+          max(col(c)).cast("double").as(s"${c}__max")) ++
+        // fallback only for non-cents-eligible columns (>2 decimals / huge)
+        (if (quantiles(c).isEmpty)
+          Seq(expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__q"))
+        else Nil)
       } ++
       othCols.flatMap { c =>
         Seq(
@@ -71,16 +95,23 @@ object Profile {
             .as("missing_pct"),
           col(s"${c}__uniq").as("n_unique"))
         val numeric =
-          if (isNum(f.dataType)) Seq(
+          if (isNum(f.dataType)) {
+            val q: Int => Column = quantiles(c) match {
+              case Some(vs) => i =>
+                if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
+              case None => i => col(s"${c}__q").getItem(i)
+            }
+            Seq(
             Exact.meanFromMoments(col(s"${c}__s1"), col(s"${c}__n")).as("mean"),
             Exact.stdFromMoments(col(s"${c}__s1"), col(s"${c}__s2"), col(s"${c}__n")).as("std"),
             col(s"${c}__min").as("min_num"),
-            col(s"${c}__q").getItem(0).as("p25"),
-            col(s"${c}__q").getItem(1).as("median"),
-            col(s"${c}__q").getItem(2).as("p75"),
+            q(0).as("p25"),
+            q(1).as("median"),
+            q(2).as("p75"),
             col(s"${c}__max").as("max_num"),
             lit(null).cast("string").as("min_str"),
             lit(null).cast("string").as("max_str"))
+          }
           else Seq(
             lit(null).cast("double").as("mean"),
             lit(null).cast("double").as("std"),
