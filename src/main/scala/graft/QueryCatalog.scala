@@ -347,37 +347,49 @@ object QueryCatalog {
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
   }
 
-  /** V6 SQL: standardize (population σ from exact moments, fit on anon) +
-    * one-hot, cross join, min distance per anon row, score, ordered mean. */
+  /** V6 SQL, generated generically from the quasi column lists (mirrors
+    * `Linkage.linkageRisk` exactly): standardize numerics (population σ
+    * from exact moments, fit on anon); the categorical distance uses the
+    * one-hot identity `[a ≠ r] · (inFit(a) + inFit(r))` with the fitted
+    * list as an `IN (SELECT DISTINCT … FROM anon)` subquery — no
+    * hardcoded category values, so a subset missing a category stays in
+    * lockstep with the Spark side by construction. */
   private def v6Sql: String = {
     val anonF = "l_orderkey % 100 = 0"
     val realF = "l_orderkey % 100 = 50"
-    s"""WITH af AS (SELECT l_quantity, l_discount, l_returnflag FROM lineitem WHERE $anonF),
-       |rf AS (SELECT l_quantity, l_discount, l_returnflag FROM lineitem WHERE $realF),
+    val nums = Seq("l_quantity", "l_discount")
+    val cats = Seq("l_returnflag")
+    val quasi = nums ++ cats
+    val moments = nums.map { c =>
+      s"""  CAST(${Exact.s1Sql(c)} AS DOUBLE) / 100.0 / COUNT($c) AS mu_$c,
+         |  ${Exact.stdPopSql(c)} AS sd_$c""".stripMargin
+    }.mkString(",\n")
+    val feats = (
+      nums.map(c => s"  (CAST($c AS DOUBLE) - m.mu_$c) / m.sd_$c AS std_$c") ++
+      cats.map(c => s"  $c")).mkString(",\n")
+    val fitCtes = cats.map(c =>
+      s"fit_$c AS (SELECT DISTINCT $c AS v FROM af WHERE $c IS NOT NULL)").mkString(",\n")
+    val numTerms = nums.map(c =>
+      s"(a.std_$c - r.std_$c) * (a.std_$c - r.std_$c)")
+    val catTerms = cats.map(c =>
+      s"""CASE WHEN a.$c IS NOT DISTINCT FROM r.$c THEN 0.0
+         |     ELSE (CASE WHEN a.$c IN (SELECT v FROM fit_$c) THEN 1.0 ELSE 0.0 END
+         |         + CASE WHEN r.$c IN (SELECT v FROM fit_$c) THEN 1.0 ELSE 0.0 END) END""".stripMargin)
+    val dist2 = (numTerms ++ catTerms).mkString(" +\n    ")
+    s"""WITH af AS (SELECT ${quasi.mkString(", ")} FROM lineitem WHERE $anonF),
+       |rf AS (SELECT ${quasi.mkString(", ")} FROM lineitem WHERE $realF),
        |m AS (SELECT
-       |  CAST(${Exact.s1Sql("l_quantity")} AS DOUBLE) / 100.0 / COUNT(l_quantity) AS muq,
-       |  ${Exact.stdPopSql("l_quantity")} AS sdq,
-       |  CAST(${Exact.s1Sql("l_discount")} AS DOUBLE) / 100.0 / COUNT(l_discount) AS mud,
-       |  ${Exact.stdPopSql("l_discount")} AS sdd
+       |$moments
        |  FROM af),
-       |a AS (SELECT ROW_NUMBER() OVER (ORDER BY l_quantity, l_discount, l_returnflag) AS aid,
-       |  (CAST(l_quantity AS DOUBLE) - m.muq) / m.sdq AS f1,
-       |  (CAST(l_discount AS DOUBLE) - m.mud) / m.sdd AS f2,
-       |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS f3,
-       |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS f4,
-       |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS f5
+       |$fitCtes,
+       |a AS (SELECT ROW_NUMBER() OVER (ORDER BY ${quasi.mkString(", ")}) AS aid,
+       |$feats
        |  FROM af, m),
        |r AS (SELECT
-       |  (CAST(l_quantity AS DOUBLE) - m.muq) / m.sdq AS f1,
-       |  (CAST(l_discount AS DOUBLE) - m.mud) / m.sdd AS f2,
-       |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS f3,
-       |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS f4,
-       |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS f5
+       |$feats
        |  FROM rf, m),
        |d AS (SELECT a.aid, MIN(SQRT(
-       |    (a.f1 - r.f1) * (a.f1 - r.f1) + (a.f2 - r.f2) * (a.f2 - r.f2) +
-       |    (a.f3 - r.f3) * (a.f3 - r.f3) + (a.f4 - r.f4) * (a.f4 - r.f4) +
-       |    (a.f5 - r.f5) * (a.f5 - r.f5))) AS d0
+       |    $dist2)) AS d0
        |  FROM a CROSS JOIN r GROUP BY a.aid),
        |sc AS (SELECT
        |  SUM(1.0 - d0 / (d0 + 1e-9)) OVER (ORDER BY aid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,

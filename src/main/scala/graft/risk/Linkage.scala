@@ -46,20 +46,39 @@ object Linkage {
     (withHots, featCols)
   }
 
-  private def dist2(featCols: Seq[String]): Column =
-    featCols.map(f => (col(s"a.$f") - col(s"r.$f")) * (col(s"a.$f") - col(s"r.$f")))
-      .reduce(_ + _)
-
-  /** Exact V6: overall risk score as a 1-row DataFrame (risk_score). */
+  /** Exact V6: overall risk score as a 1-row DataFrame (risk_score).
+    *
+    * The categorical part of the euclidean distance uses the algebraic
+    * identity Σ_cat (a_1hot − r_1hot)² = [a ≠ r] · (inFit(a) + inFit(r)),
+    * where `inFit` is membership in the fitted (anon-side) distinct list —
+    * the SAME rule `features`/`RowTransforms.oneHot` fit, so the oracle SQL
+    * can mirror it with an `IN (SELECT DISTINCT …)` subquery instead of a
+    * hardcoded per-category CASE list: any category set, any subset,
+    * bit-identical terms (each is exactly 0.0 / 1.0 / 2.0) and identical
+    * addition order (numeric terms first, then one term per cat column). */
   def linkageRisk(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
-    val (anonF0, featCols) = features(anon, anon, quasi)
-    val (realF0, _) = features(real, anon, quasi)
+    val (nums, cats) = split(anon, quasi)
+    val anonStd = RowTransforms.standardize(anon.select(quasi.map(col): _*), anon, nums)
+    val realStd = RowTransforms.standardize(real.select(quasi.map(col): _*), anon, nums)
+    val fitted: Map[String, Seq[String]] = cats.map { c =>
+      c -> anon.select(col(c)).na.drop().distinct().orderBy(col(c))
+        .collect().map(_.getString(0)).toSeq
+    }.toMap
     // Deterministic anon row ids: order by the quasi values themselves —
     // identical rows are interchangeable, so tie order is irrelevant.
-    val anonF = anonF0.withColumn("__aid",
+    val anonF = anonStd.withColumn("__aid",
       row_number().over(Window.orderBy(quasi.map(col): _*)))
-    val pairs = anonF.alias("a").crossJoin(realF0.alias("r"))
-      .select(col("a.__aid").as("aid"), sqrt(dist2(featCols)).as("dist"))
+    def inFit(side: String, c: String): Column =
+      if (fitted(c).isEmpty) lit(0.0)
+      else coalesce(col(s"$side.$c").isin(fitted(c): _*).cast("double"), lit(0.0))
+    val numTerms = nums.map(f =>
+      (col(s"a.$f") - col(s"r.$f")) * (col(s"a.$f") - col(s"r.$f")))
+    val catTerms = cats.map(c =>
+      when(col(s"a.$c") <=> col(s"r.$c"), lit(0.0))
+        .otherwise(inFit("a", c) + inFit("r", c)))
+    val d2 = (numTerms ++ catTerms).reduce(_ + _)
+    val pairs = anonF.alias("a").crossJoin(realStd.alias("r"))
+      .select(col("a.__aid").as("aid"), sqrt(d2).as("dist"))
     val d0 = pairs.groupBy("aid").agg(min("dist").as("d0"))
     val score = lit(1.0) - col("d0") / (col("d0") + lit(1e-9))
     val wCum = Window.orderBy("aid").rowsBetween(Window.unboundedPreceding, Window.currentRow)

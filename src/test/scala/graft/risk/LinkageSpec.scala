@@ -39,21 +39,48 @@ class LinkageSpec extends SparkSpec {
     assert(realF.select(col("f__A")).collect()(0).getDouble(0) == 0.0)
   }
 
-  test("v6 oracle precondition: anon subset carries exactly A/N/R at gated SFs") {
-    // The v6_linkage_risk oracle SQL one-hot-encodes the fitted category
-    // list; the Spark side derives it from the anon subset's distinct
-    // values. This pins the two feature spaces together: if a fixture or
-    // scale factor ever loses a flag value in the l_orderkey%100=0 subset,
-    // this test fails loudly instead of the hash check diverging silently.
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-      .filter(d => new java.io.File(d).isDirectory)
-      .foreach { d =>
-        val cats = graft.Tables.lineitem(spark, d)
-          .filter(col("l_orderkey") % 100 === 0)
-          .select(col("l_returnflag")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        assert(cats == Seq("A", "N", "R"), s"at $d")
-      }
+  /** Naive driver-side reference: standardize on anon (population σ),
+    * one-hot distance via explicit fitted category vectors, k=1 min
+    * distance, score mean. Deliberately a different code path (plain
+    * Scala loops over explicit one-hot vectors) from both the engine and
+    * the oracle identity form. */
+  private def naiveRisk(anon: Seq[(Double, String)], real: Seq[(Double, String)]): Double = {
+    val n = anon.length
+    val mu = anon.map(_._1).sum / n
+    val sd0 = math.sqrt(anon.map(v => (v._1 - mu) * (v._1 - mu)).sum / n)
+    val sd = if (sd0 == 0.0) 1.0 else sd0
+    val fitted = anon.map(_._2).filter(_ != null).distinct.sorted
+    def vec(t: (Double, String)): Array[Double] =
+      ((t._1 - mu) / sd) +: fitted.map(c => if (t._2 == c) 1.0 else 0.0).toArray
+    val scores = anon.map { a =>
+      val av = vec(a)
+      val d0 = real.map { r =>
+        val rv = vec(r)
+        math.sqrt(av.zip(rv).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.min
+      1.0 - d0 / (d0 + 1e-9)
+    }
+    math.min(1.0, math.max(0.0, scores.sum / n))
+  }
+
+  test("perturbed subsets: risk matches a naive one-hot reference, incl. categories missing from the anon fit") {
+    // the oracle SQL derives its category terms from the same fitted rule
+    // as the engine (IN (SELECT DISTINCT…)), so the property to pin here
+    // is the SEMANTICS under perturbation: anon lacking a category that
+    // real has, unseen categories, and near-match numerics
+    val cases = Seq(
+      // anon has only A,B — real's R must map to a zero vector
+      (Seq((25.0, "A"), (30.0, "B")), Seq((25.0, "R"), (30.0, "B"))),
+      // anon category missing entirely from real
+      (Seq((1.0, "A"), (2.0, "B"), (3.0, "B")), Seq((1.0, "B"), (2.5, "C"))),
+      // exact matches through standardization
+      (Seq((10.0, "X"), (20.0, "Y"), (30.0, "X")), Seq((10.0, "X"), (20.0, "Y"), (30.0, "X"))))
+    cases.foreach { case (a, r) =>
+      val risk = Linkage.linkageRisk(a.toDF("q", "f"), r.toDF("q", "f"), Seq("q", "f"))
+        .collect()(0).getDouble(0)
+      val expect = naiveRisk(a, r)
+      assert(math.abs(risk - expect) < 1e-9, s"anon=$a real=$r: $risk vs $expect")
+    }
   }
 
   test("LSH risk agrees with exact on an exact-match heavy pair") {
