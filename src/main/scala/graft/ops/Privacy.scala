@@ -241,72 +241,118 @@ object Privacy {
       hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray, mu, sigma)
   }
 
+  /** Auto driver-fit ceiling for [[syntheticSample]]: below this
+    * optimizer scan-size estimate (≈10⁸ rows of a typical fact table)
+    * collecting the raw numeric columns beats any shuffle; above it the
+    * fused domain-shuffling job is the only safe path. Free to evaluate —
+    * plan statistics, no job. */
+  private val DriverFitMaxBytes = BigInt(8L) << 30
+
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
-                      seed: Long = 42L, driverFit: Boolean = true): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+                      seed: Long = 42L, driverFit: Option[Boolean] = None): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     val numIdx = fields.zipWithIndex.filter(_._1.dataType.isInstanceOf[NumericType])
     val catIdx = fields.zipWithIndex.filterNot(_._1.dataType.isInstanceOf[NumericType])
 
-    // Fitting strategy:
-    //  - driverFit (default; right while one column fits driver memory,
-    //    practical to ~1e8 rows): each numeric column collects its RAW
-    //    doubles (primitive batches, no encoder) CONCURRENTLY and fits on
-    //    a driver sort — a near-unique money column costs a 5 MB collect
-    //    instead of a ~1 s distinct shuffle, and arbitrary-precision
-    //    columns bootstrap on exact values. Categorical PMFs + the row
-    //    counter still fuse into one tiny aggregate job running alongside.
-    //  - !driverFit (the 100 TB path): ONE fused job — every row explodes
-    //    into a counter entry plus one (colIdx, cents-bin | category)
-    //    entry per column; a single map-side-combinable aggregate yields
-    //    the row count, every cents histogram, and every PMF. One scan
-    //    instead of k+2; only the value DOMAIN shuffles.
-    val counterEntry = struct(lit(-1).as("i"), lit(0L).as("bin"),
-      lit(null).cast("string").as("cat"))
-    def catEntry(f: org.apache.spark.sql.types.StructField, i: Int) =
-      struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
-        col(f.name).cast("string").as("cat"))
-    def statsJob(entries: Seq[Column]) =
-      df.select(explode(array(entries: _*)).as("e"))
-        .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
+    // Fitting strategy — auto-selected from the optimizer's size estimate
+    // (mirrors generalizeNumericAuto's shape dispatch) unless forced.
+    // EITHER WAY the fit is exactly ONE Spark job:
+    //  - driver fit (small side; right while the columns fit driver
+    //    memory): one fused scan over the internal rows collects every
+    //    numeric column's RAW doubles (primitive batches, no encoder,
+    //    sorted on the driver — a near-unique money column costs a 5 MB
+    //    collect instead of a ~1 s distinct shuffle, and arbitrary-
+    //    precision columns bootstrap on exact values), every categorical
+    //    PMF (vocabulary-sized hash maps), and the row count.
+    //  - distributed fit (the 100 TB path, the default beyond
+    //    [[DriverFitMaxBytes]]): every row explodes into a counter entry
+    //    plus one (colIdx, cents-bin | category) entry per column; a
+    //    single map-side-combinable aggregate yields the row count, every
+    //    cents histogram, and every PMF. Only the value DOMAIN shuffles.
+    val useDriverFit = driverFit.getOrElse(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= DriverFitMaxBytes)
 
-    val (stats, numFits): (Array[org.apache.spark.sql.Row], Map[Int, NumFit]) =
-      if (driverFit) {
-        val catF = Future(statsJob(
-          counterEntry +: catIdx.map { case (f, i) => catEntry(f, i) }.toSeq))
-        val numF = Future.sequence(numIdx.toSeq.map { case (f, i) =>
-          Future {
-            val sorted = Exact.collectColumnDoubles(df, f.name)
-            java.util.Arrays.sort(sorted)
-            i -> (if (sorted.isEmpty) None else Some(fitFromSortedDoubles(sorted)))
+    val (sourceRows, numFits, catCounts): (Long, Map[Int, NumFit], Map[Int, Seq[(String, Long)]]) =
+      if (useDriverFit) {
+        val numNames = numIdx.map(_._1.name)
+        val catNames = catIdx.map(_._1.name)
+        val kN = numNames.length
+        val kC = catNames.length
+        val proj = df.select(numNames.map(c => col(c).cast("double")) ++
+          catNames.map(c => col(c).cast("string")): _*)
+        val parts = proj.queryExecution.toRdd.mapPartitions { it =>
+          val bufs = Array.fill(kN)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+          val maps = Array.fill(kC)(scala.collection.mutable.HashMap.empty[String, Long])
+          var rows = 0L
+          it.foreach { r =>
+            rows += 1
+            var i = 0
+            while (i < kN) {
+              if (!r.isNullAt(i)) {
+                val v = r.getDouble(i)
+                if (!v.isNaN && !v.isInfinite) bufs(i) += v
+              }
+              i += 1
+            }
+            var j = 0
+            while (j < kC) {
+              val key = if (r.isNullAt(kN + j)) null else r.getUTF8String(kN + j).toString
+              val m = maps(j)
+              m.update(key, m.getOrElse(key, 0L) + 1L)
+              j += 1
+            }
           }
-        })
-        val st = Await.result(catF, 30.minutes)
-        val nf = Await.result(numF, 30.minutes).collect { case (i, Some(fit)) => i -> fit }
-        (st, nf.toMap)
+          Iterator.single((rows, bufs.map(_.result()), maps.map(_.toMap)))
+        }.collect()
+        val rowsTotal = parts.map(_._1).sum
+        val nf = numIdx.zipWithIndex.flatMap { case ((_, i), bi) =>
+          val slices = parts.map(_._2(bi))
+          val sorted = new Array[Double](slices.map(_.length).sum)
+          var off = 0
+          slices.foreach { p => System.arraycopy(p, 0, sorted, off, p.length); off += p.length }
+          java.util.Arrays.sort(sorted)
+          if (sorted.isEmpty) None else Some(i -> fitFromSortedDoubles(sorted))
+        }.toMap
+        val cc = catIdx.zipWithIndex.map { case ((_, i), bj) =>
+          val merged = scala.collection.mutable.HashMap.empty[String, Long]
+          parts.foreach(_._3(bj).foreach { case (k, v) =>
+            merged.update(k, merged.getOrElse(k, 0L) + v)
+          })
+          i -> merged.toSeq
+        }.toMap
+        (rowsTotal, nf, cc)
       } else {
-        val st = statsJob(counterEntry +: fields.zipWithIndex.map { case (f, i) =>
-          if (f.dataType.isInstanceOf[NumericType])
-            struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
-              lit(null).cast("string").as("cat"))
-          else catEntry(f, i)
-        }.toSeq)
+        def catEntry(f: org.apache.spark.sql.types.StructField, i: Int) =
+          struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
+            col(f.name).cast("string").as("cat"))
+        val entries =
+          struct(lit(-1).as("i"), lit(0L).as("bin"), lit(null).cast("string").as("cat")) +:
+          fields.zipWithIndex.map { case (f, i) =>
+            if (f.dataType.isInstanceOf[NumericType])
+              struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
+                lit(null).cast("string").as("cat"))
+            else catEntry(f, i)
+          }.toSeq
+        val st = df.select(explode(array(entries: _*)).as("e"))
+          .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect()
         val nf = numIdx.flatMap { case (_, i) =>
           val hist = st.filter(r => r.getInt(0) == i && !r.isNullAt(1))
             .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
           if (hist.isEmpty) None else Some(i -> fitFromHistogram(hist))
-        }
-        (st, nf.toMap)
+        }.toMap
+        val cc = catIdx.map { case (_, i) =>
+          i -> st.filter(_.getInt(0) == i)
+            .map(r => (if (r.isNullAt(2)) null else r.getString(2), r.getLong(3))).toSeq
+        }.toMap
+        val rowsTotal = st.collectFirst {
+          case r if r.getInt(0) == -1 => r.getLong(3)
+        }.getOrElse(0L)
+        (rowsTotal, nf, cc)
       }
 
-    val sourceRows = stats.collectFirst {
-      case r if r.getInt(0) == -1 => r.getLong(3)
-    }.getOrElse(0L)
     val rows = if (n >= 0) n else sourceRows
     val base = spark.range(rows).select(col("id").as("__row_id"))
     val n2 = rows / 2
@@ -342,8 +388,7 @@ object Privacy {
         // the PMF the previous range-join consumed): cumulative bounds in
         // (count desc, value asc nulls first) order, compiled into a
         // when-chain for small vocabularies — no join at all.
-        val cats = stats.filter(_.getInt(0) == i)
-          .map(r => (if (r.isNullAt(2)) null else r.getString(2), r.getLong(3)))
+        val cats = catCounts(i).toArray
           .sortBy { case (v, cnt) => (-cnt, v != null, v) } // nulls first among ties
         val total = cats.map(_._2).sum.toDouble
         if (cats.isEmpty) acc.withColumn(c, lit(null).cast(f.dataType))

@@ -65,10 +65,16 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(stats.getDouble(1) - 3500000.0) < 500000.0, stats.getDouble(1).toString)
   }
 
-  test("syntheticSample: n rows, numeric moments within tolerance, PMF preserved") {
+  // both fitting paths must produce statistically equivalent output; the
+  // auto dispatch (None) picks one of them from the plan size estimate
+  for ((label, fit) <- Seq("driver fit" -> Some(true),
+                           "distributed fit" -> Some(false),
+                           "auto fit" -> None))
+  test(s"syntheticSample ($label): n rows, numeric moments within tolerance, PMF preserved") {
     val src = graft.Tables.lineitem(spark, Sf)
     val n = 6000L
-    val out = Privacy.syntheticSample(src, Seq("l_quantity", "l_returnflag"), n, seed = 42L)
+    val out = Privacy.syntheticSample(src, Seq("l_quantity", "l_returnflag"), n,
+      seed = 42L, driverFit = fit)
     assert(out.count() == n)
     val srcStats = src.agg(avg("l_quantity"), stddev_samp("l_quantity")).collect()(0)
     val outStats = out.agg(avg("l_quantity"), stddev_samp("l_quantity")).collect()(0)
@@ -79,6 +85,18 @@ class PrivacySpec extends SparkSpec {
     val outPmf = Profile.categoryPmf(out, "l_returnflag").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     srcPmf.foreach { case (k, p) => assert(math.abs(outPmf(k) - p) < 0.05) }
+  }
+
+  test("syntheticSample auto dispatch: tiny input chooses the driver path, a huge size estimate the distributed path") {
+    // 2dp values so both paths are available; the assertion is on the
+    // dispatch predicate itself (plan-stats based, no job)
+    val tiny = Seq(1.25, 2.50, 3.75).toDF("x")
+    assert(tiny.queryExecution.optimizedPlan.stats.sizeInBytes <= (BigInt(8L) << 30))
+    // crossJoins inflate the estimate multiplicatively past any ceiling
+    val huge = graft.Tables.lineitem(spark, Sf)
+      .crossJoin(graft.Tables.lineitem(spark, Sf).select(col("l_orderkey").as("k2")))
+      .crossJoin(graft.Tables.lineitem(spark, Sf).select(col("l_orderkey").as("k3")))
+    assert(huge.queryExecution.optimizedPlan.stats.sizeInBytes > (BigInt(8L) << 30))
   }
 
   test("smartSuggest dispatch rules") {
