@@ -100,6 +100,13 @@ final class GraftSession(val spark: SparkSession) {
       Seq("run summary" -> summary.toJson),
       tables.result(), clock = clock)
   }
+
+  /** Step 6b — S5 PDF twin of the HTML report (reference
+    * `modules/reporting.py:51-75` `try_make_pdf`): text linearization of
+    * the same report, written as a dependency-free PDF. */
+  def reportPdf(path: String, title: String = "SafeData Run",
+                clock: () => Instant = () => Instant.now()): String =
+    graft.report.Pdf.writeFromHtml(report(title, clock), path)
 }
 
 /** Reference `app.py:165`: overall score + quasi set. */
