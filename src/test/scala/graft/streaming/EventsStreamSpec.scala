@@ -160,6 +160,57 @@ class EventsStreamSpec extends SparkSpec {
     assert(u1(1)._1 == 2L && u1(1)._2 == 1L && u1(1)._3 == t("12:00"))
   }
 
+  test("e2e: readStream.parquet → sessionizeStream → checkpointed parquet sink, with restart recovery") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_e2e").toString
+    val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def ns(m: String): Long = Timestamp.valueOf(s"2024-01-01 $m:00").getTime * 1000000L
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // micro-batch 1: two users, one open session each
+    writeBatch(Seq(
+      (1L, ns("10:00"), 1L, "click", 1.0, null),
+      (2L, ns("10:10"), 1L, "click", 1.0, null),
+      (3L, ns("10:05"), 2L, "view", 1.0, null)))
+    def startQuery() =
+      EventsStream.sessionizeStream(EventsStream.readEvents(spark, srcDir), gapMinutes = 30)
+        .writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // micro-batch 2: u1 jumps the gap (gap-close), watermark 11:40−30m=11:10
+    // passes u2's 10:05+30m → timeout-close
+    writeBatch(Seq(
+      (4L, ns("11:30"), 1L, "click", 1.0, null),
+      (5L, ns("11:40"), 2L, "view", 1.0, null)))
+    q1.processAllAvailable()
+    assert(q1.recentProgress.length >= 2, "expected at least two micro-batches")
+    q1.stop()
+
+    // restart from the checkpoint: only the NEW file may be processed, and
+    // state (open sessions at 11:30/11:40, next ids) must be recovered
+    writeBatch(Seq(
+      (6L, ns("13:00"), 1L, "click", 1.0, null),
+      (7L, ns("13:00"), 2L, "view", 1.0, null)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val sink = spark.read.parquet(sinkDir)
+      .select("user_id", "session_id", "n_events", "t_start", "t_end")
+    // batch certification: same sessions as the oracle-gated batch form,
+    // restricted to sessions the stream has already closed (the 13:00
+    // singletons are still open state)
+    val batchDf = spark.read.parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = Events.sessionize(batchDf).filter(col("t_start") < lit(Timestamp.valueOf("2024-01-01 12:00:00")))
+    val got = sink.orderBy("user_id", "session_id").collect().map(_.toSeq)
+    val want = expected.orderBy("user_id", "session_id").collect().map(_.toSeq)
+    assert(got.length == 4, s"got ${got.mkString("; ")}")
+    assert(got.sameElements(want), s"\ngot:  ${got.mkString("; ")}\nwant: ${want.mkString("; ")}")
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
