@@ -48,8 +48,38 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+
+    // Scale-up pass: time the headline subset on a 4× key-offset copy so
+    // scaling curvature is part of the record (a plan that is secretly
+    // quadratic or single-task shows ratio ≫ 4). Auto-runs at the
+    // standard bench SF; SPARK_GRAFT_SCALEUP=on/off overrides.
+    val scaleupMode = sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "auto")
+    val runScaleup = scaleupMode == "on" ||
+      (scaleupMode == "auto" && sfDir.matches(".*sf0\\.1/?$"))
+    val scaleupJson =
+      if (!runScaleup) ""
+      else try {
+        val copies = 4
+        val dst = ScaleUp.ensure(spark, sfDir, copies)
+        // base-scale headline times come from the timed pass above (same
+        // session, same warmth) — only the Nx pass runs fresh
+        val base = results.collect {
+          case (k, v, true) if ScaleUp.Headline.contains(k) => k -> v
+        }.toMap
+        val big = ScaleUp.timeHeadline(spark, dst)
+        val baseTotal = big.map { case (k, _) => base.getOrElse(k, 0.0) }.sum
+        val bigTotal = big.map(_._2).sum
+        val perQ = big.map { case (k, v) =>
+          "\"" + k + "\":{\"base\":" + base.getOrElse(k, -1.0) + ",\"x4\":" + v + "}"
+        }.mkString("{", ",", "}")
+        s""","scaleup":{"copies":$copies,"total_base":$baseTotal,"total_x$copies":$bigTotal,"ratio":${bigTotal / math.max(baseTotal, 1e-9)},"queries":$perQ}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaleup pass failed: ${e.getMessage}")
+        ""
+      }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$scaleupJson}"""
     println(json)
     // Also drop the line as a file: sbt wraps stdout in "[info] " prefixes,
     // so a consumer that greps the raw line has a clean fallback.

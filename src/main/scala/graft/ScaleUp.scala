@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture: materialize an N× copy of an sf directory by
+  * key-offset unions, so scaling CURVATURE (not just absolute time) is
+  * measurable — a plan that is accidentally quadratic or single-task
+  * shows a >N× total. Texts get a per-copy suffix token so the dedup
+  * family sees a larger corpus, not `copies−1` byte-identical clones of
+  * every document (which would measure a pathological workload). */
+object ScaleUp {
+
+  /** Queries timed at both scales: the most expensive §2 rows plus one
+    * representative per family (join, dedup, text, stream-batch, ANN). */
+  val Headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q5_local_supplier_volume", "a1_profile_lineitem",
+    "d1_ks_statistic", "d3_drift_all", "v2_generalize", "v4_synthetic",
+    "v5_smart_suggest", "x_minhash_lsh", "x_corpus_clean", "s_sessionize",
+    "q_asof_join")
+
+  /** Materialize (or reuse) the N× directory; returns its path. A marker
+    * file keyed on (src, copies) makes repeated bench runs reuse the
+    * fixture instead of rewriting ~4× the data each round. */
+  def ensure(spark: SparkSession, src: String, copies: Int): String = {
+    val dst = s"/tmp/graft_scaleup_x$copies"
+    val marker = java.nio.file.Paths.get(s"$dst/_DONE")
+    val key = s"$src x$copies"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)) == key)
+      return dst
+
+    def replicate(name: String, offsets: Map[String, Long => org.apache.spark.sql.Column]): Unit = {
+      val base = Tables.load(spark, src, name)
+      val parts = (0 until copies).map { i =>
+        offsets.foldLeft(base) { case (df, (c, f)) => df.withColumn(c, f(i.toLong)) }
+      }
+      parts.reduce(_ union _).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    val big = 100000000L
+    replicate("lineitem", Map("l_orderkey" -> (i => col("l_orderkey") + lit(i * big))))
+    replicate("orders", Map("o_orderkey" -> (i => col("o_orderkey") + lit(i * big))))
+    replicate("documents", Map(
+      "doc_id" -> (i => col("doc_id") + lit(i * big)),
+      "text" -> (i => concat(col("text"), lit(s" v"), lit(i)))))
+    replicate("embeddings", Map("vec_id" -> (i => col("vec_id") + lit(i * big))))
+    replicate("events", Map("event_id" -> (i => col("event_id") + lit(i * big))))
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    java.nio.file.Files.write(marker, key.getBytes)
+    dst
+  }
+
+  /** Per-query wall seconds for the headline set at `dir`. */
+  def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    Headline.map { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).count()
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+}

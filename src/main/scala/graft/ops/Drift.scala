@@ -20,53 +20,162 @@ object Drift {
     * D = max over all sample points of |F₁(x) − F₂(x)|, the exact
     * `scipy.ks_2samp(...).statistic` semantics; null if either side has
     * fewer than 5 non-null rows (`modules/utility.py:95-96`).
-    *
-    * Plan (scale-safe, no single-task window): tag + union both sides,
-    * count per (value, side) — ONE shuffle — then range-partition the
-    * distinct values and compute the cumulative CDF in TWO parallel
-    * passes: per-bucket cumulative counts (window partitioned by bucket)
-    * plus broadcast per-bucket prefix offsets from a ≤`buckets`-row
-    * aggregate. All cumulative arithmetic is exact integer counts, so the
-    * result is bitwise-identical to a global ordered window while every
-    * O(|distinct|) stage runs on all cores. A continuous column at 100×
-    * scale (|distinct| ≈ n) stays parallel end-to-end; the only
-    * single-partition window left touches ≤`buckets` rows.
-    */
+    * Single-column convenience over [[ksStatisticMulti]]. */
   def ksStatistic(before: DataFrame, after: DataFrame, c: String,
                   buckets: Int = 32): DataFrame = {
-    val a = before.select(col(c).cast("double").as("v"))
-      .na.drop().withColumn("ca", lit(1L)).withColumn("cb", lit(0L))
-    val b = after.select(col(c).cast("double").as("v"))
-      .na.drop().withColumn("ca", lit(0L)).withColumn("cb", lit(1L))
-    val counts = a.union(b).groupBy("v")
-      .agg(sum("ca").as("na"), sum("cb").as("nb"))
-    // Contiguous value ranges → bucket id; ties land in one bucket by
-    // construction (range partitioner keys on v). Bucket boundaries vary
-    // with sampling, but offsets make the CDF independent of placement.
-    val parts = counts.repartitionByRange(buckets, col("v"))
+    val spark = before.sparkSession
+    import spark.implicits._
+    ksStatisticMulti(before, after, Seq(c), buckets).toDF("column", "ks")
+  }
+
+  /** Fused (ci, v) side-tagged counts for ALL columns — one scan per side,
+    * ONE histogram shuffle total. */
+  private[graft] def ksCountsFrame(before: DataFrame, after: DataFrame,
+                                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, ca: Long, cb: Long) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), col(c).cast("double").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.ci").as("ci"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("ca", lit(ca)).withColumn("cb", lit(cb))
+    side(before, 1L, 0L).union(side(after, 0L, 1L))
+      .groupBy("ci", "v").agg(sum("ca").as("na"), sum("cb").as("nb"))
+  }
+
+  /** The scale-safe cumulative-CDF plan over a (ci, v, na, nb) histogram:
+    * range-partition the distinct values, per-bucket cumulative counts
+    * (window partitioned by bucket+ci) plus broadcast per-bucket prefix
+    * offsets from a ≤`buckets`·|cols| aggregate. All cumulative arithmetic
+    * is exact integer counts, so the result is bitwise-identical to a
+    * global ordered window while every O(|distinct|) stage runs on all
+    * cores — a continuous column at 100× scale (|distinct| ≈ n) stays
+    * parallel end-to-end; the only single-partition window left touches
+    * the tiny offsets frame. Returns (ci, ks). */
+  private[graft] def ksFromCounts(counts: DataFrame, buckets: Int,
+                                  roundTo: Option[Int]): DataFrame = {
+    val parts = counts.repartitionByRange(buckets, col("ci"), col("v"))
       .withColumn("bucket", spark_partition_id())
-    val wBkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val wAllB = Window.partitionBy()
-    // ≤`buckets` rows: the one single-partition window in the plan.
-    val offsets = parts.groupBy("bucket").agg(sum("na").as("sa"), sum("nb").as("sb"))
-      .withColumn("offa", coalesce(sum("sa").over(wBkt), lit(0L)))
-      .withColumn("offb", coalesce(sum("sb").over(wBkt), lit(0L)))
-      .withColumn("ta", sum("sa").over(wAllB))
-      .withColumn("tb", sum("sb").over(wAllB))
-      .select("bucket", "offa", "offb", "ta", "tb")
-    val wCum = Window.partitionBy("bucket").orderBy("v")
+    val wPre = Window.partitionBy("ci").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCi = Window.partitionBy("ci")
+    val offsets = parts.groupBy("bucket", "ci")
+      .agg(sum("na").as("sa"), sum("nb").as("sb"))
+      .withColumn("offa", coalesce(sum("sa").over(wPre), lit(0L)))
+      .withColumn("offb", coalesce(sum("sb").over(wPre), lit(0L)))
+      .withColumn("ta", sum("sa").over(wCi))
+      .withColumn("tb", sum("sb").over(wCi))
+      .select("bucket", "ci", "offa", "offb", "ta", "tb")
+    val wCum = Window.partitionBy("bucket", "ci").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = max(when(col("ta") >= 5 && col("tb") >= 5,
+      abs((col("pa") + col("offa")).cast("double") / col("ta") -
+        (col("pb") + col("offb")).cast("double") / col("tb"))))
     parts
       .withColumn("pa", sum("na").over(wCum))
       .withColumn("pb", sum("nb").over(wCum))
-      .join(broadcast(offsets), Seq("bucket"))
-      .agg(
-        max(when(col("ta") >= 5 && col("tb") >= 5,
-          abs((col("pa") + col("offa")).cast("double") / col("ta") -
-            (col("pb") + col("offb")).cast("double") / col("tb"))))
-          .as("ks"))
-      .withColumn("column", lit(c))
-      .select(col("column"), col("ks"))
+      .join(broadcast(offsets), Seq("bucket", "ci"))
+      .groupBy("ci")
+      .agg(roundTo.fold(ks)(d => round(ks, d)).as("ks"))
+  }
+
+  /** Below this per-side optimizer size estimate the KS fit collects the
+    * raw columns and merge-walks the CDFs on the driver (the computation
+    * scipy itself performs); above it, the fused scale-safe histogram
+    * plan runs. Free to evaluate — plan statistics, no job. */
+  private val KsDriverMaxBytes = BigInt(8L) << 30
+
+  /** Collect columns as primitive doubles KEEPING NaN/±Inf (they are real
+    * sample points to the plan path and the oracle — NaN groups sort
+    * last) and normalizing -0.0 → 0.0 (grouping treats them equal). */
+  private def collectRaw(df: DataFrame, cols: Seq[String]): Map[String, Array[Double]] = {
+    val k = cols.length
+    val rows = df.select(cols.map(c => col(c).cast("double")): _*)
+    val parts: Array[Array[Array[Double]]] = rows.queryExecution.toRdd
+      .mapPartitions { it =>
+        val bufs = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+        it.foreach { r =>
+          var i = 0
+          while (i < k) {
+            if (!r.isNullAt(i)) {
+              val v = r.getDouble(i)
+              bufs(i) += (if (v == 0.0) 0.0 else v)
+            }
+            i += 1
+          }
+        }
+        Iterator.single(bufs.map(_.result()))
+      }.collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      val slices = parts.map(_(i))
+      val out = new Array[Double](slices.map(_.length).sum)
+      var off = 0
+      slices.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+      c -> out
+    }.toMap
+  }
+
+  /** Two-sample KS by merge-walking both sorted arrays — the exact
+    * per-distinct-value CDF evaluation the plan path performs, with the
+    * identical long→double divisions, so results are bit-equal. NaNs sort
+    * last (java total order), matching Spark/DuckDB ascending order. */
+  private def ksMerge(a: Array[Double], b: Array[Double]): Option[Double] = {
+    val n = a.length; val m = b.length
+    if (n < 5 || m < 5) return None
+    java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+    var i = 0; var j = 0; var d = 0.0
+    while (i < n || j < m) {
+      val cmp =
+        if (i >= n) 1
+        else if (j >= m) -1
+        else java.lang.Double.compare(a(i), b(j))
+      if (cmp <= 0) { val v = a(i); while (i < n && java.lang.Double.compare(a(i), v) == 0) i += 1 }
+      if (cmp >= 0) { val v = b(j); while (j < m && java.lang.Double.compare(b(j), v) == 0) j += 1 }
+      val diff = math.abs(i.toDouble / n - j.toDouble / m)
+      if (diff > d) d = diff
+    }
+    Some(d)
+  }
+
+  /** Spark's ROUND(double, s) exactly (RoundBase: shortest-representation
+    * BigDecimal, HALF_UP) so driver-side results mirror plan-side ones. */
+  private def roundLike(d: Double, s: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** KS for MANY columns in one fused job (same-shaped win as the
+    * profile's fused quantiles: d3 at 8 numeric columns pays 2 scans
+    * instead of 8×). Auto-dispatch mirrors the profile quantiles: below
+    * [[KsDriverMaxBytes]] both sides collect in one scan each and the
+    * driver merge-walks the CDFs (beats any shuffle at the Spark job
+    * floor); above it the histogram is persisted across the range
+    * partitioner's sampling pass and the two window consumers of the
+    * scale-safe bucketed plan ([[ksFromCounts]]). Both produce
+    * bit-identical statistics. None = a side under 5 non-null rows → SQL
+    * null upstream. `roundTo` applies Spark-ROUND-equivalent rounding. */
+  def ksStatisticMulti(before: DataFrame, after: DataFrame, cols: Seq[String],
+                       buckets: Int = 32, roundTo: Option[Int] = None,
+                       driverCollect: Option[Boolean] = None)
+      : Seq[(String, Option[Double])] = {
+    if (cols.isEmpty) return Seq.empty
+    val useDriver = driverCollect.getOrElse(
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes)
+    if (useDriver) {
+      val aArr = collectRaw(before, cols)
+      val bArr = collectRaw(after, cols)
+      cols.map { c =>
+        c -> ksMerge(aArr(c), bArr(c)).map(v => roundTo.fold(v)(roundLike(v, _)))
+      }
+    } else {
+      val counts = ksCountsFrame(before, after, cols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val byCi = ksFromCounts(counts, buckets, roundTo).collect()
+          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        cols.zipWithIndex.map { case (c, i) => c -> byCi.getOrElse(i, None) }
+      } finally counts.unpersist(blocking = false)
+    }
   }
 
   /** D2 chi-square-LIKE categorical drift — NOT Pearson χ²: the reference's
@@ -99,27 +208,69 @@ object Drift {
       .select(col("column"), col("chi2_like"))
   }
 
+  /** [[chi2Drift]] for MANY columns in one fused pair of scans: explode
+    * (ci, category) per row, count per side, full-outer join per (ci, k),
+    * then the ordered term-sum window PARTITIONED BY ci — the same fixed
+    * per-column addition order as the single form, all columns in
+    * parallel. Returns (ci, chi2_like); a ci absent from both sides
+    * (globally empty inputs) is absent from the result. */
+  private[graft] def chi2Multi(before: DataFrame, after: DataFrame,
+                               cols: Seq[String]): DataFrame = {
+    def counted(df: DataFrame, out: String) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
+      }: _*)).as("e"))
+      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
+      .agg(count(lit(1)).as(out))
+    val j = counted(before, "oa").join(counted(after, "ob"), Seq("ci", "k"), "full_outer")
+      .select(col("ci"), col("k"),
+        coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+    val term = (col("oa") - col("ob")).cast("double") * (col("oa") - col("ob")) /
+      ((col("oa") + col("ob")).cast("double") + 1e-9)
+    val wCum = Window.partitionBy("ci").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCi = Window.partitionBy("ci")
+    j.withColumn("cum", sum(term).over(wCum))
+      .withColumn("ta", sum("oa").over(wCi))
+      .withColumn("tb", sum("ob").over(wCi))
+      .groupBy("ci")
+      .agg(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))).as("chi2_like"))
+  }
+
   /** D3 drift dispatcher (`modules/utility.py:112-123`): for each column
     * present in BOTH tables — columns missing from `after` are silently
     * skipped (`:115-116`) — numeric-in-both → KS, anything else
     * (including the string output of generalization, SURVEY §4.4.1) →
-    * chi²-like. Returns (column, type, metric). */
+    * chi²-like. Returns (column, type, metric).
+    *
+    * Plan shape: exactly TWO fused jobs regardless of column count — one
+    * multi-column KS ([[ksStatisticMulti]]), one multi-column chi²
+    * ([[chi2Multi]]) — instead of 2 scans + shuffles PER column. Metrics
+    * are rounded to 6 decimals in-plan: ordered double accumulation
+    * differs in tree shape across engines (segment-tree vs sequential
+    * window sums), so the last ulps of many-category sums are not
+    * portable. */
   def driftAll(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
     val afterCols = after.columns.toSet
     val shared = before.schema.fields.filter(f => afterCols.contains(f.name))
-    val parts = shared.map { f =>
-      val numericBoth = f.dataType.isInstanceOf[NumericType] &&
+    def numericBoth(f: org.apache.spark.sql.types.StructField) =
+      f.dataType.isInstanceOf[NumericType] &&
         after.schema(f.name).dataType.isInstanceOf[NumericType]
-      // metric rounded to 6 decimals: ordered double accumulation differs in
-      // tree shape across engines (segment-tree vs sequential window sums),
-      // so the last ulps of many-category sums are not portable.
-      if (numericBoth)
-        ksStatistic(before, after, f.name)
-          .select(col("column"), lit("ks").as("type"), round(col("ks"), 6).as("metric"))
-      else
-        chi2Drift(before, after, f.name)
-          .select(col("column"), lit("chi2_like").as("type"), round(col("chi2_like"), 6).as("metric"))
+    val numCols = shared.filter(numericBoth).map(_.name).toSeq
+    val catCols = shared.filterNot(numericBoth).map(_.name).toSeq
+    val ksRows = ksStatisticMulti(before, after, numCols, roundTo = Some(6))
+      .map { case (c, v) => (c, "ks", v) }
+    val chiByCi: Map[Int, Option[Double]] =
+      if (catCols.isEmpty) Map.empty
+      else chi2Multi(before, after, catCols)
+        .select(col("ci"), round(col("chi2_like"), 6).as("m")).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val chiRows = catCols.zipWithIndex.map { case (c, i) =>
+      (c, "chi2_like", chiByCi.getOrElse(i, None))
     }
-    parts.reduce(_ union _).orderBy("column")
+    (ksRows ++ chiRows).toDF("column", "type", "metric").orderBy("column")
   }
 }

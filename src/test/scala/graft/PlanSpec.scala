@@ -52,16 +52,17 @@ class PlanSpec extends SparkSpec {
 
   test("D1 KS cumulative window is range-partitioned, never a single task") {
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     val li = Tables.lineitem(spark, Sf)
-    val df = graft.ops.Drift.ksStatistic(
-      li.select(col("l_extendedprice")), li.select(col("l_extendedprice")), "l_extendedprice")
+    val counts = graft.ops.Drift.ksCountsFrame(
+      li.select(col("l_extendedprice")), li.select(col("l_extendedprice")),
+      Seq("l_extendedprice"))
+    val df = graft.ops.Drift.ksFromCounts(counts, buckets = 32, roundTo = None)
     val bigSingleTaskWindows = df.queryExecution.executedPlan.collect {
-      // a Window whose required distribution is all-rows-in-one-partition
-      // is only tolerable on the ≤buckets-row offsets frame (empty
-      // partitionSpec AND a child aggregate keyed by bucket)
-      case w: WindowExec if w.partitionSpec.isEmpty &&
-        !w.child.toString.contains("bucket") => w
+      // every Window in the CDF plan must carry a partition spec — the
+      // tiny offsets frame partitions by ci, the cumulative pass by
+      // (bucket, ci); an empty spec would serialize |distinct| rows
+      // through one task
+      case w: WindowExec if w.partitionSpec.isEmpty => w
     }
     assert(bigSingleTaskWindows.isEmpty,
       s"unpartitioned window over the distinct-values frame:\n${df.queryExecution.executedPlan}")

@@ -19,6 +19,21 @@ class DriftSpec extends SparkSpec {
     assert(ks == 1.0)
   }
 
+  test("ks: driver merge-walk and scale-safe histogram plan agree bit-exactly") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val before = li.filter(col("l_orderkey") % 2 === 0)
+    val after = li.filter(col("l_orderkey") % 2 === 1)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+    val viaDriver = Drift.ksStatisticMulti(before, after, cols, driverCollect = Some(true))
+    val viaPlan = Drift.ksStatisticMulti(before, after, cols, driverCollect = Some(false))
+    assert(viaDriver == viaPlan, s"\ndriver: $viaDriver\nplan:   $viaPlan")
+    // and with rounding + a small-side null
+    val tiny = Seq(1.0, 2.0).toDF("l_quantity")
+    val d2 = Drift.ksStatisticMulti(tiny, after.select("l_quantity"), Seq("l_quantity"),
+      driverCollect = Some(true))
+    assert(d2 == Seq("l_quantity" -> None))
+  }
+
   test("ks: matches hand-computed two-sample statistic") {
     // a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at x∈[2,3)... computed exactly:
     // F_a after 2 = 0.5, F_b = 0 → D = 0.5
