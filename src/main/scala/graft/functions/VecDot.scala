@@ -83,6 +83,18 @@ object GraftFunctions {
     ("vec_dot", classOf[VecDot].getName, es => {
       require(es.length == 2, s"vec_dot expects 2 arguments, got ${es.length}")
       VecDot(es.head, es(1))
+    }),
+    // empirical_sample(u, values_literal, cum_literal): the array literals
+    // are unwrapped ONCE here at plan time into the expression's reference
+    // arrays — codegen never touches ArrayData per row
+    ("empirical_sample", classOf[EmpiricalSample].getName, es => {
+      require(es.length == 3, s"empirical_sample expects 3 arguments, got ${es.length}")
+      def arr(e: Expression, what: String): Array[Double] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            a: org.apache.spark.sql.catalyst.util.ArrayData, _) => a.toDoubleArray()
+        case other => sys.error(s"empirical_sample $what must be an array literal, got $other")
+      }
+      EmpiricalSample(es.head, arr(es(1), "values"), arr(es(2), "cum"))
     })
   )
 

@@ -366,21 +366,17 @@ object Privacy {
             acc.withColumn(c, lit(null).cast("double"))
           case Some(NumFit(values, cum, mu, sigma)) =>
           // Bootstrap half = iid draws from the empirical distribution,
-          // realized as inverse-CDF over the broadcast fit table (a
-          // bootstrap IS iid empirical sampling; only the RNG mechanics
-          // differ, and V4 is seeded/rows-only by declared match mode).
-          // The binary search is the one UDF in the engine, used exactly
-          // where per-row access to broadcast state has no expression form.
-          val bv = spark.sparkContext.broadcast((values, cum))
-          val sampleEmpirical = udf { (u: Double) =>
-            val (vs, cm) = bv.value
-            val j = java.util.Arrays.binarySearch(cm, u)
-            val idx = math.min(if (j >= 0) j else -j - 1, vs.length - 1)
-            vs(idx)
-          }
+          // realized as inverse-CDF over the fitted table (a bootstrap IS
+          // iid empirical sampling; only the RNG mechanics differ, and V4
+          // is seeded/rows-only by declared match mode). The search runs
+          // as the native codegen'd `empirical_sample` expression — the
+          // fit arrays ride along as plan references, no UDF boxing.
+          graft.functions.GraftFunctions.ensureRegistered(spark)
+          val sampleEmpirical = call_function("empirical_sample",
+            rand(seed + i), typedlit(values), typedlit(cum))
           val gauss = randn(seed + 1000 + i) * sigma + mu
           acc.withColumn(c,
-            when(col("__row_id") < n2, sampleEmpirical(rand(seed + i)))
+            when(col("__row_id") < n2, sampleEmpirical)
               .otherwise(gauss))
         }
       } else {

@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [vec_dot"), s"vec_dot not codegen'd:\n$plan")
   }
 
+  test("empirical_sample participates in whole-stage codegen (v4 is UDF-free)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(100).select(
+      call_function("empirical_sample",
+        rand(1), typedlit(Array(1.0, 2.0, 3.0)), typedlit(Array(0.3, 0.6, 1.0))).as("x"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"empirical_sample fell out of codegen:\n$plan")
+    // the synthesizer's generation plan must contain no ScalaUDF anywhere
+    val v4 = graft.ops.Privacy.syntheticSample(
+      Tables.lineitem(spark, Sf), Seq("l_quantity", "l_returnflag"), n = 100)
+    assert(!v4.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "v4 generation should be UDF-free")
+  }
+
   test("D1 KS cumulative window is range-partitioned, never a single task") {
     import org.apache.spark.sql.execution.window.WindowExec
     val li = Tables.lineitem(spark, Sf)
