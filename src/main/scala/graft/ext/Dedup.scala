@@ -62,36 +62,34 @@ object Dedup {
       }))
   }
 
-  /** Distinct (id, shingle-hash) frame via posexplode + windowed lead —
-    * the whole-stage-codegen form of [[shingleHashes]]. Nested array HOFs
-    * re-evaluate captured subtrees per lambda element in interpreted mode
-    * (measured ~30 ms/doc at 32 perms), so the hot dedup paths use this
-    * relational form: one explode, one per-doc window, all codegen'd.
-    * Texts shorter than n tokens yield no shingles. */
-  def shingleHashFrame(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    require(n == 3, "window form currently fixed at trigrams")
-    val M = 1000000007L
-    val B = 1000003L
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .select(col("id"), col("pos"), TextStats.tokenHash(col("t")).cast("long").as("th"))
-    val w = Window.partitionBy("id").orderBy("pos")
-    toks
-      .withColumn("th2", lead("th", 1).over(w))
-      .withColumn("th3", lead("th", 2).over(w))
-      .filter(col("th3").isNotNull)
-      .select(col("id"),
-        ((((col("th") % M) * B + col("th2")) % M * B + col("th3")) % M).as("s"))
-      .distinct()
+  /** Per-row distinct shingle-hash ARRAY via the native codegen
+    * `shingle_hashes` expression (`graft.functions.ShingleHashes`) —
+    * supersedes both the interpreted HOF form ([[shingleHashes]]) and the
+    * earlier posexplode + per-doc window + distinct pipeline: zero
+    * shuffles, one pass per row. Texts shorter than n tokens yield an
+    * empty array. */
+  def shingleHashArray(df: DataFrame, textCol: String, n: Int): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    call_function("shingle_hashes", col(textCol), lit(n))
   }
+
+  /** Distinct (id, shingle-hash) frame — the inverted-index input,
+    * exploded straight from [[shingleHashArray]]'s per-row output. */
+  def shingleHashFrame(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingleHashArray(df, textCol, n)).as("s"))
 
   /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
     * shingle index (shuffle on shingle, then on the candidate pair). The
     * index keys are long shingle hashes, not strings. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingleHashFrame(df, textCol, idCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val withSh = df.select(col(idCol).as("id"),
+      shingleHashArray(df, textCol, n).as("sh"))
+    // per-row size — the shingle array is already distinct, no count agg
+    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+    val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
     val pairs = sh.alias("a").join(sh.alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
@@ -141,30 +139,27 @@ object Dedup {
     minhashSignatureFromHashes(shingleHashes(textCol, n), numPerms)
 
   /** MinHash LSH near-dup pairs: band the signature, bucket-join on
-    * (band, banded signature), verify candidates with true Jaccard. */
+    * (band, banded signature), verify candidates with true Jaccard.
+    *
+    * The whole prepare side is now per-row codegen — `shingle_hashes`
+    * then `minhash_sig` native expressions — so the ONLY shuffles are the
+    * candidate bucket-join and the verification joins; no perms join, no
+    * signature re-assembly aggregates. Empty docs (< n tokens) drop
+    * before banding, matching the aggregate form that produced no rows
+    * for them. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     require(numPerms % bands == 0)
     val r = numPerms / bands
-    val P = 2147483647L
-    // Shingle hashes once (codegen form), then signatures via a broadcast
-    // perms join + two hash aggregates — no interpreted HOFs anywhere on
-    // the hot path. The banded frame carries only (id, band, bsig).
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sh = shingleHashFrame(df, textCol, idCol, n)
-    val permsDf = minhashPerms(numPerms).zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }.toDF("pidx", "pa", "pb")
-    val mins = sh.join(broadcast(permsDf))
-      .groupBy(col("id"), col("pidx"))
-      .agg(min((col("pa") * col("s") + col("pb")) % P).as("mh"))
-    val sig = mins.groupBy("id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("pidx"), col("mh")))),
-        e => e.getField("mh")).as("sig"))
-    val hs = sh.groupBy("id").agg(collect_list(col("s")).as("sh"))
-    val banded = sig.select(col("id"), explode(
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val withSh = df.select(col(idCol).as("id"),
+        shingleHashArray(df, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = withSh.withColumn("sig",
+      call_function("minhash_sig", col("sh"), lit(numPerms)))
+    val hs = withSh.select(col("id"), col("sh"))
+    val banded = withSig.select(col("id"), explode(
       array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           concat_ws("-", transform(slice(col("sig"), j * r + 1, r),

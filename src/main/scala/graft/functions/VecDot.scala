@@ -87,6 +87,22 @@ object GraftFunctions {
     // empirical_sample(u, values_literal, cum_literal): the array literals
     // are unwrapped ONCE here at plan time into the expression's reference
     // arrays — codegen never touches ArrayData per row
+    ("shingle_hashes", classOf[ShingleHashes].getName, es => {
+      require(es.length == 2, s"shingle_hashes expects (text, n), got ${es.length} args")
+      val n = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"shingle_hashes n must be an int literal, got $other")
+      }
+      ShingleHashes(es.head, n)
+    }),
+    ("minhash_sig", classOf[MinhashSig].getName, es => {
+      require(es.length == 2, s"minhash_sig expects (hashes, numPerms), got ${es.length} args")
+      val p = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"minhash_sig numPerms must be an int literal, got $other")
+      }
+      MinhashSig(es.head, p)
+    }),
     ("empirical_sample", classOf[EmpiricalSample].getName, es => {
       require(es.length == 3, s"empirical_sample expects 3 arguments, got ${es.length}")
       def arr(e: Expression, what: String): Array[Double] = e match {

@@ -14,6 +14,33 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different content about databases and queries here now")
   ).toDF("doc_id", "text")
 
+  test("native shingle_hashes / minhash_sig equal the HOF reference forms") {
+    // the real documents table exercises vocabulary beyond the fixture
+    val real = graft.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val both = real.select(
+      col("doc_id"),
+      Dedup.shingleHashArray(real, "text", 3).as("native"),
+      Dedup.shingleHashes(col("text"), 3).as("hof"),
+      size(split(col("text"), " ")).as("ntoks"))
+    both.collect().foreach { r =>
+      val native = r.getSeq[Long](1)
+      val hof = r.getSeq[Any](2)
+      if (r.getInt(3) >= 3)
+        assert(native == hof, s"doc ${r.getLong(0)}: $native vs $hof")
+      else assert(native.isEmpty) // HOF emits a partial-window shingle; native none
+    }
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sigs = real.select(
+      Dedup.shingleHashArray(real, "text", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        call_function("minhash_sig", col("sh"), lit(8)).as("native"),
+        Dedup.minhashSignatureFromHashes(col("sh"), 8).as("hof"))
+    sigs.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Any](1), s"${r.getSeq[Long](0)} vs ${r.getSeq[Any](1)}")
+    }
+  }
+
   test("exact dedup keeps min id with multiplicity") {
     val out = Dedup.exact(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
