@@ -200,20 +200,16 @@ object Dedup {
     transform(split(textCol, " "),
       t => (TextStats.tokenHash(t).cast("long") * 2654435761L) % 2305843009213693951L)
 
-  /** SimHash fingerprints via explode + 61 codegen'd sums — the hash
-    * aggregate form of [[simhashExpr]] (same values, whole-stage codegen
-    * instead of interpreted nested lambdas; the agg is map-side
-    * combinable so the shuffle carries ≤ one row per doc). */
+  /** SimHash fingerprints via the native codegen `simhash64` expression
+    * (`graft.functions.Simhash64`): one per-row pass, no explode, no
+    * aggregate — same exact integer fingerprint as both the HOF form
+    * ([[simhashExpr]]) and the former explode + 61-sum aggregate. Null
+    * texts drop, as the explode form dropped them. */
   def simhashed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(spreadHashes(col(textCol))).as("h"))
-    val sums = toks.groupBy("id").agg(
-      sum((shiftright(col("h"), 0).bitwiseAND(lit(1L))) * 2 - 1).as("b0"),
-      (1 until 61).map(b =>
-        sum((shiftright(col("h"), b).bitwiseAND(lit(1L))) * 2 - 1).as(s"b$b")): _*)
-    sums.select(col("id"),
-      (0 until 61).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("fp"))
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("simhash64", col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates from a

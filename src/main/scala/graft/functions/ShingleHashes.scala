@@ -64,6 +64,29 @@ object ShingleKernels {
     out
   }
 
+  /** 61-bit SimHash fingerprint: per-token spread hash
+    * `tokenHash · 2654435761 mod (2⁶¹−1)` (`Dedup.spreadHashes`), then
+    * sign-aggregated bit counts — all exact integer math, identical to
+    * the explode + 61-sum aggregate form. */
+  def simhash(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val counts = new Array[Int](61)
+    var i = 0
+    while (i < toks.length) {
+      val h = (tokenHash(toks(i)) * 2654435761L) % 2305843009213693951L
+      var b = 0
+      while (b < 61) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 61) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   def minhashSig(hs: ArrayData, perms: Array[Long]): ArrayData = {
     val P = 2147483647L
     val numPerms = perms.length / 2
@@ -108,6 +131,25 @@ case class ShingleHashes(child: Expression, n: Int)
       s"${ev.value} = graft.functions.ShingleKernels.shingleHashes($s, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint as a native codegen expression — replaces the
+  * explode + 61 bit-sum aggregate pipeline with one per-row pass (no
+  * shuffle before the block-pigeonhole candidate join). */
+case class Simhash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleKernels.simhash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.ShingleKernels.simhash($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }
 

@@ -95,6 +95,10 @@ object GraftFunctions {
       }
       ShingleHashes(es.head, n)
     }),
+    ("simhash64", classOf[Simhash64].getName, es => {
+      require(es.length == 1, s"simhash64 expects 1 argument, got ${es.length}")
+      Simhash64(es.head)
+    }),
     ("minhash_sig", classOf[MinhashSig].getName, es => {
       require(es.length == 2, s"minhash_sig expects (hashes, numPerms), got ${es.length} args")
       val p = es(1) match {
