@@ -159,15 +159,16 @@ object Exact {
     * crossing bins per column. Cents-eligibility (≤2 decimals, fits
     * DECIMAL(18,2)) is verified inside the same scan.
     *
-    * Returns per column: `None` when the column is NOT cents-eligible
-    * (caller must fall back to an exact `percentile`/driver sort);
-    * `Some(values)` otherwise, with `Double.NaN` marking an all-null
-    * column (callers emit SQL null, matching `percentile`'s behavior —
-    * eligible columns can never produce a real NaN since cents are
-    * finite). */
+    * Returns per column a [[QuantFit]]: `None` fields when the column is
+    * NOT cents-eligible (caller must fall back to the in-agg forms);
+    * otherwise exact quantiles (`Double.NaN` marking an all-null column —
+    * callers emit SQL null, matching `percentile`'s behavior; eligible
+    * columns can never produce a real NaN since cents are finite) AND the
+    * exact distinct count (the histogram's bin count — eligibility makes
+    * value↔bin a bijection). */
   def quantilesMultiCentsHistogram(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      probs: Seq[Double], buckets: Int = 32): Map[String, Option[Seq[Double]]] = {
+      probs: Seq[Double], buckets: Int = 32): Map[String, QuantFit] = {
     import org.apache.spark.sql.expressions.Window
     if (cols.isEmpty) return Map.empty
     val pairs = cols.zipWithIndex.map { case (c, i) =>
@@ -194,12 +195,13 @@ object Exact {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCi = Window.partitionBy("ci")
     // ≤ buckets·|cols| rows — the only non-bucketed windows in the plan
-    val offsets = parts.groupBy("bucket", "ci")
-      .agg(sum("cnt").as("scnt"), sum("bad").as("sbad"))
+    val offsetsFull = parts.groupBy("bucket", "ci")
+      .agg(sum("cnt").as("scnt"), sum("bad").as("sbad"),
+        count(lit(1)).as("nbins"))
       .withColumn("off", coalesce(sum("scnt").over(wPre), lit(0L)))
       .withColumn("n", sum("scnt").over(wCi))
       .withColumn("badci", sum("sbad").over(wCi))
-      .select("bucket", "ci", "off", "n", "badci")
+    val offsets = offsetsFull.select("bucket", "ci", "off", "n", "badci")
     val wLoc = Window.partitionBy("bucket", "ci").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = parts
@@ -221,13 +223,17 @@ object Exact {
       .groupBy(col("ci"), col("pp.pi").as("pi"))
       .agg(first("h").as("h"), first("badci").as("badci"),
         min(when(inLo, col("b"))).as("blo"),
-        min(when(inHi, col("b"))).as("bhi"))
+        min(when(inHi, col("b"))).as("bhi"),
+        lit(null).cast("long").as("bins"))
     // per-column summary row (pi = -1) so all-NaN columns — which have
-    // only null-b bins and thus no crossings — still report badci
-    val summary = offsets.groupBy("ci").agg(
+    // only null-b bins and thus no crossings — still report badci; it
+    // also carries the per-column bin count (= exact distinct count for
+    // eligible columns)
+    val summary = offsetsFull.groupBy("ci").agg(
       lit(-1).as("pi"), max("n").cast("double").as("h"),
       max("badci").as("badci"),
-      lit(null).cast("long").as("blo"), lit(null).cast("long").as("bhi"))
+      lit(null).cast("long").as("blo"), lit(null).cast("long").as("bhi"),
+      sum("nbins").as("bins"))
     val rows =
       try crossings.unionByName(summary).collect()
       finally hist.unpersist(blocking = false)
@@ -235,10 +241,11 @@ object Exact {
     cols.zipWithIndex.map { case (c, i) =>
       val rs = byCi.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
       val badci = rs.headOption.map(_.getLong(3)).getOrElse(0L)
-      if (badci > 0) c -> None
+      if (badci > 0) c -> QuantFit(None, None)
       else {
+        val bins = rs.find(_.getInt(1) == -1).map(_.getLong(6)).getOrElse(0L)
         val byPi = rs.filter(_.getInt(1) >= 0).map(r => r.getInt(1) -> r).toMap
-        c -> Some(probs.indices.map { pi =>
+        c -> QuantFit(Some(probs.indices.map { pi =>
           byPi.get(pi) match {
             case None => Double.NaN // column had no non-null values
             case Some(r) =>
@@ -250,7 +257,7 @@ object Exact {
                 interp(lo, hi, h - math.floor(h))
               }
           }
-        })
+        }), Some(bins))
       }
     }.toMap
   }
@@ -303,55 +310,75 @@ object Exact {
   /** [[collectColumnDoubles]] for MANY columns in ONE scan: per-partition
     * primitive builders over the internal rows (no encoder, no boxing),
     * one array per column, concatenated on the driver. Nulls and
-    * non-finite values are dropped per column independently. */
+    * non-finite values are dropped per column independently; the second
+    * element counts the dropped NON-FINITE values (a non-zero count means
+    * the array is not a faithful sample for exact-parity work). */
   def collectColumnsDoubles(df: org.apache.spark.sql.DataFrame,
-                            cols: Seq[String]): Map[String, Array[Double]] = {
+                            cols: Seq[String]): Map[String, (Array[Double], Long)] = {
     val k = cols.length
     val rows = df.select(cols.map(c => col(c).cast("double")): _*)
-    val parts: Array[Array[Array[Double]]] = rows.queryExecution.toRdd
+    val parts: Array[(Array[Array[Double]], Array[Long])] = rows.queryExecution.toRdd
       .mapPartitions { it =>
         val bufs = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+        val dropped = new Array[Long](k)
         it.foreach { r =>
           var i = 0
           while (i < k) {
             if (!r.isNullAt(i)) {
               val v = r.getDouble(i)
-              if (!v.isNaN && !v.isInfinite) bufs(i) += v
+              if (!v.isNaN && !v.isInfinite) bufs(i) += v else dropped(i) += 1L
             }
             i += 1
           }
         }
-        Iterator.single(bufs.map(_.result()))
+        Iterator.single((bufs.map(_.result()), dropped))
       }.collect()
     cols.zipWithIndex.map { case (c, i) =>
-      val slices = parts.map(_(i))
+      val slices = parts.map(_._1(i))
       val out = new Array[Double](slices.map(_.length).sum)
       var off = 0
       slices.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
-      c -> out
+      c -> (out, parts.map(_._2(i)).sum)
     }.toMap
   }
 
-  /** Exact quantiles for MANY columns in ONE scan via [[collectColumnsDoubles]]
-    * + driver sorts — the small-data side of the auto-dispatch (see
-    * [[quantilesMultiCentsHistogram]] for the 100 TB side). No ≤2-decimal
-    * precondition. `Double.NaN` marks an all-null column. */
+  /** Per-column fit result of the multi-column quantile jobs: `None`
+    * fields mean "not derivable on this path — fall back to the in-agg
+    * form" (non-cents-eligible / non-finite values present). `quantiles`
+    * uses `Double.NaN` to mark an all-null column. */
+  final case class QuantFit(quantiles: Option[Seq[Double]], nUnique: Option[Long])
+
+  /** Exact quantiles AND exact distinct counts for MANY columns in ONE
+    * scan via [[collectColumnsDoubles]] + driver sorts — the small-data
+    * side of the auto-dispatch (see [[quantilesMultiCentsHistogram]] for
+    * the 100 TB side). No ≤2-decimal precondition, but columns containing
+    * NaN/±Inf report `QuantFit(None, None)` so callers use the in-agg
+    * forms whose non-finite ordering matches the oracle's. The distinct
+    * count is a free walk of the sorted array — it lets the profile skip
+    * per-column `count_distinct` aggregates (each one multiplies the wide
+    * agg's Expand factor). */
   def quantilesViaDriverSortMulti(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      probs: Seq[Double]): Map[String, Option[Seq[Double]]] = {
+      probs: Seq[Double]): Map[String, QuantFit] = {
     val arrays = collectColumnsDoubles(df, cols)
     cols.map { c =>
-      val arr = arrays(c)
-      java.util.Arrays.sort(arr)
-      val n = arr.length
-      c -> Some(probs.map { p =>
-        if (n == 0) Double.NaN
-        else {
-          val h = p * (n - 1)
-          val i = math.floor(h).toInt
-          if (h == math.floor(h)) arr(i) else interp(arr(i), arr(i + 1), h - math.floor(h))
-        }
-      })
+      val (arr, dropped) = arrays(c)
+      if (dropped > 0) c -> QuantFit(None, None)
+      else {
+        java.util.Arrays.sort(arr)
+        val n = arr.length
+        var uniq = 0L
+        var i = 0
+        while (i < n) { if (i == 0 || arr(i) != arr(i - 1)) uniq += 1; i += 1 }
+        c -> QuantFit(Some(probs.map { p =>
+          if (n == 0) Double.NaN
+          else {
+            val h = p * (n - 1)
+            val i = math.floor(h).toInt
+            if (h == math.floor(h)) arr(i) else interp(arr(i), arr(i + 1), h - math.floor(h))
+          }
+        }), Some(uniq))
+      }
     }.toMap
   }
 

@@ -49,8 +49,12 @@ object Profile {
     // threshold a single fused scan + driver sorts is strictly faster than
     // any shuffle-based plan (Spark job floor dominates); above it, the
     // scale-safe bucketed cents-histogram shuffles the value DOMAIN, never
-    // the data. Both produce bit-identical quantile_cont interpolation.
-    val quantiles: Map[String, Option[Seq[Double]]] =
+    // the data. Both produce bit-identical quantile_cont interpolation AND
+    // exact numeric distinct counts, so the wide agg below carries a
+    // count_distinct (each one multiplies its Expand factor) only for the
+    // rare column the fit can't certify (non-finite / >2-decimals at
+    // scale).
+    val quantiles: Map[String, Exact.QuantFit] =
       if (numCols.isEmpty) Map.empty
       else if (df.count() <= DriverSortMaxRows)
         Exact.quantilesViaDriverSortMulti(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
@@ -63,13 +67,14 @@ object Profile {
       numCols.flatMap { c =>
         Seq(
           count(col(c)).as(s"${c}__n"),
-          count_distinct(col(c)).as(s"${c}__uniq"),
           Exact.s1(col(c)).as(s"${c}__s1"),
           Exact.s2(col(c)).as(s"${c}__s2"),
           min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max")) ++
+        (if (quantiles(c).nUnique.isEmpty)
+          Seq(count_distinct(col(c)).as(s"${c}__uniq")) else Nil) ++
         // fallback only for non-cents-eligible columns (>2 decimals / huge)
-        (if (quantiles(c).isEmpty)
+        (if (quantiles(c).quantiles.isEmpty)
           Seq(expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__q"))
         else Nil)
       } ++
@@ -86,6 +91,10 @@ object Profile {
     val rowStructs: Seq[Column] =
       fields.map { f =>
         val c = f.name
+        val uniqCol =
+          if (isNum(f.dataType) && quantiles(c).nUnique.isDefined)
+            lit(quantiles(c).nUnique.get)
+          else col(s"${c}__uniq")
         val base = Seq(
           lit(c).as("column"),
           lit(dtypeName(f.dataType)).as("dtype"),
@@ -93,10 +102,10 @@ object Profile {
           (col("__n_total") - col(s"${c}__n")).as("n_missing"),
           ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
             .as("missing_pct"),
-          col(s"${c}__uniq").as("n_unique"))
+          uniqCol.as("n_unique"))
         val numeric =
           if (isNum(f.dataType)) {
-            val q: Int => Column = quantiles(c) match {
+            val q: Int => Column = quantiles(c).quantiles match {
               case Some(vs) => i =>
                 if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
               case None => i => col(s"${c}__q").getItem(i)
