@@ -59,14 +59,22 @@ object UtilityCheck {
       val m = if (st.isNullAt(i + 1)) 0.0 else st.getDouble(i + 1)
       d.withColumn(c, coalesce(col(c).cast("double"), lit(m)))
     }
+    // Few fat partitions: every LBFGS iteration is a treeAggregate job
+    // over the train set, so task-count, not data size, dominates at this
+    // scale (200 iters × 32 tasks vs × 4). Deterministic — coalesce only
+    // narrows the partitioning.
     val assembled = new VectorAssembler()
       .setInputCols(feats.toArray).setOutputCol("features")
       .transform(imputed)
+      .coalesce(4)
     val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed = 42L)
     if (train.isEmpty || test.isEmpty) return (Double.NaN, Double.NaN)
 
     val model =
-      try new LogisticRegression().setMaxIter(200).fit(train)
+      // tol=1e-4 is sklearn's LogisticRegression default — MLlib's 1e-6
+      // is TIGHTER than the reference; matching it is both more faithful
+      // and converges in fewer iterations
+      try new LogisticRegression().setMaxIter(200).setTol(1e-4).fit(train)
       catch {
         case _: Throwable =>
           new RandomForestClassifier().setNumTrees(100).setSeed(42L).fit(train)
