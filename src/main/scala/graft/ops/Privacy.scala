@@ -84,7 +84,12 @@ object Privacy {
     val probs = (0 to bins).map(i => i.toDouble / bins)
     val raw: Seq[Double] = strategy match {
       case QuantileStrategy.CentsHistogram =>
-        Exact.quantilesViaCentsHistogramDistributed(df, c, probs)
+        // bucketed two-pass plan (no single-task window over the value
+        // domain); falls back to the legacy ordered-window form only when
+        // the caller FORCED this strategy on a non-cents-eligible column,
+        // whose documented semantics are quantiles of cents-rounded values
+        Exact.quantilesMultiCentsHistogram(df, Seq(c), probs)(c).quantiles
+          .getOrElse(Exact.quantilesViaCentsHistogramDistributed(df, c, probs))
       case QuantileStrategy.DriverSort =>
         Exact.quantilesViaDriverSort(df, c, probs)
       case QuantileStrategy.SortPercentile =>
@@ -98,16 +103,21 @@ object Privacy {
     df.withColumn(c, labeled)
   }
 
-  /** [[generalizeNumeric]] with the quantile strategy chosen from the DATA:
-    * the cents-histogram path only when the column verifiably round-trips
-    * through DECIMAL(18,2) (≤2 decimals, no overflow) — one cheap scan —
-    * otherwise the general sort-based percentile. This is the entry point
-    * the user-facing pipeline uses: arbitrary CSV columns with >2 decimal
-    * places or |x| ≥ ~1e16 must not be binned on cents-rounded values. */
+  /** [[generalizeNumeric]] with the quantile strategy chosen from the DATA
+    * (the auto-dispatch pattern shared with profile/synthesize/KS):
+    * non-cents-eligible columns (>2 decimals, |x| ≥ ~1e16 — one cheap
+    * scan verifies) take the general sort-based percentile; eligible
+    * columns below the driver-collect ceiling take the fused driver sort
+    * (bit-exact `quantile_cont`, beats any shuffle at the job floor);
+    * eligible columns at scale take the bucketed cents histogram, which
+    * shuffles only the value DOMAIN. Arbitrary CSV columns with >2
+    * decimal places must never be binned on cents-rounded values. */
   def generalizeNumericAuto(df: DataFrame, c: String, bins: Int = 10): DataFrame =
     generalizeNumeric(df, c, bins,
-      if (Exact.centsEligible(df, c)) QuantileStrategy.CentsHistogram
-      else QuantileStrategy.SortPercentile)
+      if (!Exact.centsEligible(df, c)) QuantileStrategy.SortPercentile
+      else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= DriverFitMaxBytes)
+        QuantileStrategy.DriverSort
+      else QuantileStrategy.CentsHistogram)
 
   /** C-printf-compatible "%.2f": round the EXACT binary value of the
     * double half-to-even, as C (and DuckDB's printf) does. Java's own
