@@ -118,13 +118,13 @@ object SimSearch {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       toUnitVec(col(vecCol)).as("fv"),
       sqrt(norm2(col(vecCol))).as("cn"))
-    // random init + few iterations: a coarse quantizer needs balanced-ish
-    // lists, not converged clusters — k-means|| init alone costs more
-    // passes than the whole fit. Recall is governed by nprobe/nlist
-    // (probed(p) ⊆ probed(p′) for p ≤ p′, and nprobe = nlist degenerates
-    // to exact brute force — both pinned in SimSearchSpec).
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
+    // k-means|| init + 10 iterations: cheaper quantizers (random init,
+    // fewer passes) measurably cost recall on weakly-clustered embeddings
+    // (IvfSpec's recall@5 floor caught that), and the fit is a one-off
+    // against the whole-corpus probe cost. Structural invariants —
+    // probed(p) ⊆ probed(p′) for p ≤ p′, and nprobe = nlist degenerating
+    // to exact brute force — are pinned in SimSearchSpec.
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("list_id")
     val model = km.fit(c)
     val assigned = model.transform(c).select(col("cid"), col("cv"), col("cn"), col("list_id"))

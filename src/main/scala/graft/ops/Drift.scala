@@ -213,7 +213,15 @@ object Drift {
     * then the ordered term-sum window PARTITIONED BY ci — the same fixed
     * per-column addition order as the single form, all columns in
     * parallel. Returns (ci, chi2_like); a ci absent from both sides
-    * (globally empty inputs) is absent from the result. */
+    * (globally empty inputs) is absent from the result.
+    *
+    * Scale bound: each column's term sum is one window task over its
+    * |categories| — the deliberate trade for a FIXED double addition
+    * order (unordered partials would make the 6-dp-rounded metric
+    * nondeterministic across reruns). χ²-like drift is a
+    * categorical-domain metric: vocabularies are bounded by design, and
+    * an id-like string column is degenerate for it (every count 1)
+    * whatever the plan shape. */
   private[graft] def chi2Multi(before: DataFrame, after: DataFrame,
                                cols: Seq[String]): DataFrame = {
     def counted(df: DataFrame, out: String) = df
