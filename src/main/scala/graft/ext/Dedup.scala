@@ -79,26 +79,39 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(shingleHashArray(df, textCol, n)).as("s"))
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via an inverted
-    * shingle index (shuffle on shingle, then on the candidate pair). The
-    * index keys are long shingle hashes, not strings. */
+  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, via a
+    * PREFIX-FILTERED inverted shingle index (AllPairs/PPJoin family —
+    * LOSSLESS): under any global total order (ascending hash here), if
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and by pigeonhole the SMALLEST
+    * common element sits inside both docs' first |S|−⌈t·|S|⌉+1 shingles —
+    * so candidates generated from prefix⋈prefix provably include every
+    * qualifying pair, at ~(1−t)² of the full index join's collision
+    * volume. Candidates verify with the exact full-array intersection;
+    * results are identical to the unfiltered join. Index keys are long
+    * shingle hashes, never strings. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
-      shingleHashArray(df, textCol, n).as("sh"))
-    // per-row size — the shingle array is already distinct, no count agg
-    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
-      .filter(col("sz") > 0)
-    val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
-    val pairs = sh.alias("a").join(sh.alias("b"),
+        sort_array(shingleHashArray(df, textCol, n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // +1e-9 guards the ⌈t·|S|⌉ integer boundary: a downward float error
+    // would shorten the prefix (lossy); one element longer is just a
+    // slightly larger candidate set
+    val prefLen =
+      (size(col("sh")).cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1
+    val prefix = withSh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    val candidates = prefix.alias("a").join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
-      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    val full = withSh.select(col("id"), col("sh"))
+    candidates
+      .join(full.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(full.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy(col("ida"), col("idb"))

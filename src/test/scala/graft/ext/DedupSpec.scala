@@ -41,6 +41,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals the unfiltered inverted-index join (lossless)") {
+    val real = graft.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8)) {
+      // unfiltered reference: full index join + shared counts
+      val sh = Dedup.shingleHashFrame(real, "text", "doc_id", 3)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val ref = sh.alias("a").join(sh.alias("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+        .withColumn("j", col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+        .filter(col("j") >= t)
+        .select(col("ida"), col("idb"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == ref, s"t=$t: ${(ref -- got).take(3)} missing, ${(got -- ref).take(3)} extra")
+    }
+  }
+
   test("exact dedup keeps min id with multiplicity") {
     val out = Dedup.exact(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
