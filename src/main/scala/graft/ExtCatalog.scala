@@ -43,6 +43,24 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "x_hash_sample" -> ((s, d) =>
+      // deterministic ~37% downsample of lineitem, reproducible at any
+      // parallelism — a pure codegen filter with an EXACT oracle
+      ext.Sampling.hashSample(Tables.lineitem(s, d), "l_orderkey", 37, 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "x_stratified_sample" -> ((s, d) =>
+      // per-stratum rates; the absent stratum ('N') drops entirely
+      ext.Sampling.stratifiedHashSample(Tables.lineitem(s, d), "l_orderkey",
+          "l_returnflag", Map("A" -> (1, 2), "R" -> (1, 10)))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    "x_split_column" -> ((s, d) =>
+      // 80/10/10 train/valid/test assignment — counted per split label
+      Tables.lineitem(s, d)
+        .withColumn("split", ext.Sampling.splitColumn(col("l_orderkey"), 800, 100))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
     "t_token_count" -> ((s, d) =>
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
     "t_pii_scan" -> ((s, d) =>
@@ -246,6 +264,20 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
+    "x_hash_sample" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE ${ext.Sampling.gateSql("l_orderkey")} % 100 < 37
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "x_stratified_sample" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         |WHERE (l_returnflag = 'A' AND ${ext.Sampling.gateSql("l_orderkey")} % 2 < 1)
+         |   OR (l_returnflag = 'R' AND ${ext.Sampling.gateSql("l_orderkey")} % 10 < 1)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_split_column" ->
+      s"""SELECT CASE WHEN g < 800 THEN 'train' WHEN g < 900 THEN 'valid'
+         |            ELSE 'test' END AS split, COUNT(*) AS n
+         |FROM (SELECT ${ext.Sampling.gateSql("l_orderkey")} % 1000 AS g FROM lineitem) t
+         |GROUP BY 1 ORDER BY split""".stripMargin,
     "x_embed_topk" -> topkSql,
     "x_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for a training-data pipeline:
+  * hash-gated row selection instead of RNG draws, so a sample is
+  * reproducible across engines, partitionings, retries, and reruns — the
+  * property that matters when a 100 TB corpus is downsampled once and the
+  * selection must be re-derivable forever. Pure codegen filters: no
+  * shuffle, no state, trivially scale-parallel, and expressible verbatim
+  * in any SQL dialect (oracle-EXACT, unlike seeded `rand()` which no two
+  * engines implement alike).
+  *
+  * The gate hash is an explicit integer polynomial over the row id:
+  * `((id mod 2³¹−1) · 2654435761) mod (10⁹+7)` — the inner mod bounds the
+  * product below 2⁶³ so the arithmetic is overflow-free exact in both
+  * Spark and DuckDB at any id scale. Ids are assumed non-negative (the
+  * engine's surrogate-key convention); `pmod` makes negatives safe anyway.
+  */
+object Sampling {
+
+  private val P31 = 2147483647L     // 2^31 − 1
+  private val Knuth = 2654435761L   // Knuth multiplicative constant
+  private val M = 1000000007L
+
+  /** The sampling gate in [0, M): uniform enough for rate control (the
+    * slight mod-M bias at the last bucket is ≪ 1e-7 of the rate). */
+  def gate(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(P31)) * Knuth, lit(M))
+
+  /** SQL mirror of [[gate]] (DuckDB/ANSI): same ops, same order. */
+  def gateSql(idExpr: String): String =
+    s"(((($idExpr) % $P31) * $Knuth) % $M)"
+
+  /** Keep ~num/den of rows, deterministically: the row survives iff
+    * gate(id) mod den < num. Same rows selected at any parallelism. */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad rate $num/$den")
+    df.filter(pmod(gate(col(idCol)), lit(den.toLong)) < num)
+  }
+
+  /** Stratified deterministic sampling: a per-stratum rate map (strata
+    * missing from the map are dropped, mirroring `sampleBy`). One codegen
+    * when-chain — no per-stratum scans, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           rates: Map[String, (Int, Int)]): DataFrame = {
+    val g = gate(col(idCol))
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (stratum, (num, den))) =>
+        require(num >= 0 && den > 0 && num <= den, s"bad rate $num/$den for $stratum")
+        when(col(stratumCol) === stratum, pmod(g, lit(den.toLong)) < num).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Deterministic train/validation/test assignment as a label column:
+    * thresholds are cumulative per-mille cut points over gate(id) mod
+    * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —
+    * joins/filters downstream prune on it like any column. */
+  def splitColumn(id: Column, trainPerMille: Int, validPerMille: Int): Column = {
+    require(trainPerMille >= 0 && validPerMille >= 0 &&
+      trainPerMille + validPerMille <= 1000, "per-mille cut points must fit in [0,1000]")
+    val g = pmod(gate(id), lit(1000L))
+    when(g < trainPerMille, "train")
+      .when(g < trainPerMille + validPerMille, "valid")
+      .otherwise("test")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample is deterministic across partitionings and close to the rate") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val a = Sampling.hashSample(li, "l_orderkey", 37, 100)
+    val b = Sampling.hashSample(li.repartition(13), "l_orderkey", 37, 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "selection must not depend on partitioning")
+    val rate = a.count().toDouble / li.count()
+    assert(math.abs(rate - 0.37) < 0.05, s"rate $rate")
+    // selection is a pure function of the id: an order's lines all share
+    // one fate
+    val perKey = a.groupBy("l_orderkey").count()
+      .join(li.groupBy("l_orderkey").count().withColumnRenamed("count", "all"), "l_orderkey")
+    assert(perKey.filter(col("count") =!= col("all")).isEmpty,
+      "partial orders would mean the gate depends on more than the id")
+  }
+
+  test("stratified rates hold per stratum; unmapped strata drop") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val out = Sampling.stratifiedHashSample(li, "l_orderkey", "l_returnflag",
+      Map("A" -> (1, 2), "R" -> (1, 10)))
+    val got = out.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("N"), "unmapped stratum must drop")
+    assert(math.abs(got("A").toDouble / base("A") - 0.5) < 0.1)
+    assert(math.abs(got("R").toDouble / base("R") - 0.1) < 0.06)
+  }
+
+  test("split column partitions every row into exactly one label at ~800/100/100") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val counts = li.withColumn("split", Sampling.splitColumn(col("l_orderkey"), 800, 100))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    val n = counts.values.sum.toDouble
+    assert(n == li.count())
+    assert(math.abs(counts("train") / n - 0.8) < 0.05)
+    // the same row always lands in the same split (pure function of id)
+    val again = li.withColumn("split", Sampling.splitColumn(col("l_orderkey"), 800, 100))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("gate arithmetic is overflow-free at extreme ids") {
+    val big = Seq(Long.MaxValue - 1, 4611686018427387904L, 0L, 1L).toDF("id")
+    val gates = big.select(Sampling.gate(col("id")).as("g")).collect().map(_.getLong(0))
+    gates.foreach(g => assert(g >= 0 && g < 1000000007L))
+  }
+}
