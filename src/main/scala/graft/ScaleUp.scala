@@ -16,8 +16,8 @@ object ScaleUp {
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q5_local_supplier_volume", "a1_profile_lineitem",
     "d1_ks_statistic", "d3_drift_all", "v2_generalize", "v4_synthetic",
-    "v5_smart_suggest", "x_minhash_lsh", "x_corpus_clean", "s_sessionize",
-    "q_asof_join")
+    "v5_smart_suggest", "x_minhash_lsh", "x_ngram_jaccard", "x_corpus_clean",
+    "s_sessionize", "q_asof_join")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

@@ -94,15 +94,30 @@ object Dedup {
     val withSh = df.select(col(idCol).as("id"),
         sort_array(shingleHashArray(df, textCol, n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Global total order = (document frequency ASC, hash) — each doc's
+    // prefix then holds its RAREST shingles, so boilerplate/hot shingles
+    // sit past every prefix and generate no candidates (the canonical
+    // AllPairs ordering; any total order is lossless, rarity makes the
+    // candidate set near-minimal).
+    val fullIdx = withSh.select(col("id"), explode(col("sh")).as("s"))
+    val dfreq = fullIdx.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy("df", "s")
+    val wSz = Window.partitionBy("id")
     // +1e-9 guards the ⌈t·|S|⌉ integer boundary: a downward float error
     // would shorten the prefix (lossy); one element longer is just a
     // slightly larger candidate set
-    val prefLen =
-      (size(col("sh")).cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1
-    val prefix = withSh.select(col("id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    val prefix = fullIdx.join(dfreq, "s")
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        (col("sz").cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1)
+      .select(col("id"), col("sz"), col("s"))
+    // length filter (PPJoin): J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t —
+    // prunes size-mismatched collisions before the distinct
     val candidates = prefix.alias("a").join(prefix.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz").cast("double") >= col("b.sz") * threshold &&
+          col("b.sz").cast("double") >= col("a.sz") * threshold)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
     val full = withSh.select(col("id"), col("sh"))
