@@ -43,6 +43,16 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "t_repetition" -> ((s, d) =>
+      TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
+    "x_contamination" -> ((s, d) => {
+      // probe = every 10th doc (an "eval set"), corpus = the rest
+      val docs = Tables.documents(s, d)
+      Dedup.crossContainment(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 3, 0.6)
+    }),
     "x_hash_sample" -> ((s, d) =>
       // deterministic ~37% downsample of lineitem, reproducible at any
       // parallelism — a pure codegen filter with an EXACT oracle
@@ -264,6 +274,32 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
+    "t_repetition" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(greatest(len(ths) - 2, 0) AS BIGINT) AS n_ngrams,
+         |  CASE WHEN len(ths) >= 3 THEN CAST(len(list_distinct(
+         |    list_transform(range(1, len(ths) - 1), i ->
+         |      ((((ths[i] % 1000000007) * 1000003 + ths[i + 1]) % 1000000007) * 1000003 + ths[i + 2]) % 1000000007)))
+         |    AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_distinct
+         |  FROM toks)
+         |SELECT doc_id, n_ngrams, n_distinct,
+         |  CASE WHEN n_ngrams > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams
+         |       ELSE NULL END AS rep_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "x_contamination" ->
+      s"""WITH $shingleCtes,
+         |p AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 10 = 0),
+         |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
+         |pairs AS (SELECT corpus_id, probe_id, COUNT(*) AS shared
+         |          FROM c JOIN p USING (s) GROUP BY 1, 2)
+         |SELECT probe_id, corpus_id,
+         |  CAST(shared AS DOUBLE) / sz AS containment
+         |FROM pairs JOIN sizes ON probe_id = sizes.doc_id
+         |WHERE CAST(shared AS DOUBLE) / sz >= 0.6
+         |ORDER BY probe_id, corpus_id""".stripMargin,
     "x_hash_sample" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          |WHERE ${ext.Sampling.gateSql("l_orderkey")} % 100 < 37

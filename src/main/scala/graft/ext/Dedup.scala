@@ -132,6 +132,36 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Cross-corpus contamination: for every (corpus doc, probe doc) pair,
+    * the CONTAINMENT |S_c ∩ S_p| / |S_p| — the fraction of the probe
+    * document's n-grams present in the corpus document — kept when ≥
+    * `threshold`. This is the benchmark-decontamination primitive of a
+    * training-data pipeline: probe = the eval set, corpus = the training
+    * candidates.
+    *
+    * Scale shape: the PROBE side (an eval benchmark) is small by nature —
+    * its inverted index broadcasts, so the corpus makes ONE scan with a
+    * broadcast hash join and one pair aggregate; the corpus never
+    * self-joins and nothing quadratic in corpus size exists. */
+  def crossContainment(corpus: DataFrame, probe: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val cIdx = corpus.select(col(idCol).as("corpus_id"),
+      explode(shingleHashArray(corpus, textCol, n)).as("s"))
+    val pSh = probe.select(col(idCol).as("probe_id"),
+        shingleHashArray(probe, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pIdx = pSh.select(col("probe_id"), explode(col("sh")).as("s"))
+    val shared = cIdx.join(broadcast(pIdx), Seq("s"))
+      .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(pSh.select(col("probe_id"), size(col("sh")).as("psz"))), Seq("probe_id"))
+      .withColumn("containment", col("shared").cast("double") / col("psz"))
+      .filter(col("containment") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("containment"))
+      .orderBy(col("probe_id"), col("corpus_id"))
+  }
+
   /** Shingle hash: polynomial over token hashes, mod 1e9+7. */
   def shingleHash(s: Column): Column = {
     val toks = split(s, " ")

@@ -161,4 +161,19 @@ object TextStats {
     val fp = aggregate(mapped, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
     df.select(col(idCol), fp.as("fingerprint")).orderBy(col(idCol))
   }
+
+  /** Intra-document repetition: 1 − |distinct n-grams| / |n-grams| — the
+    * standard repeated-text quality signal (a doc that loops its content
+    * scores high). One scan, pure codegen (`shingle_hashes` gives the
+    * distinct count per row); null ratio for docs shorter than n tokens. */
+  def repetition(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val total = greatest(size(split(col(textCol), " ")) - (n - 1), lit(0)).cast("long")
+    val distinctN = size(Dedup.shingleHashArray(df, textCol, n)).cast("long")
+    df.select(col(idCol),
+        total.as("n_ngrams"),
+        distinctN.as("n_distinct"),
+        when(total > 0, lit(1.0) - distinctN.cast("double") / total)
+          .otherwise(lit(null).cast("double")).as("rep_ratio"))
+      .orderBy(col(idCol))
+  }
 }

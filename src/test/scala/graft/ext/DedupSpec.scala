@@ -130,4 +130,19 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 3L)))
   }
+
+  test("cross-corpus containment finds probe docs covered by the corpus") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today and more words here"),
+      (11L, "entirely unrelated corpus content about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // contained in 10
+      (2L, "no overlap with anything in this corpus whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossContainment(corpus, probe, "text", "doc_id", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1 && out(0)._1 == 1L && out(0)._2 == 10L)
+    assert(out(0)._3 == 1.0, s"probe 1 fully contained: ${out(0)._3}")
+  }
 }

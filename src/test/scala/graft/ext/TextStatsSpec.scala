@@ -49,4 +49,19 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L) == ((0, 0, 1, true)))
     assert(out(3L) == ((0, 0, 0, false)))
   }
+
+  test("repetition: looped text scores high, unique text zero, short text null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigram windows, 3 distinct
+      (2L, "one two three four"),  // 2 windows, both distinct
+      (3L, "too short")            // < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 7 && out(1L).getLong(2) == 3)
+    assert(math.abs(out(1L).getDouble(3) - (1.0 - 3.0 / 7)) < 1e-15)
+    assert(out(2L).getDouble(3) == 0.0)
+    assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(3))
+  }
 }
