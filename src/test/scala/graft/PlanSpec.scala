@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window over the distinct-values frame:\n${df.queryExecution.executedPlan}")
   }
 
+  test("contamination broadcasts the probe index; the corpus never self-joins") {
+    val plan = formatted("x_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe index should broadcast-join the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join should appear in the containment plan:\n$plan")
+  }
+
   test("sdcSuppressBroadcast never shuffles the fact table") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.ops.Privacy.sdcSuppressBroadcast(
