@@ -105,6 +105,7 @@ object ExtCatalog {
     "s_sliding" -> ((s, d) => Events.sliding(Tables.events(s, d))),
     "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
+    "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
   )
 
   // ------------------------------------------------------------- SQL parts
@@ -393,6 +394,16 @@ object ExtCatalog {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |WHERE epoch_us(purchase_ts) > epoch_us(click_ts)
+        |  AND epoch_us(purchase_ts) <= epoch_us(click_ts) + 1800000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "s_dedup_first" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT user_id, event_type, event_id, ts,

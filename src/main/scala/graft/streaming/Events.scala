@@ -50,6 +50,26 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Click→purchase attribution: every (click, purchase) pair of the same
+    * user with the purchase inside (click_ts, click_ts + window]. Batch
+    * twin of [[EventsStream.attributionStream]]'s stream-stream interval
+    * join — an equi-join on user plus a band predicate, so Catalyst plans
+    * one hash join on user_id with the band as residual; never a cross
+    * product. */
+  def attribution(events: DataFrame, withinMinutes: Int = 30): DataFrame = {
+    val us = withinMinutes.toLong * 60L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(unix_micros(col("purchase_ts")) > unix_micros(col("click_ts")) &&
+        unix_micros(col("purchase_ts")) <= unix_micros(col("click_ts")) + us)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** First-occurrence dedup per (user_id, event_type): the batch analogue
     * of `dropDuplicatesWithinWatermark` with an unbounded watermark —
     * deterministic first = smallest (ts, event_id). */
@@ -97,6 +117,29 @@ object EventsStream extends Serializable {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Stream-stream interval self-join (click→purchase attribution), the
+    * streaming twin of [[Events.attribution]]: BOTH sides carry
+    * watermarks and the join condition bounds purchase_ts inside
+    * (click_ts, click_ts + window], so Spark evicts each side's state as
+    * the watermark passes the band — bounded state at any runtime. Inner
+    * join → append mode, exactly one row per matched pair. */
+  def attributionStream(events: DataFrame, withinMinutes: Int = 30,
+                        watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $withinMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
 
   /** Stateful dedup keyed on event_id within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -211,6 +211,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.sameElements(want), s"\ngot:  ${got.mkString("; ")}\nwant: ${want.mkString("; ")}")
   }
 
+  test("stream-stream interval join matches the batch attribution") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.attributionStream(mem.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    val evs = Seq(
+      Ev(1, t("10:00"), 1, "click", 1.0),
+      Ev(2, t("10:20"), 1, "purchase", 5.0),  // within 30m of click 1 → match
+      Ev(3, t("11:30"), 1, "purchase", 5.0),  // too late for click 1
+      Ev(4, t("10:05"), 2, "click", 1.0),
+      Ev(5, t("10:10"), 3, "purchase", 2.0))  // different user → no match
+    mem.addData(evs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(2): _*)
+    q.processAllAvailable()
+    // advance watermark so state is evictable (behavioral no-op for inner join output)
+    mem.addData(Ev(9, t("14:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Events.attribution(
+      (evs :+ Ev(9, t("14:00"), 9, "view", 0.0)).toDF())
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed == Set((1L, 1L, 2L)),
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val events = Seq(
       Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0),
