@@ -43,6 +43,10 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "x_dedup_clusters" -> ((s, d) =>
+      // pairs → connected components → survivor per cluster
+      Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "t_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
     "x_contamination" -> ((s, d) => {
@@ -275,6 +279,23 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |jpairs AS (SELECT ida, idb FROM jp
+         |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+         |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
+         |edges AS (SELECT ida AS a, idb AS b FROM jpairs
+         |          UNION SELECT idb, ida FROM jpairs),
+         |reach AS (SELECT n AS node, n AS r FROM nodes
+         |          UNION
+         |          SELECT e.b AS node, reach.r AS r
+         |          FROM reach JOIN edges e ON reach.node = e.a)
+         |SELECT node AS doc_id, MIN(r) AS survivor_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths

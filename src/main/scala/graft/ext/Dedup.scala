@@ -162,6 +162,40 @@ object Dedup {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** Collapse near-dup PAIRS into clusters: for every doc that appears in
+    * a pair, the survivor is the smallest id in its connected component —
+    * the step that turns any pair detector's output into actual dedup
+    * decisions. The edge set is a detector's OUTPUT (orders of magnitude
+    * smaller than the corpus: only near-dups), so a driver union-find is
+    * the right tool well past 10⁸ edges; the documented distributed
+    * fallback is iterative min-label propagation over the same edges.
+    * Returns (doc_id, survivor_id), survivors included (mapping to
+    * themselves). */
+  def dedupClusters(pairs: DataFrame, idaCol: String = "ida",
+                    idbCol: String = "idb"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idaCol).cast("long"), col(idbCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN id so every root IS the survivor
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(d => (d, find(d))).sorted
+      .toDF("doc_id", "survivor_id")
+  }
+
   /** Shingle hash: polynomial over token hashes, mod 1e9+7. */
   def shingleHash(s: Column): Column = {
     val toks = split(s, " ")

@@ -145,4 +145,13 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0)._1 == 1L && out(0)._2 == 10L)
     assert(out(0)._3 == 1.0, s"probe 1 fully contained: ${out(0)._3}")
   }
+
+  test("dedup clusters: transitive chains collapse to the min id") {
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("ida", "idb")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L))
+    // empty pair set → empty mapping
+    assert(Dedup.dedupClusters(Seq.empty[(Long, Long)].toDF("ida", "idb")).isEmpty)
+  }
 }
