@@ -63,6 +63,12 @@ object QueryCatalog {
       Privacy.syntheticSample(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_returnflag"), seed = 42L)),
     "v5_smart_suggest" -> ((s, d) => Privacy.smartSuggest(Tables.lineitem(s, d))),
+    "v8_k_anonymity" -> ((s, d) =>
+      Privacy.kAnonymity(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_discount", "l_returnflag"), k = 5)),
+    "v9_l_diversity" -> ((s, d) =>
+      Privacy.lDiversity(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_returnflag"), "l_linestatus")),
     "v7_quasi_suggestions" -> ((s, d) => {
       val renamed = Tables.customer(s, d)
         .select(col("c_acctbal").as("income"), col("c_mktsegment").as("city"),
@@ -440,5 +446,19 @@ object QueryCatalog {
         |FROM (VALUES ('age'),('gender'),('zipcode'),('pincode'),('city'),('state'),('education'),('income')) s(quasi_id)
         |WHERE s.quasi_id IN ('income', 'city')
         |ORDER BY s.quasi_id""".stripMargin,
+    "v8_k_anonymity" ->
+      """WITH g AS (SELECT l_quantity, l_discount, l_returnflag, COUNT(*) AS c
+        |           FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT CAST(MIN(c) AS BIGINT) AS k_min,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(SUM(CASE WHEN c < 5 THEN c ELSE 0 END), 0) AS BIGINT) AS n_rows_below_k,
+        |  CAST(COALESCE(SUM(CASE WHEN c < 5 THEN c ELSE 0 END), 0) AS DOUBLE) * 100.0 / SUM(c) AS pct_below_k
+        |FROM g""".stripMargin,
+    "v9_l_diversity" ->
+      """WITH g AS (SELECT l_quantity, l_returnflag,
+        |             COUNT(DISTINCT l_linestatus) AS l
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(MIN(l) AS BIGINT) AS l_min,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM g""".stripMargin,
   )
 }

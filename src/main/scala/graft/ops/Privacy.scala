@@ -507,6 +507,33 @@ object Privacy {
     rows.toDF("column", "suggestion", "epsilon").orderBy(col("column"))
   }
 
+  /** V8 (extension): k-anonymity assessment over a quasi-identifier set —
+    * the standard SDC release gate the reference's risk step approximates
+    * with k-NN. One hash aggregate over the quasi combination, then a
+    * 4-field summary: the minimum group size (the dataset's k), group
+    * count, and how many rows sit in groups below the requested k.
+    * Null quasi values form their own groups (GROUP BY semantics, same
+    * in every engine). Scale shape: one map-side-combinable shuffle on
+    * the quasi columns; the summary aggregate is group-domain-sized. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Int = 5): DataFrame = {
+    val g = df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("c"))
+    g.agg(
+      min(col("c")).as("k_min"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("c") < k, col("c")).otherwise(0L)), lit(0L)).as("n_rows_below_k"),
+      (coalesce(sum(when(col("c") < k, col("c")).otherwise(0L)), lit(0L)).cast("double") * 100.0 /
+        sum(col("c"))).as("pct_below_k"))
+  }
+
+  /** V9 (extension): distinct l-diversity — the minimum number of
+    * distinct sensitive values within any quasi-identifier group (k-
+    * anonymity's complement against homogeneity attacks). Same single-
+    * shuffle shape with a count_distinct per group. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count_distinct(col(sensitive)).as("l"))
+      .agg(min(col("l")).as("l_min"), count(lit(1)).as("n_groups"))
+
   /** V7 quasi-identifier suggestions (`modules/risk.py:8`): static list ∩
     * actual columns. */
   val QuasiIdSuggestions: Seq[String] =

@@ -114,4 +114,26 @@ class PrivacySpec extends SparkSpec {
     val df = Seq((1, "m", 50000.0)).toDF("age", "gender", "income")
     assert(Privacy.quasiSuggestions(df) == Seq("age", "gender", "income"))
   }
+
+  test("k-anonymity: min group size, rows below k, boundary at k") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),           // group of 3
+      ("b", 2), ("b", 2),                     // group of 2
+      ("c", 3)                                // singleton
+    ).toDF("q1", "q2")
+    val r = Privacy.kAnonymity(df, Seq("q1", "q2"), k = 3).head()
+    assert(r.getLong(0) == 1L)    // k_min (the singleton)
+    assert(r.getLong(1) == 3L)    // groups
+    assert(r.getLong(2) == 3L)    // rows in groups below 3: the 2-group + singleton
+    assert(math.abs(r.getDouble(3) - 50.0) < 1e-12)
+  }
+
+  test("l-diversity: homogeneous group drives l_min to 1") {
+    val df = Seq(
+      ("a", "x"), ("a", "y"),   // diverse group, l=2
+      ("b", "z"), ("b", "z")    // homogeneous group, l=1
+    ).toDF("q", "s")
+    val r = Privacy.lDiversity(df, Seq("q"), "s").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
 }
