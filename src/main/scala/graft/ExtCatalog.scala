@@ -11,6 +11,10 @@ import graft.streaming.Events
   */
 object ExtCatalog {
 
+  /** Query terms for x_keyword_search — shared between the Spark plan and
+    * the oracle so the scored term set can never diverge. */
+  val KeywordTerms: Seq[String] = Seq("spark", "query", "join")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
@@ -79,6 +83,26 @@ object ExtCatalog {
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
     "t_pii_scan" -> ((s, d) =>
       TextStats.piiScan(Tables.documents(s, d), "text", "doc_id")),
+    "t_pii_redact" -> ((s, d) =>
+      // the corpus carries no literal PII, so the query plants a
+      // deterministic contact line per doc (derived from doc_id) and
+      // redacts it — the oracle mirrors the same construction
+      TextStats.piiRedact(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.org or 555-123-4567 acct 9"),
+            col("doc_id").cast("string"), lit("00012345")).as("text")),
+        "text", "doc_id")),
+    "t_token_histogram" -> ((s, d) =>
+      TextStats.tokenHistogram(Tables.documents(s, d), "text")),
+    "x_keyword_search" -> ((s, d) =>
+      TextStats.keywordSearch(Tables.documents(s, d), "text", "doc_id",
+        KeywordTerms, 20)),
+    "x_mix_rebalance" -> ((s, d) =>
+      ext.Sampling.mixRebalance(Tables.documents(s, d), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
@@ -336,6 +360,40 @@ object ExtCatalog {
          |            ELSE 'test' END AS split, COUNT(*) AS n
          |FROM (SELECT ${ext.Sampling.gateSql("l_orderkey")} % 1000 AS g FROM lineitem) t
          |GROUP BY 1 ORDER BY split""".stripMargin,
+    "x_mix_rebalance" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(cnt) AS mn FROM c)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+         |WHERE ${ext.Sampling.gateSql("d.doc_id")} % cnt < mn
+         |ORDER BY d.doc_id""".stripMargin,
+    "x_keyword_search" -> {
+      val counts = KeywordTerms.map(t =>
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b'))")
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(${counts.mkString(" + ")} AS BIGINT) AS score,
+         |  CAST(${counts.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INTEGER) AS n_terms_hit
+         |  FROM documents)
+         |SELECT doc_id, score, n_terms_hit FROM s WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "t_token_histogram" ->
+      s"""WITH t AS (SELECT len(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS n
+         |  FROM documents)
+         |SELECT CAST(n - (n % 10) AS BIGINT) AS token_bucket, COUNT(*) AS n_docs
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_pii_redact" -> {
+      val chain = TextStats.PiiPatterns.foldLeft("lower(text)") {
+        case (inner, (name, pat)) =>
+          s"regexp_replace($inner, '$pat', '[${name.toUpperCase}]', 'g')"
+      }
+      s"""WITH raw AS (SELECT doc_id,
+         |  substring(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.org or 555-123-4567 acct 9' ||
+         |  CAST(doc_id AS VARCHAR) || '00012345' AS text
+         |  FROM documents)
+         |SELECT doc_id, $chain AS redacted_text FROM raw ORDER BY doc_id""".stripMargin
+    },
     "x_embed_topk" -> topkSql,
     "x_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -54,6 +54,34 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Corpus mix rebalancing — the data-mixing step of a training
+    * pipeline: downsample over-represented groups (language, source,
+    * domain) to a uniform target so no group dominates the corpus. The
+    * target is the smallest group's count, optionally overridden per
+    * group via `targets` (capped at the group's actual count — a target
+    * can only downsample). Selection is the deterministic [[gate]], so
+    * the rebalanced corpus is re-derivable at any parallelism.
+    *
+    * Scale shape: one map-side-combinable count aggregate over the group
+    * domain (tiny), broadcast back onto a single corpus scan — no
+    * shuffle of the data rows, no RNG. The smallest group (or any group
+    * at/below its target) is kept in full, since `gate mod cnt < cnt`
+    * always holds. */
+  def mixRebalance(df: DataFrame, idCol: String, groupCol: String,
+                   targets: Map[String, Long] = Map.empty): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_cnt"))
+    val floor = counts.agg(min(col("grp_cnt")).as("uniform_target"))
+    val targetExpr =
+      if (targets.isEmpty) col("uniform_target")
+      else targets.toSeq.sortBy(_._1).foldLeft(col("uniform_target")) {
+        case (acc, (g, n)) => when(col(groupCol) === g, lit(n)).otherwise(acc)
+      }
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(floor))
+      .filter(pmod(gate(col(idCol)), col("grp_cnt")) < least(targetExpr, col("grp_cnt")))
+      .drop("grp_cnt", "uniform_target")
+  }
+
   /** Deterministic train/validation/test assignment as a label column:
     * thresholds are cumulative per-mille cut points over gate(id) mod
     * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —

@@ -176,4 +176,52 @@ object TextStats {
           .otherwise(lit(null).cast("double")).as("rep_ratio"))
       .orderBy(col(idCol))
   }
+
+  /** PII redaction — the rewrite counterpart of [[piiScan]]: each
+    * [[PiiPatterns]] match is replaced by its `[NAME]` token, applied in
+    * the declared order (email first, so the address's digit runs are
+    * consumed before the phone/id patterns see them). Pure codegen'd
+    * `regexp_replace` chain over lowercased text: one scan, no shuffle,
+    * and the patterns are shared verbatim with the oracle. */
+  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(lower(col(textCol))) {
+      case (c, (name, pat)) =>
+        regexp_replace(c, lit(pat), lit(s"[${name.toUpperCase}]"))
+    }
+    df.select(col(idCol), redacted.as("redacted_text")).orderBy(col(idCol))
+  }
+
+  /** Tokens-per-document histogram — the corpus-level budget view an LLM
+    * pipeline reports before training: documents bucketed by BPE-ish
+    * token count (bucket floor, width `bucket`). Integer-exact end to
+    * end: one codegen scan plus one group-domain-sized aggregate. */
+  def tokenHistogram(df: DataFrame, textCol: String, bucket: Int = 10): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    val n = size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0)))
+    df.select((n - pmod(n, lit(bucket))).cast("long").as("token_bucket"))
+      .groupBy(col("token_bucket")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("token_bucket"))
+  }
+
+  /** Keyword search: score each document by total occurrences of the
+    * query terms (word-boundary matches over lowercased text) and return
+    * the top-k by (score desc, id asc) — grep-grade relevance with a
+    * deterministic integer score, so the ranking is reproducible across
+    * engines (no float tie instability). One codegen scan; the top-k is
+    * a `Limit` over a sort, which Spark executes as per-partition
+    * partial top-k + a k-row merge — nothing global materializes. */
+  def keywordSearch(df: DataFrame, textCol: String, idCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be lowercase alphanumeric words")
+    val lowered = lower(col(textCol))
+    val perTerm = terms.map(t =>
+      size(regexp_extract_all(lowered, lit("\\b" + t + "\\b"), lit(0))))
+    val score = perTerm.reduce(_ + _).cast("long")
+    val matched = perTerm.map(c => when(c > 0, 1).otherwise(0)).reduce(_ + _)
+    df.select(col(idCol), score.as("score"), matched.cast("int").as("n_terms_hit"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -54,4 +54,33 @@ class SamplingSpec extends SparkSpec {
     val gates = big.select(Sampling.gate(col("id")).as("g")).collect().map(_.getLong(0))
     gates.foreach(g => assert(g >= 0 && g < 1000000007L))
   }
+
+  test("mix rebalance: floor group kept whole, selection matches the gate formula exactly") {
+    // en 180 / de 90 / fr 30 → uniform target = 30
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr"))
+    val df = rows.toDF("id", "g")
+    val out = Sampling.mixRebalance(df, "id", "g")
+    val got = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // reference model: the same gate arithmetic in plain Scala
+    def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 1000000007L
+    val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = rows.groupBy(_._2).view.mapValues(
+      _.count { case (id, g) => gate(id) % cnt(g) < 30L }.toLong).toMap
+    assert(got("fr") == 30L, "smallest group must survive in full")
+    assert(got == expected, s"got $got expected $expected")
+
+    // deterministic under repartitioning
+    val out2 = Sampling.mixRebalance(df.repartition(7), "id", "g")
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+
+    // explicit per-group target downsamples harder; absent groups keep the floor
+    val capped = Sampling.mixRebalance(df, "id", "g", targets = Map("en" -> 10L))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("fr") == 30L && capped("de") == expected("de"))
+    assert(capped("en") ==
+      rows.filter(_._2 == "en").count { case (id, _) => gate(id) % 180L < 10L }.toLong)
+  }
 }

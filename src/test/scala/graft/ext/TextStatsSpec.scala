@@ -64,4 +64,42 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).getDouble(3) == 0.0)
     assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(3))
   }
+
+  test("pii redact replaces emails, phones, and long digit runs; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Contact Bob.Smith+x@Example.ORG or 555-123-4567; acct 123456789 ok"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val out = TextStats.piiRedact(df, "text", "doc_id").collect()
+    assert(out(0).getString(1) == "contact [EMAIL] or [PHONE]; acct [ID_LIKE] ok")
+    assert(out(1).getString(1) == "clean text")
+  }
+
+  test("token histogram buckets by BPE token count, integer arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),                                                     // 3 → bucket 0
+      (2L, "one two three four five six seven eight nine ten elf zwo"),  // 12 → bucket 10
+      (3L, "x")                                                          // 1 → bucket 0
+    ).toDF("doc_id", "text")
+    val got = TextStats.tokenHistogram(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(0L -> 2L, 10L -> 1L))
+  }
+
+  test("keyword search: integer score, hit count, id tiebreak, word boundaries") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join spark"),   // score 3, 2 terms
+      (2L, "query"),              // score 1
+      (3L, "nothing here"),       // dropped
+      (4L, "query"),              // score 1 — tie with 2, later id
+      (5L, "sparkle queryx")      // boundary: must NOT match
+    ).toDF("doc_id", "text")
+    val out = TextStats.keywordSearch(df, "text", "doc_id",
+      Seq("spark", "query", "join"), 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(out(0).getLong(1) == 3L && out(0).getInt(2) == 2)
+    assert(out(1).getLong(1) == 1L && out(1).getInt(2) == 1)
+  }
 }
