@@ -100,4 +100,18 @@ class PlanSpec extends SparkSpec {
     // the only exchange feeds the tiny rare-set aggregate, never the fact scan
     assert(shuffles.size <= 1, s"unexpected shuffles: ${shuffles.size}")
   }
+
+  test("mix rebalance broadcasts the group counts; the corpus never sort-merge-joins") {
+    val plan = formatted("x_mix_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group-count table should broadcast onto the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rebalance must not shuffle the corpus:\n$plan")
+  }
+
+  test("keyword search runs as partial top-k, not a global sort") {
+    val plan = formatted("x_keyword_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be per-partition partial + k-row merge:\n$plan")
+  }
 }
