@@ -47,6 +47,9 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "x_cluster_summary" -> ((s, d) =>
+      // seeded k-means mixture view — rows-only (no oracle), spec-gated
+      SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),
     "x_dedup_clusters" -> ((s, d) =>
       // pairs → connected components → survivor per cluster
       Dedup.dedupClusters(

@@ -167,4 +167,39 @@ object SimSearch {
       .filter(col("cos") >= threshold)
       .orderBy(col("ida"), col("idb"))
   }
+
+  /** Corpus topic clustering — the mixture-analysis view a training
+    * pipeline takes before sampling decisions: k-means over
+    * unit-normalized embeddings (same quantizer family as [[ivfTopK]]),
+    * summarized per cluster as (size, mean cosine to the centroid — a
+    * cohesion signal). Seeded/approximate by nature (rows-only check;
+    * ClusterSpec pins the structural invariants). Scale shape: the
+    * MLlib fit is distributed; assignment is one scan against the tiny
+    * broadcast model; the summary is a cluster-domain aggregate. */
+  def clusterSummary(df: DataFrame, nClusters: Int = 16,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toUnitVec = udf { (arr: Seq[Float]) =>
+      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
+    }
+    val c = df.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cluster_id")
+    val model = km.fit(c)
+    val centers = model.clusterCenters.map(_.toArray)
+    val cosToCenter = udf { (v: Vector, cl: Int) =>
+      val ct = centers(cl); val a = v.toArray
+      var dp = 0.0; var nc = 0.0; var j = 0
+      while (j < a.length) { dp += a(j) * ct(j); nc += ct(j) * ct(j); j += 1 }
+      if (nc == 0) 0.0 else dp / math.sqrt(nc) // |v| = 1 by construction
+    }
+    model.transform(c)
+      .select(col("cluster_id"), cosToCenter(col("fv"), col("cluster_id")).as("cos"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), avg(col("cos")).as("avg_cos_to_centroid"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -69,4 +69,20 @@ class SimSearchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.sameElements(Array((0L, 1L))))
   }
+
+  test("cluster summary: partitions the corpus, cohesion in [-1,1], seed-stable") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    val out = SimSearch.clusterSummary(e, 8).collect()
+    assert(out.map(_.getLong(1)).sum == e.count(),
+      "cluster sizes must partition the corpus")
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+    }
+    val again = SimSearch.clusterSummary(e, 8).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1))).toSeq,
+      "same seed must reproduce the same clustering")
+  }
 }
