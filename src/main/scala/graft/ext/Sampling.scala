@@ -69,17 +69,22 @@ object Sampling {
     * always holds. */
   def mixRebalance(df: DataFrame, idCol: String, groupCol: String,
                    targets: Map[String, Long] = Map.empty): DataFrame = {
+    // Null-safe join key: a NULL group is a real stratum (the aggregate
+    // below counts it as one), so a plain equi-join would silently drop
+    // those rows. EqualNullSafe is still a hash-join key — the counts
+    // side stays broadcast.
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_cnt"))
+      .withColumnRenamed(groupCol, "__grp")
     val floor = counts.agg(min(col("grp_cnt")).as("uniform_target"))
     val targetExpr =
       if (targets.isEmpty) col("uniform_target")
       else targets.toSeq.sortBy(_._1).foldLeft(col("uniform_target")) {
         case (acc, (g, n)) => when(col(groupCol) === g, lit(n)).otherwise(acc)
       }
-    df.join(broadcast(counts), groupCol)
+    df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
       .crossJoin(broadcast(floor))
       .filter(pmod(gate(col(idCol)), col("grp_cnt")) < least(targetExpr, col("grp_cnt")))
-      .drop("grp_cnt", "uniform_target")
+      .drop("__grp", "grp_cnt", "uniform_target")
   }
 
   /** Deterministic train/validation/test assignment as a label column:

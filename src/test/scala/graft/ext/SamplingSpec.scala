@@ -83,4 +83,17 @@ class SamplingSpec extends SparkSpec {
     assert(capped("en") ==
       rows.filter(_._2 == "en").count { case (id, _) => gate(id) % 180L < 10L }.toLong)
   }
+
+  test("mix rebalance treats NULL group as a real stratum") {
+    // en 20, null 5 → target 5: the null stratum is the floor group and
+    // must survive whole, not vanish in the count join
+    val df = (0L until 25L).map(i => (i, if (i < 20) "en" else null))
+      .toDF("id", "g")
+    val got = Sampling.mixRebalance(df, "id", "g")
+      .groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got(None) == 5L, s"null stratum dropped: $got")
+    def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 1000000007L
+    assert(got(Some("en")) == (0L until 20L).count(i => gate(i) % 20L < 5L).toLong)
+  }
 }
