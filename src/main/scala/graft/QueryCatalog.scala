@@ -24,6 +24,10 @@ object QueryCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_profile_lineitem" -> ((s, d) => Profile.profile(Tables.lineitem(s, d))),
+    "a1_profile_approx" -> ((s, d) =>
+      // sketch path: one wide agg, rows-only (ProfileSpec pins the error
+      // envelope against the exact profile)
+      Profile.profileApprox(Tables.lineitem(s, d))),
     "a2_value_counts" -> ((s, d) => Profile.valueCounts(Tables.lineitem(s, d), "l_returnflag")),
     "a3_mode" -> ((s, d) => Profile.mode(Tables.lineitem(s, d), "l_returnflag")),
     "a4_rare_categories" -> ((s, d) => Profile.rareCategories(Tables.supplier(s, d), "s_name", 5)),

@@ -162,6 +162,75 @@ object Profile {
     withTop.orderBy(col("column"))
   }
 
+  /** Sketch-based profile — the single-scan 100 TB sibling of [[profile]]:
+    * same output schema, but quantiles come from `approx_percentile`
+    * (bounded-error mergeable sketch), distinct counts from HLL++
+    * (`approx_count_distinct`), and moments from plain double aggregates.
+    * ONE wide aggregate, ONE job: no fit pre-pass, no count_distinct
+    * Expand blow-up, no mode sub-jobs (top_value/top_freq are null).
+    * Approximate by declaration (rows-only check; ProfileSpec pins the
+    * error envelope against [[profile]]). */
+  def profileApprox(df: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val fields = df.schema.fields
+    def dtypeName(dt: DataType): String = dt.sql.toLowerCase
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n_total")) ++ fields.flatMap { f =>
+        val c = f.name
+        if (isNum(f.dataType)) Seq(
+          count(col(c)).as(s"${c}__n"),
+          avg(col(c).cast("double")).as(s"${c}__mean"),
+          stddev_samp(col(c).cast("double")).as(s"${c}__std"),
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"),
+          approx_count_distinct(col(c)).as(s"${c}__uniq"),
+          percentile_approx(col(c).cast("double"),
+            typedlit(Seq(0.25, 0.5, 0.75)), lit(accuracy)).as(s"${c}__q"))
+        else Seq(
+          count(col(c)).as(s"${c}__n"),
+          approx_count_distinct(col(c)).as(s"${c}__uniq"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rowStructs: Seq[Column] = fields.map { f =>
+      val c = f.name
+      val base = Seq(
+        lit(c).as("column"),
+        lit(dtypeName(f.dataType)).as("dtype"),
+        col("__n_total").as("n_total"),
+        (col("__n_total") - col(s"${c}__n")).as("n_missing"),
+        ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
+          .as("missing_pct"),
+        col(s"${c}__uniq").as("n_unique"))
+      val numeric =
+        if (isNum(f.dataType)) Seq(
+          col(s"${c}__mean").as("mean"),
+          col(s"${c}__std").as("std"),
+          col(s"${c}__min").as("min_num"),
+          col(s"${c}__q").getItem(0).as("p25"),
+          col(s"${c}__q").getItem(1).as("median"),
+          col(s"${c}__q").getItem(2).as("p75"),
+          col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+        else Seq(
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("std"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("p25"),
+          lit(null).cast("double").as("median"),
+          lit(null).cast("double").as("p75"),
+          lit(null).cast("double").as("max_num"),
+          col(s"${c}__min").as("min_str"),
+          col(s"${c}__max").as("max_str"))
+      struct(base ++ numeric: _*)
+    }
+    wide.select(explode(array(rowStructs: _*)).as("r")).select(col("r.*"))
+      .withColumn("top_value", lit(null).cast("string"))
+      .withColumn("top_freq", lit(null).cast("long"))
+      .orderBy(col("column"))
+  }
+
   /** A2 `value_counts(dropna=False)`: counts per category including the
     * null group, ordered count-desc then value-asc (deterministic). */
   def valueCounts(df: DataFrame, c: String): DataFrame =

@@ -45,6 +45,34 @@ class ProfileSpec extends SparkSpec {
     assert(row.getLong(3) == 2 && row.getLong(5) == 0)
   }
 
+  test("profileApprox: same schema as profile, sketch values inside the error envelope") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val exact = Profile.profile(li).collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profileApprox(li).collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    val cols = Profile.profile(li).columns.toSeq
+    assert(cols == Profile.profileApprox(li).columns.toSeq, "schemas must match")
+    exact.foreach { case (name, e) =>
+      val a = approx(name)
+      assert(a.getLong(2) == e.getLong(2) && a.getLong(3) == e.getLong(3),
+        s"$name: counts must be exact even in the sketch path")
+      // HLL++ relative error at default rsd 0.05: allow 10%
+      val (ue, ua) = (e.getLong(5), a.getLong(5))
+      assert(math.abs(ua - ue) <= math.max(2L, (0.10 * ue).toLong),
+        s"$name: approx distinct $ua vs exact $ue")
+      if (!e.isNullAt(7)) { // numeric: median within 2% of span + one domain
+        // step (approx_percentile returns an ELEMENT; the exact profile
+        // interpolates, so tiny-domain columns differ by up to one step)
+        val span = math.max(1e-9, e.getDouble(12) - e.getDouble(8)) // max - min
+        val step = span / math.max(1L, ue - 1)
+        assert(math.abs(a.getDouble(10) - e.getDouble(10)) <= 0.02 * span + step,
+          s"$name: approx median ${a.getDouble(10)} vs ${e.getDouble(10)}")
+        assert(a.getDouble(8) == e.getDouble(8) && a.getDouble(12) == e.getDouble(12),
+          s"$name: min/max are exact aggregates and must agree")
+      }
+    }
+  }
+
   test("mode: smallest value wins ties (pandas mode().iloc[0])") {
     val df = Seq("b", "a", "b", "a", "c").toDF("v")
     val m = Profile.mode(df, "v").collect()(0)
