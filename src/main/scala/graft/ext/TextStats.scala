@@ -32,8 +32,9 @@ object TextStats {
   private def tokens(c: Column): Column = split(c, " ")
 
   /** Composite quality score in [0,1] over a text column (shared by
-    * [[textStats]] and [[corpusClean]] — one formula, one op order). */
-  private def qualityScore(textCol: Column): Column = {
+    * [[textStats]], [[corpusClean]] and the streaming ingest twin — one
+    * formula, one op order). */
+  private[graft] def qualityScore(textCol: Column): Column = {
     val t = tokens(textCol)
     val nTok = size(t)
     val nChars = length(textCol)
@@ -48,7 +49,7 @@ object TextStats {
   /** Language prediction over a text column (shared by [[langId]] and
     * [[corpusClean]]): marker-hit argmax, (score desc, lang asc) ties,
     * zero hits → "und". */
-  private def langPred(textCol: Column): Column = {
+  private[graft] def langPred(textCol: Column): Column = {
     val t = tokens(textCol)
     val scores = LangMarkers.map { case (lang, markers) =>
       val arr = array(markers.map(lit): _*)
@@ -154,13 +155,18 @@ object TextStats {
     ((ascii(t) * 31 + ascii(substring(t, 2, 1))) * 31 +
       ascii(substring(t, 3, 1))) * 31 + length(t)
 
+  /** Fingerprint as a column expression (shared with the streaming
+    * ingest twin's dedup key). */
+  private[graft] def fingerprintExpr(textCol: Column): Column = {
+    val mapped = transform(tokens(textCol), t => tokenHash(t).cast("long"))
+    aggregate(mapped, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+
   /** Document fingerprint: left fold of token hashes mod 1e9+7 (rolling
     * polynomial hash). Stable across engines: all-integer math. */
-  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val mapped = transform(tokens(col(textCol)), t => tokenHash(t).cast("long"))
-    val fp = aggregate(mapped, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
-    df.select(col(idCol), fp.as("fingerprint")).orderBy(col(idCol))
-  }
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), fingerprintExpr(col(textCol)).as("fingerprint"))
+      .orderBy(col(idCol))
 
   /** Intra-document repetition: 1 − |distinct n-grams| / |n-grams| — the
     * standard repeated-text quality signal (a doc that loops its content
