@@ -111,6 +111,8 @@ object ExtCatalog {
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
     "x_corpus_clean" -> ((s, d) =>
       TextStats.corpusClean(Tables.documents(s, d), "text", "doc_id")),
+    "x_curation_report" -> ((s, d) =>
+      TextStats.curationReport(Tables.documents(s, d), "text", "doc_id")),
     "t_text_stats" -> ((s, d) =>
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
@@ -286,6 +288,41 @@ object ExtCatalog {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Curation-report oracle: the fingerprint window + the textStats
+    * quality formula + the langId argmax, composed from the same mirror
+    * fragments the standalone oracles use. */
+  private def curationReportSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val structs = TextStats.LangMarkers.map { case (lang, markers) =>
+      val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(ts, x -> list_contains($arr, x))), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH fp AS (SELECT doc_id, text,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+       |  FROM documents),
+       |g AS (SELECT doc_id, text,
+       |  COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+       |  MIN(doc_id) OVER (PARTITION BY fp) AS survivor_id FROM fp),
+       |t AS (SELECT doc_id, text, n_copies, survivor_id,
+       |  string_split(text, ' ') AS ts FROM g),
+       |s AS (SELECT doc_id, ts, n_copies, survivor_id,
+       |  length(text) AS n_chars, len(ts) AS n_tokens,
+       |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+       |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+       |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS quality_score,
+       |  IF(list_sort($structs, 'DESC')[1].score > 0,
+       |     list_sort($structs, 'DESC')[1].lang, 'und') AS lang_pred,
+       |  n_copies > 1 AS is_dup,
+       |  doc_id = survivor_id AS is_survivor
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def fingerprintSql: String =
     s"""SELECT doc_id,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -422,6 +459,7 @@ object ExtCatalog {
         |WHERE length(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "x_corpus_clean" -> corpusCleanSql,
+    "x_curation_report" -> curationReportSql,
     "t_pii_scan" -> {
       val cols = TextStats.PiiPatterns.map { case (name, pat) =>
         s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS n_$name"

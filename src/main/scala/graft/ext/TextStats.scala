@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (BASELINE.json
@@ -207,6 +208,31 @@ object TextStats {
     df.select((n - pmod(n, lit(bucket))).cast("long").as("token_bucket"))
       .groupBy(col("token_bucket")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("token_bucket"))
+  }
+
+  /** Per-document curation report — the one-pass view a curator joins
+    * sampling decisions against: token budget, quality, language, and
+    * duplicate status together. Duplicate flags come from ONE shuffle on
+    * the content fingerprint (count + min-id per content group via a
+    * keyed window — never a self-join); every other column is a
+    * stateless projection riding the same scan. At scale the single
+    * exchange partitions by fingerprint, which is near-uniform by
+    * construction (no skew: identical content hashes together, and a
+    * pathological mega-duplicate group degrades one partition, not the
+    * plan). */
+  def curationReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", fingerprintExpr(col(textCol)))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("survivor_id", min(col(idCol)).over(w))
+      .select(
+        col(idCol),
+        size(split(col(textCol), " ")).as("n_tokens"),
+        qualityScore(col(textCol)).as("quality_score"),
+        langPred(col(textCol)).as("lang_pred"),
+        (col("n_copies") > 1).as("is_dup"),
+        (col(idCol) === col("survivor_id")).as("is_survivor"))
+      .orderBy(col(idCol))
   }
 
   /** Keyword search: score each document by total occurrences of the

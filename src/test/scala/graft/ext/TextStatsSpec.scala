@@ -87,6 +87,21 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Seq(0L -> 2L, 10L -> 1L))
   }
 
+  test("curation report: dup flags from one content-group window, min-id survivor") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the a fast"), (2L, "the a fast"),  // content dup pair → survivor 1
+      (3L, "unique words here")
+    ).toDF("doc_id", "text")
+    val out = TextStats.curationReport(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(4) && out(1L).getBoolean(5))   // dup + survivor
+    assert(out(2L).getBoolean(4) && !out(2L).getBoolean(5))  // dup, not survivor
+    assert(!out(3L).getBoolean(4) && out(3L).getBoolean(5))  // unique is its own survivor
+    assert(out(1L).getInt(1) == 3)                           // n_tokens
+    assert(out(1L).getString(3) == "en")                     // marker argmax
+  }
+
   test("keyword search: integer score, hit count, id tiebreak, word boundaries") {
     import spark.implicits._
     val df = Seq(
