@@ -36,6 +36,7 @@ object SparkEntry {
     "q_cube" -> ((s, d) => Relational.qCube(s, d)),
     "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
     "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
+    "q_scalar_funcs" -> ((s, d) => Relational.qScalarFuncs(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -158,5 +159,22 @@ object SparkEntry {
         |SELECT 'without_orders' AS segment, COUNT(*) AS n_customers FROM (
         |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t
         |ORDER BY segment""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  lower(o_orderstatus) AS status_lower,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  trim(o_orderpriority) AS prio_trim,
+        |  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS y,
+        |  CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS m,
+        |  CAST(day(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS d,
+        |  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month_start,
+        |  abs(o_totalprice * -1.0) AS abs_price,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+        |  greatest(o_totalprice, 1000.0) AS price_floor_1k
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -305,4 +305,33 @@ object Relational {
       .agg(count(lit(1)).as("n_customers")).select(lit("without_orders").as("segment"), col("n_customers"))
     withOrders.union(withoutOrders).orderBy(col("segment"))
   }
+
+  /** Scalar-function sweep (SURVEY §2.7's "string/date/math library"
+    * bullet, exercised explicitly): one projection over a filtered orders
+    * slice touching the string, date, and math functions a user of the
+    * engine reaches for first. Every function here is chosen for exact
+    * cross-engine semantics (no rounding-mode or locale traps: `round`
+    * on arbitrary doubles and locale-sensitive case mappings stay out).
+    * Pure codegen, filter pushed to the scan. */
+  def qScalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"),
+          col("o_orderpriority")).as("status_prio"),
+        trim(col("o_orderpriority")).as("prio_trim"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        abs(col("o_totalprice") * -1.0).as("abs_price"),
+        floor(col("o_totalprice")).as("floor_price"),
+        ceil(col("o_totalprice")).as("ceil_price"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("price_floor_1k"))
+      .orderBy(col("o_orderkey"))
 }
