@@ -37,6 +37,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Relational.qPivot(s, d)),
     "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_funcs" -> ((s, d) => Relational.qScalarFuncs(s, d)),
+    "q_corr_subquery" -> ((s, d) => Relational.qCorrSubquery(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -176,5 +177,6 @@ object SparkEntry {
         |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
         |  greatest(o_totalprice, 1000.0) AS price_floor_1k
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_corr_subquery" -> Relational.qCorrSubquerySql("customer"),
   )
 }

@@ -184,6 +184,29 @@ object Relational {
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** Correlated-subquery surface (one statement, both engines): customers
+    * whose balance beats their market segment's average. The comparison
+    * is cross-multiplied into decimal-exact integer arithmetic
+    * (`bal · n > sum`) so no distributed-vs-single-node float AVG can
+    * flip a boundary row — the same exactness policy as the aggregate
+    * suite. Catalyst decorrelates the subqueries into one aggregate +
+    * broadcast join; nothing per-row. */
+  def qCorrSubquerySql(table: String): String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+       |FROM $table c
+       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+       |    (SELECT COUNT(*) FROM $table c2
+       |     WHERE c2.c_mktsegment = c.c_mktsegment) >
+       |  (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM $table c2
+       |   WHERE c2.c_mktsegment = c.c_mktsegment)
+       |ORDER BY c_custkey""".stripMargin
+
+  def qCorrSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_qc_customer")
+    spark.sql(qCorrSubquerySql("graft_qc_customer"))
+  }
+
   /** Backward as-of join: each left row picks the LATEST right row with
     * the same key and right.time ≤ left.time (inclusive; DuckDB `ASOF
     * JOIN` semantics). Spark has no built-in as-of operator, so this
