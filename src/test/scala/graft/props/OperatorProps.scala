@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.ops.{Drift, Privacy}
 import graft.risk.Linkage
-import graft.ext.Dedup
+import graft.ext.{Dedup, Sampling, TextStats}
 
 /** Property-based checks from SURVEY.md §5.2. Each case materializes a
   * small DataFrame, so the per-property case count is reduced — the point
@@ -111,5 +111,48 @@ object OperatorProps extends Properties("graft") {
         val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
         a < b && j > 0.0 && j <= 1.0
       }
+    }
+
+  property("mixRebalance: output ⊆ input, smallest group survives whole") =
+    forAll(Gen.listOfN(30, Gen.oneOf("x", "y", "z"))) { gs =>
+      gs.nonEmpty ==> {
+        val rows = gs.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+        val out = Sampling.mixRebalance(rows.toDF("id", "g"), "id", "g")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val cnt = gs.groupBy(identity).view.mapValues(_.size).toMap
+        val mn = cnt.values.min
+        val per = out.groupBy(_._2).view.mapValues(_.size).toMap
+        out.forall(rows.toSet.contains) &&
+          cnt.filter(_._2 == mn).keys.forall(g => per.getOrElse(g, 0) == mn)
+      }
+    }
+
+  property("tokenHistogram: buckets are multiples of 10 and sum to doc count") =
+    forAll(Gen.listOfN(8, Gen.nonEmptyListOf(word))) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = TextStats.tokenHistogram(df, "text").collect()
+      out.map(_.getLong(1)).sum == docs.size.toLong &&
+        out.forall(_.getLong(0) % 10 == 0)
+    }
+
+  property("curationReport: exactly one min-id survivor per content group") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("t1 q", "t2 w", "t3 e"))) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextStats.curationReport(df, "text", "doc_id").collect()
+      val byText = ts.zipWithIndex.groupBy(_._1)
+      val surv = out.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+      surv == byText.values.map(_.map(_._2.toLong).min).toSet &&
+        out.forall(r =>
+          r.getBoolean(4) == (byText(ts(r.getLong(0).toInt)).size > 1))
+    }
+
+  property("kAnonymity: k_min and group count match the true grouping") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 3))) { qs =>
+      val df = qs.map(Tuple1(_)).toDF("q")
+      val r = Privacy.kAnonymity(df, Seq("q"), 2).head()
+      val counts = qs.groupBy(identity).values.map(_.size.toLong)
+      r.getLong(0) == counts.min && r.getLong(1) == counts.size.toLong
     }
 }
