@@ -139,6 +139,7 @@ object ExtCatalog {
     "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
     "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
+    "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
   )
 
   // ------------------------------------------------------------- SQL parts
@@ -487,6 +488,17 @@ object ExtCatalog {
         |  CAST(CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / COUNT(CAST(props->>'k' AS BIGINT)) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_gap_fill" ->
+      """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  event_type FROM events),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM b),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |c AS (SELECT h, event_type, COUNT(*) AS n FROM h GROUP BY 1, 2)
+        |SELECT s.h AS hour_start, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM spine s CROSS JOIN t
+        |LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n,

@@ -31,6 +31,30 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Gap-filled hourly series: every (hour, event_type) cell between the
+    * stream's first and last hour, zero-filled where no events landed —
+    * the resample-and-fill step every time-series consumer needs before
+    * charting or modeling. Shape: ONE data shuffle (the count
+    * aggregate); the hour spine is generated from a 1-row bounds
+    * aggregate (`sequence` + explode) and cross-joined with the tiny
+    * distinct-type list — spine size is hours × types regardless of
+    * event volume, so the dense frame never scales with the data. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hours = events.select(
+      date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val counts = hours.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hours.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val types = hours.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h").as("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Sessionization: per user, a new session starts after a gap >
     * `gapMinutes`. Batch form of what `flatMapGroupsWithState` does in the
     * stream: one shuffle on user_id, one ordered pass per user. */

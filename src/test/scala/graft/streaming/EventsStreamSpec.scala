@@ -254,4 +254,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1L)
     assert(out((2L, 1L)) == 1L)
   }
+
+  test("gap fill densifies every hour × type cell, zero-filling the holes") {
+    val events = Seq(
+      Ev(1, t("10:05"), 1, "click", 0), Ev(2, t("10:15"), 1, "view", 0),
+      Ev(3, t("13:05"), 1, "click", 0)  // hours 11 and 12 have no events
+    ).toDF()
+    val out = Events.gapFill(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // spine: 4 hours × 2 types = 8 cells, all present
+    assert(out.size == 8)
+    assert(out(("2024-01-01 10:00:00.0", "click")) == 1L)
+    assert(out(("2024-01-01 11:00:00.0", "click")) == 0L)
+    assert(out(("2024-01-01 12:00:00.0", "view")) == 0L)
+    assert(out(("2024-01-01 13:00:00.0", "click")) == 1L)
+    assert(out(("2024-01-01 13:00:00.0", "view")) == 0L)
+  }
 }
