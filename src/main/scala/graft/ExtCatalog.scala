@@ -54,6 +54,11 @@ object ExtCatalog {
       // pairs → connected components → survivor per cluster
       Dedup.dedupClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+    "x_dedup_clusters_dist" -> ((s, d) =>
+      // same pairs, the distributed min-label-propagation scale path —
+      // output-identical to the driver union-find, same oracle
+      Dedup.dedupClustersDistributed(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "t_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
     "x_contamination" -> ((s, d) => {
@@ -159,6 +164,28 @@ object ExtCatalog {
        |  ((((ths[i] % 1000000007) * 1000003 + ths[i + 1]) % 1000000007) * 1000003 + ths[i + 2]) % 1000000007 AS s
        |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 2))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  /** Shared by x_dedup_clusters (driver union-find) and
+    * x_dedup_clusters_dist (min-label propagation) — both forms converge
+    * to the component-minimum survivor, so one transitive-closure oracle
+    * gates both. */
+  private def clustersSql: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |jpairs AS (SELECT ida, idb FROM jp
+       |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
+       |edges AS (SELECT ida AS a, idb AS b FROM jpairs
+       |          UNION SELECT idb, ida FROM jpairs),
+       |reach AS (SELECT n AS node, n AS r FROM nodes
+       |          UNION
+       |          SELECT e.b AS node, reach.r AS r
+       |          FROM reach JOIN edges e ON reach.node = e.a)
+       |SELECT node AS doc_id, MIN(r) AS survivor_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def jaccardSql: String =
     s"""WITH $shingleCtes,
@@ -344,23 +371,8 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
-    "x_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCtes,
-         |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
-         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |jpairs AS (SELECT ida, idb FROM jp
-         |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-         |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
-         |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
-         |edges AS (SELECT ida AS a, idb AS b FROM jpairs
-         |          UNION SELECT idb, ida FROM jpairs),
-         |reach AS (SELECT n AS node, n AS r FROM nodes
-         |          UNION
-         |          SELECT e.b AS node, reach.r AS r
-         |          FROM reach JOIN edges e ON reach.node = e.a)
-         |SELECT node AS doc_id, MIN(r) AS survivor_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_clusters" -> clustersSql,
+    "x_dedup_clusters_dist" -> clustersSql,
     "t_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths

@@ -196,6 +196,58 @@ object Dedup {
       .toDF("doc_id", "survivor_id")
   }
 
+  /** Distributed twin of [[dedupClusters]]: iterative MIN-LABEL
+    * PROPAGATION over the edge set — the scale path once a detector's
+    * edge output outgrows driver memory (past ~10⁸ edges). Every node
+    * starts labeled with its own id; each round every node takes the
+    * minimum label across itself and its neighbors; at fixpoint each
+    * node's label is its connected component's minimum id — exactly the
+    * survivor [[dedupClusters]] elects, so the two forms are
+    * output-identical and share one oracle.
+    *
+    * Scale shape: one shuffle per round (a join on the propagation edge
+    * plus a map-side-combinable `min` aggregate), rounds bounded by the
+    * component DIAMETER — near-dup clusters are dense (a hub duplicate
+    * links its copies), so diameter is small single digits in practice;
+    * `maxIters` is a safety rail, not the expected round count. Labels
+    * are `localCheckpoint`ed each round so the plan does not grow with
+    * the iteration count (the standard Spark iterative-algorithm guard;
+    * on a cluster with lineage-recompute concerns a reliable checkpoint
+    * dir does the same job). */
+  def dedupClustersDistributed(pairs: DataFrame, idaCol: String = "ida",
+                               idbCol: String = "idb",
+                               maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(idaCol).cast("long").as("src"),
+      col(idbCol).cast("long").as("dst"))
+    // propagation runs both directions; distinct collapses detector
+    // multi-edges so each round shuffles each edge once
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      // fixpoint = no node's label shrank this round (labels only ever
+      // decrease, so inequality is the full convergence test)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("survivor_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shingle hash: polynomial over token hashes, mod 1e9+7. */
   def shingleHash(s: Column): Column = {
     val toks = split(s, " ")

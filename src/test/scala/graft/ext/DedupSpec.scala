@@ -154,4 +154,26 @@ class DedupSpec extends SparkSpec {
     // empty pair set → empty mapping
     assert(Dedup.dedupClusters(Seq.empty[(Long, Long)].toDF("ida", "idb")).isEmpty)
   }
+
+  test("distributed label propagation equals the driver union-find") {
+    // a long path (worst case for propagation: diameter = edge count), a
+    // star, a triangle with a multi-edge, and reversed-order edges
+    val pairs = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L), // path 3..9
+      (100L, 50L), (100L, 60L), (100L, 70L),                      // star, min inside
+      (200L, 201L), (201L, 202L), (200L, 202L), (200L, 202L)      // triangle + dup edge
+    ).toDF("ida", "idb")
+    val viaDriver = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted
+    val viaDist = Dedup.dedupClustersDistributed(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(viaDist.sameElements(viaDriver))
+    assert(viaDist.toMap.apply(9L) == 3L) // full path collapsed
+    // and on the real detector output at the fixture scale factor
+    val real = Dedup.ngramJaccardPairs(
+      graft.Tables.documents(spark, Sf), "text", "doc_id", 3, 0.6)
+    val a = Dedup.dedupClusters(real).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Dedup.dedupClustersDistributed(real).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty && b.sameElements(a))
+  }
 }
