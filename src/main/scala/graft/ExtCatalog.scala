@@ -107,6 +107,11 @@ object ExtCatalog {
     "x_keyword_search" -> ((s, d) =>
       TextStats.keywordSearch(Tables.documents(s, d), "text", "doc_id",
         KeywordTerms, 20)),
+    "x_source_cap" -> ((s, d) =>
+      // at most 10 docs per source (per-domain crawl cap) — bounded
+      // aggregate, never a full-table window sort
+      ext.Sampling.perKeyCap(Tables.documents(s, d), "doc_id", "source", 10)
+        .orderBy(col("source"), col("doc_id"))),
     "x_mix_rebalance" -> ((s, d) =>
       ext.Sampling.mixRebalance(Tables.documents(s, d), "doc_id", "lang")
         .select(col("doc_id"), col("lang"), col("source"))
@@ -413,6 +418,12 @@ object ExtCatalog {
          |            ELSE 'test' END AS split, COUNT(*) AS n
          |FROM (SELECT ${ext.Sampling.gateSql("l_orderkey")} % 1000 AS g FROM lineitem) t
          |GROUP BY 1 ORDER BY split""".stripMargin,
+    "x_source_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
     "x_mix_rebalance" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
          |m AS (SELECT MIN(cnt) AS mn FROM c)

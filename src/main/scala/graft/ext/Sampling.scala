@@ -87,6 +87,25 @@ object Sampling {
       .drop("__grp", "grp_cnt", "uniform_target")
   }
 
+  /** Per-key row cap — "keep at most k docs per source/domain", the
+    * anti-hoarding curation step of a crawl pipeline (one hot domain must
+    * not dominate the corpus). Survivors are the k SMALLEST ids per key,
+    * so selection is deterministic and re-derivable.
+    *
+    * Scale shape: a bounded [[graft.functions.MinKIds]] typed aggregate —
+    * partial states of ≤ k longs combine map-side, so the exchange
+    * carries k ids per (partition, key), never the data rows; a
+    * `row_number` window would instead sort the full table through one
+    * per-key exchange. The id list explodes back to rows after the
+    * aggregate. Hot keys cost O(k) state like any other key — skew-immune
+    * by construction. */
+  def perKeyCap(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
+    val minK = org.apache.spark.sql.functions.udaf(new graft.functions.MinKIds(k))
+    df.groupBy(col(keyCol))
+      .agg(minK(col(idCol).cast("long")).as("__kept"))
+      .select(col(keyCol), explode(col("__kept")).as(idCol))
+  }
+
   /** Deterministic train/validation/test assignment as a label column:
     * thresholds are cumulative per-mille cut points over gate(id) mod
     * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —

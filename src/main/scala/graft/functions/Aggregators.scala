@@ -44,6 +44,34 @@ class CappedDistinctLong(cap: Int) extends Aggregator[Long, CapSetL, Long] {
     org.apache.spark.sql.Encoders.scalaLong
 }
 
+/** Bounded k-smallest-ids-per-group aggregate — the scale-correct form of
+  * "keep at most k rows per key": every partition's partial state is at
+  * most k longs (sorted ascending), partials are map-side combinable, and
+  * the shuffle carries k values per (partition, key) instead of every row.
+  * The window-function formulation (`row_number() OVER (PARTITION BY key
+  * ORDER BY id) <= k`) sorts ALL rows of every key through one exchange;
+  * this aggregate reduces first — on a 100 TB corpus with per-domain caps
+  * that is the difference between shuffling k·|domains| longs and
+  * shuffling the corpus. Output order is ascending, deterministic. */
+case class MinKBuf(items: Seq[Long])
+class MinKIds(k: Int) extends Aggregator[Long, MinKBuf, Seq[Long]] {
+  require(k > 0, s"cap must be positive: $k")
+  override def zero: MinKBuf = MinKBuf(Vector.empty)
+  override def reduce(b: MinKBuf, v: Long): MinKBuf =
+    if (b.items.length >= k && v >= b.items.last) b
+    else {
+      val (lo, hi) = b.items.span(_ <= v)
+      MinKBuf(((lo :+ v) ++ hi).take(k))
+    }
+  override def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
+    MinKBuf((a.items ++ b.items).sorted.take(k))
+  override def finish(r: MinKBuf): Seq[Long] = r.items
+  override def bufferEncoder: org.apache.spark.sql.Encoder[MinKBuf] =
+    org.apache.spark.sql.Encoders.product[MinKBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 class CappedDistinct(cap: Int) extends Aggregator[String, CapSet, Long] {
   override def zero: CapSet = CapSet(over = false, Nil)
 

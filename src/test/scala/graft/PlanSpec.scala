@@ -114,4 +114,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k should be per-partition partial + k-row merge:\n$plan")
   }
+
+  test("per-source cap is a partial-combining bounded aggregate, not a window sort") {
+    val plan = formatted("x_source_cap")
+    assert(!plan.contains("Window"),
+      s"cap must not sort the full table through a window exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the typed MinKIds aggregate:\n$plan")
+    // partial aggregation before the exchange = map-side combine is on
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final aggregate pair:\n$plan")
+  }
 }

@@ -22,6 +22,24 @@ class SamplingSpec extends SparkSpec {
       "partial orders would mean the gate depends on more than the id")
   }
 
+  test("perKeyCap equals the window formulation and is partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, Sf)
+    val capped = Sampling.perKeyCap(docs, "doc_id", "source", 10)
+    val viaWindow = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .filter(col("rk") <= 10).select(col("source"), col("doc_id"))
+    assert(capped.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(capped).isEmpty)
+    val reshuffled = Sampling.perKeyCap(docs.repartition(17), "doc_id", "source", 10)
+    assert(capped.exceptAll(reshuffled).isEmpty && reshuffled.exceptAll(capped).isEmpty)
+    // every source is capped at 10, and under-cap sources keep all rows
+    val joined = capped.groupBy("source").count()
+      .join(docs.groupBy("source").count().withColumnRenamed("count", "all"), "source")
+    assert(joined.filter(col("count") > 10).isEmpty)
+    assert(joined.filter(col("all") <= 10 && col("count") =!= col("all")).isEmpty)
+  }
+
   test("stratified rates hold per stratum; unmapped strata drop") {
     val li = graft.Tables.lineitem(spark, Sf)
     val out = Sampling.stratifiedHashSample(li, "l_orderkey", "l_returnflag",
