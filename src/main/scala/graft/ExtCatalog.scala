@@ -150,6 +150,7 @@ object ExtCatalog {
     "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
     "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
     "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
+    "s_anomaly" -> ((s, d) => Events.anomaly(Tables.events(s, d))),
   )
 
   // ------------------------------------------------------------- SQL parts
@@ -521,6 +522,26 @@ object ExtCatalog {
         |SELECT s.h AS hour_start, t.event_type, COALESCE(c.n, 0) AS n
         |FROM spine s CROSS JOIN t
         |LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "s_anomaly" ->
+      // the gap-fill spine CTE + integer-exact (H·x − S)² > 4(H·Q − S²):
+      // the 2σ test with every term a count product, no float μ/σ
+      """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  event_type FROM events),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM b),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |c AS (SELECT h, event_type, COUNT(*) AS n FROM h GROUP BY 1, 2),
+        |dense AS (SELECT s.h AS hour_start, t.event_type, COALESCE(c.n, 0) AS n
+        |  FROM spine s CROSS JOIN t
+        |  LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type),
+        |stats AS (SELECT event_type, COUNT(*) AS hh, SUM(n) AS s, SUM(n*n) AS q
+        |  FROM dense GROUP BY 1)
+        |SELECT d.hour_start, d.event_type, d.n,
+        |  CAST(hh * d.n - s AS HUGEINT) * CAST(hh * d.n - s AS HUGEINT) >
+        |    4 * (CAST(hh AS HUGEINT) * CAST(q AS HUGEINT) -
+        |         CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anomaly
+        |FROM dense d JOIN stats USING (event_type)
         |ORDER BY 1, 2""".stripMargin,
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,

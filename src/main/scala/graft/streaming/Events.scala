@@ -55,6 +55,38 @@ object Events {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Hourly volume anomaly flags per event type — the monitoring twin of
+    * [[gapFill]]: over the DENSE hour spine (missing hours are real
+    * zero-count observations, not absent rows), an hour is anomalous when
+    * its count deviates from the type's mean by more than 2σ (population
+    * σ over the spine).
+    *
+    * The 2σ test is evaluated in INTEGERS, not floats: with H hours,
+    * S = Σx and Q = Σx², the test (x−μ)² > 4σ² multiplies through by H²
+    * to (H·x − S)² > 4(H·Q − S²) — every term a sum/product of counts, so
+    * the flag is bit-identical across engines (a float μ/σ would flip
+    * boundary hours per libm). Products ride DECIMAL(38,0) so the squares
+    * are overflow-safe far past any realistic hourly volume.
+    *
+    * Scale shape: the spine join is [[gapFill]]'s (ONE count shuffle —
+    * the dense frame scales with hours×types, not events); per-type
+    * moments are a broadcast back onto it. */
+  def anomaly(events: DataFrame): DataFrame = {
+    val dense = gapFill(events)
+    val stats = dense.groupBy(col("event_type")).agg(
+      count(lit(1)).as("h"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lhs = dec(col("h") * col("n") - col("s"))
+    val rhs = lit(4).cast("decimal(38,0)") *
+      (dec(col("h")) * dec(col("q")) - dec(col("s")) * dec(col("s")))
+    dense.join(broadcast(stats), Seq("event_type"))
+      .select(col("hour_start"), col("event_type"), col("n"),
+        (lhs * lhs > rhs).as("is_anomaly"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Sessionization: per user, a new session starts after a gap >
     * `gapMinutes`. Batch form of what `flatMapGroupsWithState` does in the
     * stream: one shuffle on user_id, one ordered pass per user. */

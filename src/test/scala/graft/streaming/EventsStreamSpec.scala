@@ -270,4 +270,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(out(("2024-01-01 13:00:00.0", "click")) == 1L)
     assert(out(("2024-01-01 13:00:00.0", "view")) == 0L)
   }
+
+  test("anomaly flags exactly the hours beyond 2σ of the dense spine") {
+    // clicks: 10 quiet hours of 1 event + one 12-event burst hour.
+    // H=11, S=22, Q=154: burst (11·12−22)²=12100 > 4(11·154−22²)=4840 ✓;
+    // quiet hours (11·1−22)²=121 ≤ 4840 — only the burst flags.
+    val quiet = (0 until 10).map(i =>
+      Ev(100 + i, t(f"$i%02d:30"), 1, "click", 0))
+    val burst = (0 until 12).map(i =>
+      Ev(200 + i, t(s"10:${10 + i}"), 1, "click", 0))
+    val out = Events.anomaly((quiet ++ burst).toDF()).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getBoolean(3)).toMap
+    assert(out.size == 11)
+    assert(out("2024-01-01 10:00:00.0"))
+    assert(out.count(_._2) == 1, s"only the burst hour flags: $out")
+    // constant series: σ = 0 and no hour deviates — nothing flags
+    // (strict > keeps the all-equal case unflagged instead of NaN-ish)
+    val flat = (0 until 5).map(i => Ev(i.toLong, t(f"$i%02d:00"), 1, "view", 0))
+    assert(Events.anomaly(flat.toDF()).collect().forall(!_.getBoolean(3)))
+  }
 }
