@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.ext.{Chunking, Dedup, Multimodal, SimSearch, TextStats}
 import graft.streaming.Events
 
 /** Extension-scope query bindings (BASELINE.json: dedup, similarity
@@ -89,6 +89,21 @@ object ExtCatalog {
         .orderBy(col("split"))),
     "t_token_count" -> ((s, d) =>
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
+    "x_token_chunks" -> ((s, d) =>
+      // overlapping 32-token chunks at stride 24 — the RAG/long-doc splitter
+      Chunking.tokenChunks(Tables.documents(s, d), "text", "doc_id", 32, 24)),
+    "x_pack_sequences" -> ((s, d) =>
+      // concat-and-chunk packing into 256-token training sequences
+      Chunking.packSequences(Tables.documents(s, d), "text", "doc_id", 256)),
+    "t_tfidf_topk" -> ((s, d) =>
+      TextStats.tfidfTopK(Tables.documents(s, d), "text", "doc_id", 3)),
+    "x_embed_quantize" -> ((s, d) =>
+      // int8 symmetric quantization; codes ride as a CSV string so every
+      // output column is scalar-typed for the hash gate
+      SimSearch.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("max_abs"), col("scale"), col("q_csv"))),
+    "x_curriculum" -> ((s, d) =>
+      ext.Sampling.curriculumStages(Tables.documents(s, d), "text", "doc_id")),
     "t_pii_scan" -> ((s, d) =>
       TextStats.piiScan(Tables.documents(s, d), "text", "doc_id")),
     "t_pii_redact" -> ((s, d) =>
@@ -467,6 +482,77 @@ object ExtCatalog {
          |  (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) AS cos
          |  FROM s a CROSS JOIN s b WHERE a.vec_id < b.vec_id)
          |SELECT ida, idb, cos FROM pairs WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
+    "x_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts,
+        |  CAST(ceil(CAST(greatest(len(ts) - 32, 0) AS DOUBLE) / 24) AS INTEGER) + 1 AS nch
+        |  FROM t),
+        |x AS (SELECT doc_id, ts, UNNEST(range(0, nch)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(len(ts[CAST(i * 24 + 1 AS BIGINT) : CAST(i * 24 + 32 AS BIGINT)]) AS INTEGER) AS n_tokens,
+        |  array_to_string(ts[CAST(i * 24 + 1 AS BIGINT) : CAST(i * 24 + 32 AS BIGINT)], ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gstart
+        |  FROM t),
+        |e AS (SELECT doc_id, gstart, gstart + n AS gend FROM c),
+        |x AS (SELECT doc_id, gstart, gend,
+        |  UNNEST(range(CAST(gstart // 256 AS BIGINT),
+        |               CAST((gend - 1) // 256 + 1 AS BIGINT))) AS bin_id FROM e)
+        |SELECT bin_id, doc_id,
+        |  GREATEST(gstart, bin_id * 256) - gstart AS tok_start,
+        |  LEAST(gend, bin_id * 256 + 256) - gstart AS tok_end,
+        |  LEAST(gend, bin_id * 256 + 256) - GREATEST(gstart, bin_id * 256) AS n_tokens
+        |FROM x ORDER BY bin_id, doc_id""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |  CAST(tf AS DOUBLE) * (CAST(nd + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "x_embed_quantize" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, v, max_abs,
+        |  CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale FROM s)
+        |SELECT vec_id, max_abs, scale,
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(floor(x * scale + 0.5) AS INTEGER)), ',') AS q_csv
+        |FROM sc ORDER BY vec_id""".stripMargin,
+    "x_curriculum" -> {
+      val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  length(text) AS n_chars, len(ts) AS n_tokens,
+         |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+         |  FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+         |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS q FROM s),
+         |r AS (SELECT lang, q,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY lang) AS cnt FROM q)
+         |SELECT lang, CAST(((rk - 1) * 5) // cnt AS INTEGER) AS stage,
+         |  COUNT(*) AS n_docs, MIN(q) AS min_quality, MAX(q) AS max_quality
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "t_token_count" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
          |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS toks

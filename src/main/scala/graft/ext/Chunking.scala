@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation operators for an LLM training-data pipeline
+  * (BASELINE.json extension scope): overlapping token chunking and
+  * concat-and-chunk sequence packing — the two standard ways a corpus of
+  * variable-length documents becomes fixed-length training sequences.
+  *
+  * Both are integer-exact end to end (token counts, spans, bin ids), so
+  * the DuckDB oracle mirrors bit-for-bit.
+  */
+object Chunking {
+
+  /** Overlapping fixed-size token chunks (the RAG / long-doc-training
+    * splitter): chunk i covers tokens [i·stride, i·stride + chunkSize);
+    * consecutive chunks overlap by chunkSize − stride tokens; the last
+    * chunk may be shorter but every token is covered. Chunk count is
+    * ceil(max(n − chunkSize, 0) / stride) + 1.
+    *
+    * Scale shape: one codegen scan — the split/slice/posexplode pipeline
+    * is stateless per row, no shuffle; output order is the caller's
+    * concern (the catalog query sorts for the oracle). */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val ts = split(col(textCol), " ")
+    val nch = (ceil(greatest(size(ts) - chunkSize, lit(0)).cast("double") / stride))
+      .cast("int") + 1
+    df.select(col(idCol).as("doc_id"), ts.as("ts"), nch.as("nch"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nch") - 1),
+          i => slice(col("ts"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LLM pretraining
+    * packer): documents concatenate in id order into one global token
+    * stream, which is cut into fixed `capacity`-token bins; the output
+    * says which token span [tok_start, tok_end) of each document lands in
+    * which bin. A document longer than the remaining bin space spans
+    * multiple bins (it is split, not padded) — total packed tokens equal
+    * total corpus tokens, the invariant padding-free packing is chosen
+    * for.
+    *
+    * Scale shape: the global exclusive prefix sum over per-document token
+    * counts uses the same range-partitioned two-pass plan as the KS CDF
+    * (per-bucket window cumsum + broadcast per-bucket offsets), so no
+    * O(n) stage ever funnels through one task; the only unpartitioned
+    * window orders the ≤`buckets`-row offsets frame. All arithmetic is
+    * Long-exact, so the result is bitwise-identical to a global ordered
+    * window. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    capacity: Int = 256, buckets: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val parts = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .repartitionByRange(buckets, col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+    val wPre = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("bucket").agg(sum("n").as("sn"))
+      .withColumn("off", coalesce(sum("sn").over(wPre), lit(0L)))
+      .select("bucket", "off")
+    val wCum = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = parts
+      .withColumn("pre", coalesce(sum("n").over(wCum), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("gstart", col("pre") + col("off"))
+      .withColumn("gend", col("gstart") + col("n"))
+    spans
+      .select(col("doc_id"), col("gstart"), col("gend"),
+        explode(sequence(expr(s"gstart div $capacity"),
+          expr(s"(gend - 1) div $capacity"))).as("bin_id"))
+      .select(col("bin_id"), col("doc_id"),
+        (greatest(col("gstart"), col("bin_id") * capacity) - col("gstart"))
+          .as("tok_start"),
+        (least(col("gend"), col("bin_id") * capacity + capacity) - col("gstart"))
+          .as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .orderBy(col("bin_id"), col("doc_id"))
+  }
+}

@@ -106,6 +106,50 @@ object Sampling {
       .select(col(keyCol), explode(col("__kept")).as(idCol))
   }
 
+  /** Curriculum staging: rank documents by quality score within each
+    * language and cut the ranking into `stages` equal-frequency stages
+    * (stage 0 = lowest quality), reporting per-(lang, stage) counts and
+    * quality bounds — the schedule view a curriculum-training pipeline
+    * samples from. Stage = ⌊(rank−1)·stages / langCount⌋, all-Long math.
+    *
+    * Scale shape: the within-language rank does NOT use a
+    * lang-partitioned window (a dominant language would serialize on one
+    * task); it uses the range-partitioned two-pass plan — per-bucket
+    * `row_number` over (lang, quality, id) buckets plus broadcast
+    * per-(bucket, lang) prefix offsets — so ranking a skewed language
+    * still spreads over all cores and the result is bitwise-identical to
+    * a global ordered window. Language totals ride the same offsets
+    * aggregate. */
+  def curriculumStages(df: DataFrame, textCol: String, idCol: String,
+                       langCol: String = "lang", stages: Int = 5,
+                       buckets: Int = 32): DataFrame = {
+    require(stages > 0, "stages must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val parts = df
+      .select(col(langCol).as("lang"), col(idCol).cast("long").as("doc_id"),
+        TextStats.qualityScore(col(textCol)).as("q"))
+      .repartitionByRange(buckets, col("lang"), col("q"), col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+    val wPre = w.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val wLang = w.partitionBy("lang")
+    val offsets = parts.groupBy("bucket", "lang")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wPre), lit(0L)))
+      .withColumn("cnt", sum("bn").over(wLang))
+      .select("bucket", "lang", "off", "cnt")
+    val wRk = w.partitionBy("bucket", "lang").orderBy(col("q"), col("doc_id"))
+    parts
+      .withColumn("brk", row_number().over(wRk).cast("long"))
+      .join(broadcast(offsets), Seq("bucket", "lang"))
+      .withColumn("stage",
+        expr(s"((brk + off - 1) * $stages) div cnt").cast("int"))
+      .groupBy("lang", "stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("q").as("min_quality"), max("q").as("max_quality"))
+      .orderBy("lang", "stage")
+  }
+
   /** Deterministic train/validation/test assignment as a label column:
     * thresholds are cumulative per-mille cut points over gate(id) mod
     * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —

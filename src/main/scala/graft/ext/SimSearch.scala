@@ -61,6 +61,33 @@ object SimSearch {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× storage/bandwidth shrink before an ANN index ships to
+    * serving. Per vector: scale = 127/max|xᵢ|, qᵢ = round-half-up
+    * (floor(x·scale + 0.5)) — every op (float→double cast, ÷, ×, floor)
+    * is IEEE-exact-or-correctly-rounded, so the quantized codes and the
+    * stored scale hash-match any engine; an all-zero vector quantizes to
+    * zeros (scale term guards the 0/0). |x·scale| ≤ 127 by construction,
+    * so codes fit int8 with no clamp.
+    *
+    * Scale shape: stateless per-row projection — one codegen scan, no
+    * shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol).as("vec_id"), v.as("v"), mx.as("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") > 0, lit(127.0) / col("max_abs")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("max_abs"), col("scale"),
+        transform(col("v"), x => floor(x * col("scale") + 0.5).cast("int")).as("q"),
+        // CSV form of the codes: integer-exact, and scalar-typed for
+        // harnesses that hash flat values
+        array_join(transform(col("v"),
+          x => floor(x * col("scale") + 0.5).cast("int")), ",").as("q_csv"))
+      .orderBy(col("vec_id"))
+  }
+
   /** LSH-bucketed approximate top-k (scale path; MLlib
     * BucketedRandomProjectionLSH under euclidean distance on normalized
     * vectors — rank-equivalent to cosine). */

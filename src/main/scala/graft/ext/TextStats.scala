@@ -235,6 +235,36 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Top-k characteristic terms per document by tf·idf. The idf is the
+    * RATIONAL form (N+1)/(df+1) rather than its logarithm: log is the one
+    * transcendental whose last bit differs across math libraries, while
+    * +,×,÷ are IEEE-correctly-rounded everywhere — and a per-document
+    * DESCENDING rank only needs a monotone transform, so the rational idf
+    * ranks identically to the log form and the score column hash-matches
+    * any engine. Ties break (score desc, term asc), deterministic.
+    *
+    * Scale shape: tf is one hash aggregate on (doc, term); df is a
+    * term-domain-sized aggregate of that; the rank window partitions by
+    * document (bounded by per-doc vocabulary, never corpus-sized). */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = df.select(count(lit(1)).as("nd"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("nd") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Keyword search: score each document by total occurrences of the
     * query terms (word-boundary matches over lowercased text) and return
     * the top-k by (score desc, id asc) — grep-grade relevance with a

@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+
+  test("token chunks cover every token at the declared stride and reassemble exactly") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val chunks = Chunking.tokenChunks(docs, "text", "doc_id", 32, 24).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == texts.keySet)
+    for ((id, rows) <- byDoc) {
+      val toks = texts(id).split(" ")
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.foreach { r =>
+        val i = r.getInt(1)
+        val expect = toks.slice(i * 24, i * 24 + 32)
+        assert(r.getString(3) == expect.mkString(" "), s"doc $id chunk $i")
+        assert(r.getInt(2) == expect.length)
+      }
+      // the last chunk reaches the end of the document — full coverage
+      val last = sorted.last
+      assert(last.getInt(1) * 24 + last.getInt(2) == toks.length)
+      assert(sorted.length ==
+        math.ceil(math.max(toks.length - 32, 0) / 24.0).toInt + 1)
+    }
+  }
+
+  test("packing conserves tokens, fills every bin to capacity, splits docs losslessly") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val rows = Chunking.packSequences(docs, "text", "doc_id", 256).collect()
+    val nTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == nTok, "packing must conserve tokens")
+    val perBin = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(4)).sum)
+    val maxBin = perBin.keys.max
+    perBin.foreach { case (b, n) =>
+      if (b < maxBin) assert(n == 256, s"interior bin $b holds $n tokens")
+      else assert(n <= 256)
+    }
+    // per-document spans tile [0, n): start at 0, end at n, contiguous
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (id, spans) =>
+      val s = spans.sortBy(_.getLong(2))
+      assert(s.head.getLong(2) == 0L)
+      assert(s.last.getLong(3) == lens(id).toLong)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) == b.getLong(2),
+          s"doc $id spans must be contiguous")
+        case _ =>
+      }
+    }
+  }
+
+  test("two-pass packing equals the global-window formulation and ignores partitioning") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val a = Chunking.packSequences(docs, "text", "doc_id", 256)
+    val b = Chunking.packSequences(docs.repartition(17), "text", "doc_id", 256)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "bin assignment must not depend on input partitioning")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = base.withColumn("gstart", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("gend", col("gstart") + col("n"))
+      .select(col("doc_id"), col("gstart"), col("gend"),
+        explode(sequence(expr("gstart div 256"),
+          expr("(gend - 1) div 256"))).as("bin_id"))
+      .select(col("bin_id"), col("doc_id"),
+        (greatest(col("gstart"), col("bin_id") * 256) - col("gstart")).as("tok_start"),
+        (least(col("gend"), col("bin_id") * 256 + 256) - col("gstart")).as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+    assert(a.exceptAll(ref).isEmpty && ref.exceptAll(a).isEmpty,
+      "two-pass prefix sums must be bitwise-identical to the global window")
+  }
+
+  test("the only unpartitioned windows in the packing plan ride aggregated frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = Chunking.packSequences(
+      graft.Tables.documents(spark, Sf), "text", "doc_id", 256)
+    val unpart = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    // the ≤buckets-row offsets frame may sort on one task; the corpus
+    // cumulative pass must not
+    unpart.foreach { w =>
+      val aggBelow = w.collect { case a: HashAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over an unaggregated frame:\n$w")
+    }
+  }
+}

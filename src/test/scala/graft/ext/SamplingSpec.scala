@@ -114,4 +114,35 @@ class SamplingSpec extends SparkSpec {
     def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 1000000007L
     assert(got(Some("en")) == (0L until 20L).count(i => gate(i) % 20L < 5L).toLong)
   }
+
+  test("curriculum stages equal the lang-window formulation, balanced within one doc") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, Sf)
+    val got = Sampling.curriculumStages(docs, "text", "doc_id")
+    val q = docs.select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+      TextStats.qualityScore(col("text")).as("q"))
+    val ref = q
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("stage", expr("((rk - 1) * 5) div cnt").cast("int"))
+      .groupBy("lang", "stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("q").as("min_quality"), max("q").as("max_quality"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "two-pass ranking must match the single-window reference bitwise")
+    val byLang = got.collect().groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val ns = rows.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$lang stages unbalanced: ${ns.toSeq}")
+      assert(rows.map(_.getInt(1)).sorted.sameElements(rows.indices),
+        s"$lang missing stages")
+      val s = rows.sortBy(_.getInt(1))
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b.getDouble(3) >= a.getDouble(4),
+          s"$lang stage quality ranges must be ordered")
+        case _ =>
+      }
+    }
+  }
 }

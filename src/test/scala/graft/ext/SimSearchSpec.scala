@@ -85,4 +85,24 @@ class SimSearchSpec extends SparkSpec {
       again.map(r => (r.getInt(0), r.getLong(1))).toSeq,
       "same seed must reproduce the same clustering")
   }
+
+  test("int8 quantization: codes bounded, extremes hit 127, dequant error within half a step") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    val q = SimSearch.quantizeInt8(e).collect()
+    assert(q.length == e.count())
+    q.foreach { r =>
+      val codes = r.getSeq[Int](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(c => math.abs(c) == 127) || r.getDouble(1) == 0.0,
+        "the max-magnitude element must map to a full-scale code")
+      assert(r.getString(4) == codes.mkString(","))
+    }
+    val row = e.orderBy("vec_id").head
+    val vec = row.getSeq[Float](1).map(_.toDouble)
+    val scale = 127.0 / vec.map(math.abs).max
+    vec.map(x => math.floor(x * scale + 0.5)).zip(vec).foreach { case (c, x) =>
+      assert(math.abs(x - c / scale) <= 0.5 / scale + 1e-12,
+        "dequantization error exceeds half a quantization step")
+    }
+  }
 }

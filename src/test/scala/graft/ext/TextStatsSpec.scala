@@ -117,4 +117,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out(0).getLong(1) == 3L && out(0).getInt(2) == 2)
     assert(out(1).getLong(1) == 1L && out(1).getInt(2) == 1)
   }
+
+  test("tfidf top-k ranks by rational idf with deterministic term ties") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val rows = TextStats.tfidfTopK(docs, "text", "doc_id", 3).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.size == docs.count(), "every document gets a top-k")
+    perDoc.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 3))
+    }
+    // direct recomputation for the lowest-id document
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = texts.length
+    val dfreq = texts.flatMap(_._2.split(" ").distinct)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val (id0, t0) = texts.minBy(_._1)
+    val top = t0.split(" ").groupBy(identity).view.mapValues(_.length).toSeq
+      .map { case (term, tf) =>
+        (term, tf.toDouble * ((n + 1).toDouble / (dfreq(term) + 1).toDouble)) }
+      .sortBy { case (term, s) => (-s, term) }.take(3)
+    val got = rows.filter(_.getLong(0) == id0).sortBy(_.getInt(1))
+      .map(r => (r.getString(2), r.getDouble(3))).toSeq
+    assert(got == top)
+  }
 }
