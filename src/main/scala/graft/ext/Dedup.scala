@@ -225,6 +225,11 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    // fixpoint detector: labels are nonnegative and only ever DECREASE,
+    // so Σlabel strictly drops on any change — one cheap aggregate per
+    // round replaces a node-by-node join comparison. (Σ ids fits a Long
+    // well past 10⁹ nodes; sum as decimal if ids exceed 2³².)
+    var lastSum = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -233,12 +238,9 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      // fixpoint = no node's label shrank this round (labels only ever
-      // decrease, so inequality is the full convergence test)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      converged = nextSum == lastSum
+      lastSum = nextSum
       labels = next
       iter += 1
     }

@@ -114,12 +114,15 @@ object Sampling {
     *
     * Scale shape: the within-language rank does NOT use a
     * lang-partitioned window (a dominant language would serialize on one
-    * task); it uses the range-partitioned two-pass plan — per-bucket
-    * `row_number` over (lang, quality, id) buckets plus broadcast
-    * per-(bucket, lang) prefix offsets — so ranking a skewed language
-    * still spreads over all cores and the result is bitwise-identical to
-    * a global ordered window. Language totals ride the same offsets
-    * aggregate. */
+    * task); it uses the two-pass plan — per-bucket `row_number` over
+    * (lang, quality-bucket) partitions plus broadcast per-(lang, bucket)
+    * prefix offsets — so ranking a skewed language still spreads over all
+    * cores and the result is bitwise-identical to a global ordered
+    * window. Buckets derive from the VALUE (quality is in [0,1] by
+    * construction: ⌊q·buckets⌋), not from `repartitionByRange` — the
+    * range sampler would execute the scoring scan a second time just to
+    * pick split points the score's codomain already provides. Language
+    * totals ride the same offsets aggregate. */
   def curriculumStages(df: DataFrame, textCol: String, idCol: String,
                        langCol: String = "lang", stages: Int = 5,
                        buckets: Int = 32): DataFrame = {
@@ -128,8 +131,11 @@ object Sampling {
     val parts = df
       .select(col(langCol).as("lang"), col(idCol).cast("long").as("doc_id"),
         TextStats.qualityScore(col(textCol)).as("q"))
-      .repartitionByRange(buckets, col("lang"), col("q"), col("doc_id"))
-      .withColumn("bucket", spark_partition_id())
+      .withColumn("bucket",
+        // clamping is order-preserving, so out-of-[0,1] scores (a custom
+        // scorer's) still rank correctly — they just share edge buckets
+        greatest(least(floor(col("q") * buckets).cast("int"), lit(buckets - 1)),
+          lit(0)))
     val wPre = w.partitionBy("lang").orderBy("bucket")
       .rowsBetween(w.unboundedPreceding, -1)
     val wLang = w.partitionBy("lang")
