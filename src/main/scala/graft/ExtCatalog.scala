@@ -104,6 +104,14 @@ object ExtCatalog {
         .select(col("vec_id"), col("max_abs"), col("scale"), col("q_csv"))),
     "x_curriculum" -> ((s, d) =>
       ext.Sampling.curriculumStages(Tables.documents(s, d), "text", "doc_id")),
+    "x_corpus_shuffle" -> ((s, d) =>
+      ext.Sampling.corpusShuffle(Tables.documents(s, d), "doc_id")),
+    "x_upsample" -> ((s, d) =>
+      ext.Sampling.qualityUpsample(Tables.documents(s, d), "text", "doc_id")),
+    "x_source_budget" -> ((s, d) =>
+      // ≈5–6 docs per source at the corpus' ~54-token mean
+      ext.Sampling.perSourceTokenBudget(Tables.documents(s, d),
+        "text", "doc_id", "source", 300L)),
     "t_pii_scan" -> ((s, d) =>
       TextStats.piiScan(Tables.documents(s, d), "text", "doc_id")),
     "t_pii_redact" -> ((s, d) =>
@@ -533,6 +541,41 @@ object ExtCatalog {
         |  array_to_string(list_transform(v,
         |    x -> CAST(floor(x * scale + 0.5) AS INTEGER)), ',') AS q_csv
         |FROM sc ORDER BY vec_id""".stripMargin,
+    "x_corpus_shuffle" ->
+      s"""WITH g AS (SELECT doc_id, ${ext.Sampling.gateSql("doc_id")} AS g
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY g, doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |FROM g ORDER BY shuffle_pos""".stripMargin,
+    "x_upsample" -> {
+      val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  length(text) AS n_chars, len(ts) AS n_tokens,
+         |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+         |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS q FROM s),
+         |u AS (SELECT doc_id, q AS quality_score,
+         |  1 + (CASE WHEN q >= 0.6 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_epochs FROM q)
+         |SELECT doc_id, quality_score, n_epochs, CAST(i AS INTEGER) AS epoch_idx
+         |FROM u, UNNEST(range(0, n_epochs)) t(i)
+         |ORDER BY doc_id, epoch_idx""".stripMargin
+    },
+    "x_source_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 300 ORDER BY source, doc_id""".stripMargin,
     "x_curriculum" -> {
       val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts

@@ -99,15 +99,17 @@ object Dedup {
     // sit past every prefix and generate no candidates (the canonical
     // AllPairs ordering; any total order is lossless, rarity makes the
     // candidate set near-minimal).
-    val fullIdx = withSh.select(col("id"), explode(col("sh")).as("s"))
+    // sz rides from the pre-explode array size — a per-id count window
+    // over the exploded index would recompute what `size(sh)` already
+    // knows, at the cost of an extra pass over every posting
+    val fullIdx = withSh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
     val dfreq = fullIdx.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy("df", "s")
-    val wSz = Window.partitionBy("id")
     // +1e-9 guards the ⌈t·|S|⌉ integer boundary: a downward float error
     // would shorten the prefix (lossy); one element longer is just a
     // slightly larger candidate set
     val prefix = fullIdx.join(dfreq, "s")
-      .withColumn("sz", count(lit(1)).over(wSz))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         (col("sz").cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1)

@@ -106,6 +106,81 @@ object Sampling {
       .select(col(keyCol), explode(col("__kept")).as(idCol))
   }
 
+  /** Deterministic corpus shuffle: a reproducible pseudo-random training
+    * order as a PURE FUNCTION of row ids — shuffle_pos is the dense
+    * 0-based position under the (gate(id), id) total order. Sequential
+    * corpus order carries crawl/source correlation a training run must
+    * not see; seeded `rand()` orders differ per engine and per retry,
+    * while this order is re-derivable forever.
+    *
+    * Scale shape: two-pass rank with VALUE-derived buckets — the gate's
+    * codomain [0, M) splits into `buckets` equal ranges, so there is no
+    * sampling pass and no global-window single task; per-bucket
+    * `row_number` plus broadcast bucket offsets is bitwise-equal to the
+    * global ordered window. */
+  def corpusShuffle(df: DataFrame, idCol: String, buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val parts = df.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("g", gate(col("doc_id")))
+      .withColumn("bucket", expr(s"(g * $buckets) div $M").cast("int"))
+    val wPre = w.orderBy("bucket").rowsBetween(w.unboundedPreceding, -1)
+    val offsets = parts.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wPre), lit(0L)))
+      .select("bucket", "off")
+    val wRk = w.partitionBy("bucket").orderBy(col("g"), col("doc_id"))
+    parts.withColumn("brk", row_number().over(wRk).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("brk") + col("off") - 1).as("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  /** Quality-band upsampling (data mixing by repetition): each document
+    * appears `1 + Σ(q ≥ bandᵢ)` times — high-quality text gets more
+    * training epochs, deterministically (no weighted RNG draw, so the
+    * epoch multiset is reproducible and oracle-EXACT). Emits one row per
+    * copy with `epoch_idx` so a downstream [[corpusShuffle]] can spread
+    * copies across the order.
+    *
+    * Scale shape: stateless projection + `explode(sequence(...))` — one
+    * codegen scan, output size = Σ multiplicity, no shuffle. */
+  def qualityUpsample(df: DataFrame, textCol: String, idCol: String,
+                      bands: Seq[Double] = Seq(0.6, 0.8)): DataFrame = {
+    require(bands.nonEmpty && bands == bands.sorted, "bands must ascend")
+    val q = TextStats.qualityScore(col(textCol))
+    val copies = bands.map(b => when(q >= b, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    df.select(col(idCol).as("doc_id"), q.as("quality_score"),
+        copies.as("n_epochs"))
+      .select(col("doc_id"), col("quality_score"), col("n_epochs"),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch_idx"))
+      .orderBy(col("doc_id"), col("epoch_idx"))
+  }
+
+  /** Per-source token budget: within each source, keep documents in id
+    * order while the running token total stays ≤ `budget` — the
+    * crawl-quota primitive when caps are measured in tokens, not
+    * documents (cf. [[perKeyCap]]). The boundary document that would
+    * cross the budget is dropped whole (kept documents are never
+    * truncated).
+    *
+    * Scale shape: one shuffle on the source key; the cumulative window
+    * runs per source, so parallelism = source cardinality (domains —
+    * plentiful). A pathological mega-source serializes only its own
+    * partition; callers capping such sources by document count first
+    * ([[perKeyCap]]) bound that partition too. */
+  def perSourceTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                           sourceCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Curriculum staging: rank documents by quality score within each
     * language and cut the ranking into `stages` equal-frequency stages
     * (stage 0 = lowest quality), reporting per-(lang, stage) counts and
