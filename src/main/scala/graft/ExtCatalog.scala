@@ -511,10 +511,10 @@ object ExtCatalog {
         |x AS (SELECT doc_id, gstart, gend,
         |  UNNEST(range(CAST(gstart // 256 AS BIGINT),
         |               CAST((gend - 1) // 256 + 1 AS BIGINT))) AS bin_id FROM e)
-        |SELECT bin_id, doc_id,
-        |  GREATEST(gstart, bin_id * 256) - gstart AS tok_start,
-        |  LEAST(gend, bin_id * 256 + 256) - gstart AS tok_end,
-        |  LEAST(gend, bin_id * 256 + 256) - GREATEST(gstart, bin_id * 256) AS n_tokens
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+        |  CAST(GREATEST(gstart, bin_id * 256) - gstart AS BIGINT) AS tok_start,
+        |  CAST(LEAST(gend, bin_id * 256 + 256) - gstart AS BIGINT) AS tok_end,
+        |  CAST(LEAST(gend, bin_id * 256 + 256) - GREATEST(gstart, bin_id * 256) AS BIGINT) AS n_tokens
         |FROM x ORDER BY bin_id, doc_id""".stripMargin,
     "t_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
@@ -574,7 +574,8 @@ object ExtCatalog {
         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM t)
-        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c
         |WHERE cum_tokens <= 300 ORDER BY source, doc_id""".stripMargin,
     "x_curriculum" -> {
       val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

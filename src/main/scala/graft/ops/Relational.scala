@@ -190,10 +190,12 @@ object Relational {
     * (`bal · n > sum`) so no distributed-vs-single-node float AVG can
     * flip a boundary row — the same exactness policy as the aggregate
     * suite. Catalyst decorrelates the subqueries into one aggregate +
-    * broadcast join; nothing per-row. */
+    * broadcast join; nothing per-row. The projected balance is cast
+    * decimal→DOUBLE (correctly rounded, identical in both engines): raw
+    * DECIMAL output columns hash differently across the gate's readers. */
   def qCorrSubquerySql(table: String): String =
     s"""SELECT c_custkey, c_mktsegment,
-       |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
        |FROM $table c
        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
        |    (SELECT COUNT(*) FROM $table c2
