@@ -25,7 +25,7 @@ object ScaleUp {
   def ensure(spark: SparkSession, src: String, copies: Int): String = {
     val dst = s"/tmp/graft_scaleup_x$copies"
     val marker = java.nio.file.Paths.get(s"$dst/_DONE")
-    val key = s"$src x$copies"
+    val key = s"$src x$copies docmark-v2" // bump on fixture-shape changes
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker)) == key)
       return dst
@@ -40,9 +40,18 @@ object ScaleUp {
     val big = 100000000L
     replicate("lineitem", Map("l_orderkey" -> (i => col("l_orderkey") + lit(i * big))))
     replicate("orders", Map("o_orderkey" -> (i => col("o_orderkey") + lit(i * big))))
+    // A copy marker every 6 tokens (not a single suffix): a suffix-only
+    // variant defeats exact dedup but leaves each doc 3-gram-Jaccard ≈0.93
+    // to its clones, so the near-dup pair set grows ~copies² and the
+    // scale-up measures that pathological workload instead of the plan.
+    // Interleaving caps any shared token run at 6 → cross-copy Jaccard
+    // ≈0.4 < the 0.6 threshold, while genuine near-dup pairs WITHIN a
+    // copy survive (both members carry the same markers). Output then
+    // scales ~copies×, which is what curvature should be measured on.
     replicate("documents", Map(
       "doc_id" -> (i => col("doc_id") + lit(i * big)),
-      "text" -> (i => concat(col("text"), lit(s" v"), lit(i)))))
+      "text" -> (i => regexp_replace(col("text"),
+        lit("((\\S+ ){5}\\S+) "), concat(lit("$1 v"), lit(i), lit(" "))))))
     replicate("embeddings", Map("vec_id" -> (i => col("vec_id") + lit(i * big))))
     replicate("events", Map("event_id" -> (i => col("event_id") + lit(i * big))))
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
