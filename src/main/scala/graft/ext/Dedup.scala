@@ -225,8 +225,15 @@ object Dedup {
     // multi-edges so each round shuffles each edge once
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // Seed each node with the min over its CLOSED neighborhood — exactly
+    // what the first propagation round would compute while labels are
+    // still identity, but as one aggregate over the edge list instead of
+    // a join + the separate distinct-nodes shuffle (every node appears
+    // as src because edges are bidirectional). Saves one full round.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
+      .localCheckpoint()
     // fixpoint detector: labels are nonnegative and only ever DECREASE,
     // so Σlabel strictly drops on any change — one cheap aggregate per
     // round replaces a node-by-node join comparison. (Σ ids fits a Long
