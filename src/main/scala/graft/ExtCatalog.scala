@@ -69,6 +69,19 @@ object ExtCatalog {
         docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 3, 0.6)
     }),
+    "x_passage_dedup" -> ((s, d) =>
+      // sub-document exact dedup: corpus-wide first occurrence of each
+      // 8-token passage wins; docs reassemble from surviving passages
+      Dedup.passageDedup(Tables.documents(s, d), "text", "doc_id", 8)),
+    "x_bloom_contamination" -> ((s, d) => {
+      // same probe/corpus split as x_contamination, through the k=1
+      // bloom bitmap prefilter (broadcast side bounded by `bits`)
+      val docs = Tables.documents(s, d)
+      Dedup.bloomContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 3, 1 << 20, 0.6)
+    }),
     "x_hash_sample" -> ((s, d) =>
       // deterministic ~37% downsample of lineitem, reproducible at any
       // parallelism — a pure codegen filter with an EXACT oracle
@@ -428,6 +441,34 @@ object ExtCatalog {
          |FROM pairs JOIN sizes ON probe_id = sizes.doc_id
          |WHERE CAST(shared AS DOUBLE) / sz >= 0.6
          |ORDER BY probe_id, corpus_id""".stripMargin,
+    "x_passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, ts,
+        |  CAST(ceil(len(ts) / 8.0) AS BIGINT) AS ng FROM t),
+        |p AS (SELECT doc_id, CAST(i AS INTEGER) AS pidx,
+        |  array_to_string(ts[CAST(i * 8 + 1 AS BIGINT) : CAST(i * 8 + 8 AS BIGINT)], ' ') AS ptext
+        |  FROM g, UNNEST(range(0, ng)) u(i)),
+        |r AS (SELECT doc_id, pidx, ptext,
+        |  ROW_NUMBER() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rk FROM p)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN ptext END, ' ' ORDER BY pidx), '') AS text_clean
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_bloom_contamination" ->
+      s"""WITH $shingleCtes,
+         |pb AS (SELECT DISTINCT (s * 2654435761) % 1048576 AS bit
+         |       FROM sh WHERE doc_id % 10 = 0),
+         |mp AS (SELECT MIN(sz) AS min_psz FROM sizes WHERE doc_id % 10 = 0),
+         |ch AS (SELECT sh.doc_id AS corpus_id, sizes.sz,
+         |         (s * 2654435761) % 1048576 AS bit
+         |       FROM sh JOIN sizes ON sh.doc_id = sizes.doc_id
+         |       WHERE sh.doc_id % 10 <> 0),
+         |hits AS (SELECT corpus_id, sz, COUNT(*) AS bloom_hits
+         |         FROM ch JOIN pb USING (bit) GROUP BY 1, 2)
+         |SELECT corpus_id, sz AS n_shingles, bloom_hits
+         |FROM hits, mp
+         |WHERE CAST(bloom_hits AS DOUBLE) >= CAST(min_psz AS DOUBLE) * 0.6
+         |ORDER BY corpus_id""".stripMargin,
     "x_hash_sample" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          |WHERE ${ext.Sampling.gateSql("l_orderkey")} % 100 < 37

@@ -38,6 +38,8 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_funcs" -> ((s, d) => Relational.qScalarFuncs(s, d)),
     "q_corr_subquery" -> ((s, d) => Relational.qCorrSubquery(s, d)),
+    "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
+    "q_window_suite" -> ((s, d) => Relational.qWindowSuite(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -178,5 +180,7 @@ object SparkEntry {
         |  greatest(o_totalprice, 1000.0) AS price_floor_1k
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
     "q_corr_subquery" -> Relational.qCorrSubquerySql("customer"),
+    "q_outer_join" -> Relational.qOuterJoinSql,
+    "q_window_suite" -> Relational.qWindowSuiteSql,
   )
 }

@@ -164,6 +164,84 @@ object Dedup {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** Sub-document (passage-level) exact dedup — the "deduplicate inside
+    * documents" pass of a training-data pipeline (boilerplate headers,
+    * quoted replies, license blocks): each document splits into
+    * consecutive `passageTokens`-token passages; a passage occurrence
+    * survives only if it is the corpus-wide FIRST occurrence of that
+    * exact token sequence (ordered by doc id, then position); documents
+    * reassemble from their surviving passages. Output per doc:
+    * (doc_id, n_passages, n_dup, text_clean).
+    *
+    * Scale shape: one shuffle keyed on the passage (first-occurrence
+    * window), one doc-keyed reassembly aggregate — never a self-join. At
+    * 100 TB the first shuffle would key on a 64-bit passage hash with the
+    * string riding as payload only to the winner; the string key here
+    * keeps the oracle byte-exact, and the plan shape is identical. */
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+                   passageTokens: Int = 8): DataFrame = {
+    require(passageTokens > 0, "passageTokens must be positive")
+    val toks = split(col(textCol), " ")
+    val ng = ceil(size(toks).cast("double") / passageTokens).cast("int")
+    val passages = df
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("ts"), ng.as("ng"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("ng") - 1),
+          i => concat_ws(" ", slice(col("ts"), i * passageTokens + 1, lit(passageTokens))))))
+      .select(col("doc_id"), col("pos").as("pidx"), col("col").as("ptext"))
+    val wFirst = Window.partitionBy("ptext").orderBy("doc_id", "pidx")
+    passages.withColumn("rk", row_number().over(wFirst))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup"),
+        // collect_list skips the nulls `when` leaves on duplicates;
+        // sort_array on (pidx, ptext) structs restores document order
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("rk") === 1,
+            struct(col("pidx"), col("ptext"))))),
+          s => s.getField("ptext"))).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefilter contamination — the 100 TB-scale front of
+    * [[crossContainment]]: probe shingles compress to the DISTINCT bit
+    * positions of a k=1 Bloom filter (`hash · KNUTH mod bits`), so the
+    * broadcast side is bounded by `bits` REGARDLESS of probe size, and
+    * the corpus takes one scan + broadcast join — per-probe identity is
+    * deliberately discarded. A corpus doc is flagged when its bloom hits
+    * reach `threshold · min probe shingle-count`: for any pair with true
+    * containment ≥ threshold, hits ≥ |S_c∩S_p| ≥ t·|S_p| ≥ t·minPsz, so
+    * flagged docs are a provable SUPERSET of exactly-contaminated ones
+    * (bloom collisions only add) and the exact verifier runs only on the
+    * flagged sliver. Every step is explicit integer arithmetic — the
+    * oracle mirrors it exactly, collisions included. */
+  def bloomContamination(corpus: DataFrame, probe: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, bits: Int = 1 << 20,
+                         threshold: Double = 0.6): DataFrame = {
+    require(bits > 0, "bits must be positive")
+    val pSh = probe.select(shingleHashArray(probe, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pBits = pSh.select(explode(col("sh")).as("s"))
+      .select(((col("s") * 2654435761L) % bits).as("bit")).distinct()
+    // scalar floor: the smallest probe doc bounds how few shared
+    // shingles a qualifying pair can have (rides as a literal-sized join)
+    val minPsz = pSh.agg(min(size(col("sh"))).as("min_psz"))
+    val cSh = corpus.select(col(idCol).as("corpus_id"),
+        shingleHashArray(corpus, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cSh
+      .select(col("corpus_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .withColumn("bit", (col("s") * 2654435761L) % bits)
+      .join(broadcast(pBits), "bit")
+      .groupBy("corpus_id", "sz").agg(count(lit(1)).as("bloom_hits"))
+      .crossJoin(broadcast(minPsz))
+      .filter(col("bloom_hits").cast("double") >=
+        col("min_psz").cast("double") * threshold)
+      .select(col("corpus_id"), col("sz").as("n_shingles"), col("bloom_hits"))
+      .orderBy(col("corpus_id"))
+  }
+
   /** Collapse near-dup PAIRS into clusters: for every doc that appears in
     * a pair, the survivor is the smallest id in its connected component —
     * the step that turns any pair detector's output into actual dedup

@@ -318,6 +318,71 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** FULL OUTER join (the one join type the rest of the catalog doesn't
+    * exercise): high-balance customers vs high-balance suppliers counted
+    * per nation — nations rich on only one side keep NULL on the other,
+    * covering left-only, right-only, and matched rows in one result.
+    * Both inputs pre-aggregate to ≤|nation| rows BEFORE the join, so the
+    * outer join itself touches dimension-sized frames no matter how big
+    * the fact tables get. */
+  def qOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey").as("ckey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey").as("skey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ckey") === col("skey"), "full_outer")
+      .select(coalesce(col("ckey"), col("skey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  def qOuterJoinSql: String =
+    """WITH c AS (SELECT c_nationkey AS ckey, COUNT(*) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS skey, COUNT(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1)
+      |SELECT COALESCE(ckey, skey) AS nationkey, n_cust, n_supp
+      |FROM c FULL OUTER JOIN s ON ckey = skey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Window-function sweep beyond top-k/rolling: lag, lead, rank,
+    * dense_rank, ntile, percent_rank, cume_dist in ONE pass — they all
+    * share a single (custkey)-partitioned sort, so Catalyst plans exactly
+    * one shuffle + one sort for the whole suite. Ordering is made total
+    * with the unique orderkey tiebreak; percent_rank/cume_dist are exact
+    * rational divisions of ranks, identical across engines. */
+  def qWindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  def qWindowSuiteSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey, 1) OVER w AS prev_key,
+      |  LEAD(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(RANK() OVER w AS INTEGER) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
   /** Set operations: INTERSECT / EXCEPT over the customer-order key
     * space (each is a distinct-ifying shuffle on the key). One LAZY plan —
     * both branches union into a single action, like every catalog entry. */

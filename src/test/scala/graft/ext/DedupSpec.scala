@@ -176,4 +176,47 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.dedupClustersDistributed(real).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(a.nonEmpty && b.sameElements(a))
   }
+
+  test("passage dedup keeps only corpus-wide first passage occurrences") {
+    // 2-token passages: doc 0 = [a b][c d], doc 1 = [a b][x y] (first
+    // passage duplicates doc 0's), doc 2 = [c d][a b] (both passages
+    // already seen), doc 3 = odd length -> short trailing passage
+    val df = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "c d a b"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "text", "doc_id", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, "a b c d"),
+      (1L, 2L, 1L, "x y"),
+      (2L, 2L, 2L, ""),      // fully duplicated doc collapses to empty
+      (3L, 2L, 0L, "p q r")  // trailing short passage is its own unit
+    ))
+    // token conservation: every token is kept exactly once corpus-wide
+    val keptTokens = out.map(_._4).filter(_.nonEmpty).flatMap(_.split(" ")).length
+    val distinctPassageTokens = Seq("a b", "c d", "x y", "p q", "r")
+      .flatMap(_.split(" ")).length
+    assert(keptTokens == distinctPassageTokens)
+  }
+
+  test("bloom contamination is a superset of exact containment flags") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Dedup.crossContainment(corpus, probe, "text", "doc_id", 3, 0.6)
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.bloomContamination(corpus, probe, "text", "doc_id", 3, 1 << 20, 0.6)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    // k=1 bloom membership is collision-tolerant: never misses a true
+    // hit, may add false ones — flagged set must contain the exact set
+    assert(exact.subsetOf(bloom), s"exact-only ids: ${exact.diff(bloom)}")
+    // and with a tiny bitmap the false-positive rate must visibly rise
+    // (sanity that `bits` is actually the knob)
+    val tiny = Dedup.bloomContamination(corpus, probe, "text", "doc_id", 3, 256, 0.6)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(bloom.subsetOf(tiny) && tiny.size >= bloom.size)
+  }
 }
