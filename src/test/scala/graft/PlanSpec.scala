@@ -115,6 +115,38 @@ class PlanSpec extends SparkSpec {
       s"top-k should be per-partition partial + k-row merge:\n$plan")
   }
 
+  test("bloom contamination broadcasts the bit set; the corpus never sort-merge-joins") {
+    val plan = formatted("x_bloom_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe bitmap should broadcast onto the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the bloom probe:\n$plan")
+  }
+
+  private def simplePlan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf)
+      .queryExecution.executedPlan.toString
+
+  test("window suite shares ONE partitioned sort across all seven functions") {
+    val plan = simplePlan("q_window_suite")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"lag/lead/rank/ntile/... must share one window exchange, got $hashExchanges:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) +
+      plan.linesIterator.count(_.trim.startsWith("Window")) >= 1)
+  }
+
+  test("passage dedup is two keyed exchanges, never a self-join") {
+    val plan = simplePlan("x_passage_dedup")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"expected passage-key + doc-key exchanges only, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"passage dedup must not join:\n$plan")
+  }
+
   test("per-source cap is a partial-combining bounded aggregate, not a window sort") {
     val plan = formatted("x_source_cap")
     assert(!plan.contains("Window"),
