@@ -69,6 +69,15 @@ object ExtCatalog {
         docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 3, 0.6)
     }),
+    "x_dedup_delta" -> ((s, d) => {
+      // existing corpus = docs 0 mod 3; incoming batch = the rest (with
+      // the batch's own internal dups collapsed to the min id)
+      val docs = Tables.documents(s, d)
+      Dedup.dedupDelta(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id")
+    }),
     "x_passage_dedup" -> ((s, d) =>
       // sub-document exact dedup: corpus-wide first occurrence of each
       // 8-token passage wins; docs reassemble from surviving passages
@@ -441,6 +450,15 @@ object ExtCatalog {
          |FROM pairs JOIN sizes ON probe_id = sizes.doc_id
          |WHERE CAST(shared AS DOUBLE) / sz >= 0.6
          |ORDER BY probe_id, corpus_id""".stripMargin,
+    "x_dedup_delta" ->
+      """WITH inc AS (SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |ex AS (SELECT DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, n_batch_copies FROM inc
+        |WHERE tnorm NOT IN (SELECT tnorm FROM ex)
+        |ORDER BY doc_id""".stripMargin,
     "x_passage_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (SELECT doc_id, ts,

@@ -164,6 +164,34 @@ object Dedup {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** Incremental dedup — the continuous-ingestion primitive: which
+    * `incoming` documents are genuinely NEW against an already-deduped
+    * `existing` corpus? A doc survives when (a) its normalized text has
+    * no exact match in `existing` (left-anti join on the normalized
+    * form) and (b) it is the first occurrence within its own batch
+    * (min-id per normalized text). Output: (doc_id, n_batch_copies).
+    *
+    * Scale shape: one aggregate shuffle on the incoming batch + one
+    * anti-join against the corpus keyed the same way — with both sides
+    * bucketed by the normalized-text digest the anti-join is co-located
+    * and the INCREMENT never rescans unbucketed history. The batch side
+    * is typically orders of magnitude smaller than the corpus, which is
+    * exactly the asymmetry anti-join preserves (corpus is build side
+    * only of its own bucket). */
+  def dedupDelta(existing: DataFrame, incoming: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    def norm(c: Column) = lower(regexp_replace(c, "\\s+", " "))
+    val batchFirst = incoming
+      .select(col(idCol).as("doc_id"), norm(col(textCol)).as("tnorm"))
+      .groupBy("tnorm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+    batchFirst
+      .join(existing.select(norm(col(textCol)).as("tnorm")),
+        Seq("tnorm"), "left_anti")
+      .select(col("doc_id"), col("n_batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sub-document (passage-level) exact dedup — the "deduplicate inside
     * documents" pass of a training-data pipeline (boilerplate headers,
     * quoted replies, license blocks): each document splits into

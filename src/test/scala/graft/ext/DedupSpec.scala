@@ -177,6 +177,19 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty && b.sameElements(a))
   }
 
+  test("dedup delta keeps only batch-first docs unseen in the existing corpus") {
+    val existing = Seq((0L, "Alpha  Beta"), (3L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta"),     // normalized dup of existing 0 -> dropped
+      (11L, "epsilon zeta"),   // new
+      (12L, "epsilon  ZETA"),  // batch-internal dup of 11 -> collapsed
+      (13L, "eta theta")       // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupDelta(existing, incoming, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("passage dedup keeps only corpus-wide first passage occurrences") {
     // 2-token passages: doc 0 = [a b][c d], doc 1 = [a b][x y] (first
     // passage duplicates doc 0's), doc 2 = [c d][a b] (both passages
