@@ -201,33 +201,45 @@ object Dedup {
     * reassemble from their surviving passages. Output per doc:
     * (doc_id, n_passages, n_dup, text_clean).
     *
-    * Scale shape: one shuffle keyed on the passage (first-occurrence
-    * window), one doc-keyed reassembly aggregate — never a self-join. At
-    * 100 TB the first shuffle would key on a 64-bit passage hash with the
-    * string riding as payload only to the winner; the string key here
-    * keeps the oracle byte-exact, and the plan shape is identical. */
+    * Scale shape: the first occurrence of a passage is
+    * `min(struct(doc_id, pidx))` — a MAP-SIDE-COMBINABLE aggregate, so a
+    * boilerplate passage repeated 10⁹ times partial-aggregates to one
+    * row per map partition instead of funneling through one task (the
+    * `row_number over (partition by ptext)` formulation would do exactly
+    * that). The surviving occurrences ARE those minima, so reassembly
+    * groups them by uniform doc_id and left-joins onto per-doc passage
+    * counts — every shuffle key after the combinable one is uniform;
+    * never a self-join. At 100 TB the passage key would be a 64-bit hash
+    * with the string riding as payload; the string key here keeps the
+    * oracle byte-exact with the identical plan shape. */
   def passageDedup(df: DataFrame, textCol: String, idCol: String,
                    passageTokens: Int = 8): DataFrame = {
     require(passageTokens > 0, "passageTokens must be positive")
     val toks = split(col(textCol), " ")
     val ng = ceil(size(toks).cast("double") / passageTokens).cast("int")
-    val passages = df
-      .select(col(idCol).cast("long").as("doc_id"), toks.as("ts"), ng.as("ng"))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("ts"), ng.cast("long").as("n_passages"))
+    val passages = base
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), col("ng") - 1),
+        posexplode(transform(sequence(lit(0), (col("n_passages") - 1).cast("int")),
           i => concat_ws(" ", slice(col("ts"), i * passageTokens + 1, lit(passageTokens))))))
       .select(col("doc_id"), col("pos").as("pidx"), col("col").as("ptext"))
-    val wFirst = Window.partitionBy("ptext").orderBy("doc_id", "pidx")
-    passages.withColumn("rk", row_number().over(wFirst))
+    val firsts = passages
+      .groupBy("ptext")
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("fst"))
+      .select(col("fst.doc_id").as("doc_id"), col("fst.pidx").as("pidx"),
+        col("ptext"))
+    val kept = firsts
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup"),
-        // collect_list skips the nulls `when` leaves on duplicates;
-        // sort_array on (pidx, ptext) structs restores document order
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
-          sort_array(collect_list(when(col("rk") === 1,
-            struct(col("pidx"), col("ptext"))))),
+          sort_array(collect_list(struct(col("pidx"), col("ptext")))),
           s => s.getField("ptext"))).as("text_clean"))
+    base.select(col("doc_id"), col("n_passages"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_passages"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_dup"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 

@@ -137,14 +137,14 @@ class PlanSpec extends SparkSpec {
       plan.linesIterator.count(_.trim.startsWith("Window")) >= 1)
   }
 
-  test("passage dedup is two keyed exchanges, never a self-join") {
+  test("passage dedup combines first-occurrences map-side; no skewable window") {
     val plan = simplePlan("x_passage_dedup")
-    val hashExchanges = plan.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 2,
-      s"expected passage-key + doc-key exchanges only, got $hashExchanges:\n$plan")
-    assert(!plan.contains("Join"),
-      s"passage dedup must not join:\n$plan")
+    // a hot passage must partial-aggregate per map partition, not funnel
+    // through one task of a ptext-partitioned window
+    assert(!plan.contains("Window"),
+      s"first-occurrence must be an aggregate, not a window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected map-side-combinable min(struct) on the passage key:\n$plan")
   }
 
   test("per-source cap is a partial-combining bounded aggregate, not a window sort") {
