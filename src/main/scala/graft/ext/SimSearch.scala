@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (ArrayType(FloatType)) —
@@ -39,6 +38,24 @@ object SimSearch {
   def cosine(a: Column, b: Column, dim: Int = -1): Column =
     dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
 
+  /** Bounded top-k by (score DESC, id ASC) as an exploded (qid, rk, cid,
+    * score) frame — the shared tail of every ANN path. A
+    * [[graft.functions.TopKByScore]] typed aggregate keeps ≤k pairs per
+    * (map partition, qid) and merges partials, so candidates reduce
+    * BEFORE the shuffle; the window formulation would funnel every
+    * candidate row of a query through one task (single-task-per-query on
+    * a 100 TB corpus). */
+  private def topKExplode(scored: DataFrame, k: Int,
+                          scoreName: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored.groupBy("qid")
+      .agg(topk(col("__score"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col._2").as("cid"), col("col._1").as(scoreName))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector (self-matches
     * excluded). Ties break on neighbor id for determinism. Corpus/query
     * norms are precomputed per row, not per pair. */
@@ -53,12 +70,8 @@ object SimSearch {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
+        (dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("__score"))
+    topKExplode(scored, k, "cos")
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the
@@ -113,13 +126,12 @@ object SimSearch {
     val joined = model.approxSimilarityJoin(q, c, 2.0, "dist")
       .select(col("datasetA.qid").as("qid"), col("datasetB.cid").as("cid"), col("dist"))
       .filter(col("qid") =!= col("cid"))
-    // On unit vectors: cos = 1 − dist²/2.
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
-    joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"),
-        (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos_approx"))
-      .orderBy(col("qid"), col("rk"))
+    // On unit vectors cos = 1 − dist²/2, monotone-decreasing in dist ≥ 0,
+    // so ranking by it DESC equals ranking by dist ASC — one bounded
+    // aggregate replaces the per-query window.
+    topKExplode(joined.select(col("qid"), col("cid"),
+      (lit(1.0) - col("dist") * col("dist") / 2.0).as("__score")),
+      k, "cos_approx")
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
@@ -173,12 +185,11 @@ object SimSearch {
     val scored = broadcast(q).join(assigned, "list_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("__score"))
+    // a query probing multiple lists can meet the same candidate once per
+    // list only if assignment were multi-list; it is not (one list per
+    // corpus vector), so no distinct is needed before the bounded top-k
+    topKExplode(scored, k, "cos")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold within one

@@ -72,6 +72,40 @@ class MinKIds(k: Int) extends Aggregator[Long, MinKBuf, Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** Bounded k-best-by-score aggregate — [[MinKIds]]' scored sibling and
+  * the scale-correct form of "top k per key by score": partial state is
+  * at most k (score, id) pairs kept sorted (score DESC, id ASC — the
+  * same total order as `ORDER BY score DESC, id` with Spark's
+  * NaN-greatest double semantics), partials merge map-side, and the
+  * shuffle carries k pairs per (partition, key) instead of every scored
+  * row. The window formulation (`row_number() OVER (PARTITION BY qid
+  * ORDER BY score DESC)`) funnels every candidate row of a query
+  * through one task — on a 100 TB corpus, single-task-per-query. */
+case class TopKBuf(items: Seq[(Double, Long)])
+class TopKByScore(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  require(k > 0, s"k must be positive: $k")
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // score DESC, NaN greatest
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id ASC
+    }
+  }
+  override def zero: TopKBuf = TopKBuf(Vector.empty)
+  override def reduce(b: TopKBuf, v: (Double, Long)): TopKBuf =
+    if (b.items.length >= k && ord.compare(v, b.items.last) >= 0) b
+    else {
+      val (lo, hi) = b.items.span(ord.compare(_, v) <= 0)
+      TopKBuf(((lo :+ v) ++ hi).take(k))
+    }
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+    TopKBuf((a.items ++ b.items).sorted(ord).take(k))
+  override def finish(r: TopKBuf): Seq[(Double, Long)] = r.items
+  override def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+    org.apache.spark.sql.Encoders.product[TopKBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
 class CappedDistinct(cap: Int) extends Aggregator[String, CapSet, Long] {
   override def zero: CapSet = CapSet(over = false, Nil)
 

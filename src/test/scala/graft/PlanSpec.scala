@@ -147,6 +147,16 @@ class PlanSpec extends SparkSpec {
       s"expected map-side-combinable min(struct) on the passage key:\n$plan")
   }
 
+  test("embed top-k reduces candidates map-side, never a per-query window") {
+    val plan = simplePlan("x_embed_topk")
+    assert(!plan.contains("Window"),
+      s"top-k must be a bounded aggregate, not a qid window:\n$plan")
+    // partial + final ObjectHashAggregate pair = map-side combine of the
+    // TopKByScore buffers before the qid shuffle
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final TopKByScore pair:\n$plan")
+  }
+
   test("per-source cap is a partial-combining bounded aggregate, not a window sort") {
     val plan = formatted("x_source_cap")
     assert(!plan.contains("Window"),
