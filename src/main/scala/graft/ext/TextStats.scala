@@ -212,19 +212,19 @@ object TextStats {
 
   /** Per-document curation report — the one-pass view a curator joins
     * sampling decisions against: token budget, quality, language, and
-    * duplicate status together. Duplicate flags come from ONE shuffle on
-    * the content fingerprint (count + min-id per content group via a
-    * keyed window — never a self-join); every other column is a
-    * stateless projection riding the same scan. At scale the single
-    * exchange partitions by fingerprint, which is near-uniform by
-    * construction (no skew: identical content hashes together, and a
-    * pathological mega-duplicate group degrades one partition, not the
-    * plan). */
+    * duplicate status together. Duplicate flags come from a
+    * MAP-SIDE-COMBINABLE (count, min-id) aggregate on the content
+    * fingerprint joined back onto the scan — never a self-join against
+    * raw text. The earlier fingerprint-keyed window had the same single
+    * big-frame shuffle but serialized a pathological mega-duplicate
+    * group into one task; the aggregate reduces it per map partition and
+    * AQE can skew-split the join probe side. Every other column is a
+    * stateless projection riding the same scan. */
   def curationReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    df.withColumn("fp", fingerprintExpr(col(textCol)))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .withColumn("survivor_id", min(col(idCol)).over(w))
+    val withFp = df.withColumn("fp", fingerprintExpr(col(textCol)))
+    val groups = withFp.groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("survivor_id"))
+    withFp.join(groups, Seq("fp"))
       .select(
         col(idCol),
         size(split(col(textCol), " ")).as("n_tokens"),
