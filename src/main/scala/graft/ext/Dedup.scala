@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Input-size ceiling for broadcasting the shingle document-frequency
+    * table: vocab rows ≈ input bytes / 6, so 16 MB of text keeps the
+    * broadcast under ~50 MB of (hash, df) pairs. */
+  val DfreqBroadcastMaxInputBytes: Long = 16L << 20
+
   /** Exact dedup: survivor id (min) + multiplicity per distinct text. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -106,10 +111,18 @@ object Dedup {
       explode(col("sh")).as("s"))
     val dfreq = fullIdx.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy("df", "s")
+    // Rarity ranks need df on every posting. The shingle vocabulary is
+    // ~O(total tokens), so it only broadcasts when the INPUT corpus is
+    // small (vocab rows ≈ bytes/6); past the threshold the posting⋈dfreq
+    // join shuffles both sides — the 100 TB shape. Same auto-dispatch
+    // idiom as generalizeNumericAuto: plan stats, no extra job.
+    val dfreqSmall = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      DfreqBroadcastMaxInputBytes
+    val dfreqJ = if (dfreqSmall) broadcast(dfreq) else dfreq
     // +1e-9 guards the ⌈t·|S|⌉ integer boundary: a downward float error
     // would shorten the prefix (lossy); one element longer is just a
     // slightly larger candidate set
-    val prefix = fullIdx.join(dfreq, "s")
+    val prefix = fullIdx.join(dfreqJ, "s")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         (col("sz").cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1)
