@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Chunking, Dedup, Multimodal, SimSearch, TextStats}
+import graft.ops.{Profile, Snapshot}
 import graft.streaming.Events
 
 /** Extension-scope query bindings (BASELINE.json: dedup, similarity
@@ -61,6 +62,21 @@ object ExtCatalog {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "t_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
+    "t_entropy" -> ((s, d) =>
+      Profile.categoryEntropy(Tables.documents(s, d), Seq("lang", "source"))),
+    "x_vocab_topk" -> ((s, d) =>
+      TextStats.vocabTopK(Tables.documents(s, d), "text", 30)),
+    "x_snapshot_diff" -> ((s, d) => {
+      // two simulated corpus versions: 1-in-11 docs are new arrivals,
+      // 1-in-13 were dropped, 1-in-5 had their text rewritten
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 11 =!= 3).select(col("doc_id"), col("text"))
+      val newV = docs.filter(col("doc_id") % 13 =!= 2).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")).as("text"))
+      Snapshot.diff(oldV, newV, "doc_id", Seq("text"))
+    }),
+    "x_embed_centroid" -> ((s, d) =>
+      SimSearch.labelCentroids(Tables.embeddings(s, d))),
     "x_contamination" -> ((s, d) => {
       // probe = every 10th doc (an "eval set"), corpus = the rest
       val docs = Tables.documents(s, d)
@@ -422,6 +438,41 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_simhash_pairs" -> simhashSql,
+    "t_entropy" ->
+      """WITH u AS (
+        |  SELECT 'lang' AS "column", COALESCE(CAST(lang AS VARCHAR), 'NA') AS k FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COALESCE(CAST(source AS VARCHAR), 'NA') FROM documents),
+        |c AS (SELECT "column", k, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+        |t AS (SELECT "column", k, cnt,
+        |  CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY "column") AS p FROM c),
+        |s AS (SELECT "column",
+        |  SUM(-p * ln(p)) OVER (PARTITION BY "column" ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT "column", COUNT(*) AS n_categories, ROUND(MAX(cum), 6) AS entropy
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_vocab_topk" ->
+      s"""WITH toks AS (SELECT UNNEST(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS token
+         |  FROM documents)
+         |SELECT token, COUNT(*) AS n FROM toks
+         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "x_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS change_class
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "x_embed_centroid" ->
+      """WITH x AS (SELECT label, CAST(i AS INTEGER) AS pos,
+        |  CAST(CAST(embedding[CAST(i + 1 AS BIGINT)] AS DOUBLE) AS DECIMAL(38,12)) AS e
+        |  FROM embeddings, UNNEST(range(len(embedding))) t(i))
+        |SELECT label, pos, ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS mean_v, COUNT(*) AS n
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_dedup_clusters" -> clustersSql,
     "x_dedup_clusters_dist" -> clustersSql,
     "t_repetition" ->

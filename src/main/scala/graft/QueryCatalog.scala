@@ -97,6 +97,18 @@ object QueryCatalog {
       val li = Tables.lineitem(s, d)
       Drift.driftAll(li, li.filter(col("l_orderkey") % 2 === 1).drop("l_tax"))
     }),
+    "d_psi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.psi(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
+    "d_js_divergence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.jsDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
     "v6_linkage_risk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Linkage.linkageRisk(
@@ -343,6 +355,59 @@ object QueryCatalog {
        |  MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END) AS chi2_like
        |FROM cc""".stripMargin
 
+  /** PSI SQL mirror of [[graft.ops.Drift.psi]]: before-side decile edges
+    * via `quantile_cont` (== Spark's exact interpolated `percentile`),
+    * bin = #{edges ≤ v} via ASOF join on the ranked edge list, proportions
+    * floored at the same eps, ordered term sum, round 6. */
+  private def psiSql(c: String, filterA: String, filterB: String,
+                     bins: Int = 10, eps: String = "1.0E-6"): String = {
+    val probs = (1 until bins).map(i => (i.toDouble / bins).toString).mkString(", ")
+    s"""WITH a AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterA) AND $c IS NOT NULL),
+       |b AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterB) AND $c IS NOT NULL),
+       |q AS (SELECT quantile_cont(v, [$probs]) AS qs FROM a),
+       |e AS (SELECT DISTINCT u.e AS e FROM q, UNNEST(q.qs) u(e)),
+       |eb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY e) AS INTEGER) AS i, e FROM e),
+       |abin AS (SELECT COALESCE(eb.i, 0) AS bin FROM a ASOF LEFT JOIN eb ON a.v >= eb.e),
+       |bbin AS (SELECT COALESCE(eb.i, 0) AS bin FROM b ASOF LEFT JOIN eb ON b.v >= eb.e),
+       |ca AS (SELECT bin, COUNT(*) AS ca FROM abin GROUP BY 1),
+       |cb AS (SELECT bin, COUNT(*) AS cb FROM bbin GROUP BY 1),
+       |allb AS (SELECT CAST(i AS INTEGER) AS bin
+       |         FROM (SELECT COUNT(*) AS n FROM e) ne, UNNEST(range(ne.n + 1)) t(i)),
+       |j AS (SELECT bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       |      FROM allb LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+       |t AS (SELECT bin,
+       |  GREATEST(CAST(ca AS DOUBLE) / SUM(ca) OVER (), $eps) AS pa,
+       |  GREATEST(CAST(cb AS DOUBLE) / SUM(cb) OVER (), $eps) AS pb,
+       |  SUM(ca) OVER () AS ta, SUM(cb) OVER () AS tb FROM j),
+       |cc AS (SELECT SUM((pa - pb) * ln(pa / pb)) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |       ta, tb FROM t)
+       |SELECT '$c' AS "column",
+       |  ROUND(MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END), 6) AS psi
+       |FROM cc""".stripMargin
+  }
+
+  /** Jensen–Shannon SQL mirror of [[graft.ops.Drift.jsDivergence]] —
+    * chi2Sql's skeleton with the JS term and the same ordered summation. */
+  private def jsSql(table: String, c: String, filterA: String, filterB: String): String =
+    s"""WITH ca AS (SELECT COALESCE(CAST($c AS VARCHAR), 'NA') AS k, COUNT(*) AS oa
+       |       FROM $table WHERE ($filterA) GROUP BY 1),
+       |cb AS (SELECT COALESCE(CAST($c AS VARCHAR), 'NA') AS k, COUNT(*) AS ob
+       |       FROM $table WHERE ($filterB) GROUP BY 1),
+       |j AS (SELECT COALESCE(ca.k, cb.k) AS k, COALESCE(oa, 0) AS oa, COALESCE(ob, 0) AS ob
+       |      FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+       |t AS (SELECT k, oa, ob,
+       |  CAST(oa AS DOUBLE) / SUM(oa) OVER () AS p,
+       |  CAST(ob AS DOUBLE) / SUM(ob) OVER () AS q,
+       |  SUM(oa) OVER () AS ta, SUM(ob) OVER () AS tb FROM j),
+       |terms AS (SELECT k, ta, tb,
+       |  CASE WHEN oa > 0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END +
+       |  CASE WHEN ob > 0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END AS term FROM t),
+       |cc AS (SELECT SUM(term) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |       ta, tb FROM terms)
+       |SELECT '$c' AS "column",
+       |  ROUND(MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END), 6) AS js
+       |FROM cc""".stripMargin
+
   private def d3Sql: String = {
     val before = "1 = 1"
     val after = "l_orderkey % 2 = 1"
@@ -410,6 +475,8 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "d1_ks_statistic" -> ksSql("l_quantity", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d2_chi2_drift" -> chi2Sql("l_returnflag", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

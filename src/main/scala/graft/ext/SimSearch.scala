@@ -240,4 +240,31 @@ object SimSearch {
       .agg(count(lit(1)).as("n_members"), avg(col("cos")).as("avg_cos_to_centroid"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Per-label mean embedding (class centroids), one output row per
+    * (label, dimension) — the prototype-vector primitive behind label
+    * diagnostics, nearest-class-mean classification, and IVF seeding.
+    *
+    * Determinism: each float element is EXACT as a double and is cast to
+    * DECIMAL(38,12) — the decimal SUM is then exact and order-independent,
+    * so the mean never wobbles across partitionings or reruns (an
+    * unordered double sum would). The one cross-engine seam left is the
+    * per-element decimal rounding itself: a float whose value is an odd
+    * multiple of 2⁻¹³ lands exactly half-way at scale 12, where Spark
+    * rounds HALF_UP and DuckDB half-even — a ≤10⁻¹² element-level wobble,
+    * which the published 6-dp mean absorbs (the same rounding convention
+    * as the drift metrics).
+    *
+    * Scale shape: posexplode → ONE hash aggregate keyed by
+    * (label, dimension) with map-side partial combine; shuffled rows are
+    * O(|labels|·dim) after the combine, never O(corpus). */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg(
+        round(sum(col("e").cast("double").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_v"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
 }

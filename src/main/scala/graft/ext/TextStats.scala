@@ -133,6 +133,24 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Corpus-wide vocabulary top-k: the k most frequent BPE-ish tokens with
+    * their exact counts — the vocabulary-building / corpus-drift primitive
+    * (tokenizer training starts from exactly this table). Ties break
+    * token-ascending for determinism.
+    *
+    * Scale shape: explode → ONE hash aggregate keyed by token (map-side
+    * partial combine collapses each partition to its local vocabulary
+    * before the shuffle — shuffled rows are O(|vocab|), not O(tokens)),
+    * then `orderBy.limit` plans `TakeOrderedAndProject`: per-partition
+    * top-k heaps merged on the driver, never a global sort. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
+    df.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Corpus cleaning pass — the composition a training-data pipeline
     * actually runs: exact-dedup survivors (min doc_id per text) that pass
     * a quality floor and a language filter. ONE shuffle (the dedup

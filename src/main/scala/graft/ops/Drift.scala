@@ -246,6 +246,97 @@ object Drift {
       .agg(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))).as("chi2_like"))
   }
 
+  /** Population Stability Index on a numeric column — the model-monitoring
+    * companion to D1/D2 (industry-standard binned drift score; no reference
+    * counterpart, extension scope). Bin edges are the EXACT `bins`-quantiles
+    * of the BEFORE side (deduplicated, interpolated `percentile` — same
+    * cross-engine-exact semantics as V2's qcut edges); every non-null value
+    * lands in bin = #{edges e : v ≥ e}. PSI = Σ over bins of
+    * (pa − pb)·ln(pa/pb) with each side's bin proportion floored at `eps`
+    * (the standard guard for empty bins). Null when either side has no
+    * non-null rows.
+    *
+    * Scale shape: edges come from one before-side aggregate (the same
+    * collected-literal pattern as generalization — edges are O(bins), never
+    * data-sized); binning is a literal when-chain inside each side's single
+    * scan, so the per-side shuffle carries ≤ bins+1 rows. The term sum runs
+    * through an ordered cumulative window over the tiny bin frame — fixed
+    * double addition order (D2's determinism trick), rounded to
+    * `roundTo` dp. */
+  def psi(before: DataFrame, after: DataFrame, c: String, bins: Int = 10,
+          eps: Double = 1e-6, roundTo: Int = 6): DataFrame = {
+    val spark = before.sparkSession
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edgeArr = expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))")
+    val edges: Seq[Double] = before.filter(col(c).isNotNull).agg(edgeArr.as("qs"))
+      .head() match {
+        case r if r.isNullAt(0) => Seq.empty
+        case r => r.getSeq[Double](0).distinct.sorted
+      }
+    val binIdx = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(col(c).cast("double") >= lit(e), 1).otherwise(0))
+    def binCounts(df: DataFrame, out: String) =
+      df.filter(col(c).isNotNull).select(binIdx.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val allBins = spark.range(edges.size + 1).select(col("id").cast("int").as("bin"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val j = allBins
+      .join(binCounts(before, "ca"), Seq("bin"), "left")
+      .join(binCounts(after, "cb"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("ta", sum("ca").over(wAll))
+      .withColumn("tb", sum("cb").over(wAll))
+    // nullif keeps the empty-side case ANSI-safe: a zero total divides to
+    // null, greatest skips it to the eps floor, and the ta/tb guard below
+    // nulls the whole result anyway
+    val pa = greatest(col("ca").cast("double") / nullif(col("ta"), lit(0L)), lit(eps))
+    val pb = greatest(col("cb").cast("double") / nullif(col("tb"), lit(0L)), lit(eps))
+    val term = (pa - pb) * log(pa / pb)
+    j.withColumn("cum", sum(term).over(wCum))
+      .agg(round(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))), roundTo).as("psi"))
+      .select(lit(c).as("column"), col("psi"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the category distributions
+    * of a column on two tables — the bounded, symmetric alternative to the
+    * reference's cardinality-sensitive chi²-like score (extension scope;
+    * JS ∈ [0, ln 2]). Nulls bucket as "NA" like D2. Null when either side
+    * is empty.
+    *
+    * Same plan skeleton as [[chi2Drift]]: two grouped counts, full-outer
+    * join on category, ordered term-sum window over the (few) categories
+    * for a fixed double addition order, rounded to `roundTo` dp. Zero-count
+    * categories contribute only through the opposite side's m-term, per the
+    * 0·ln 0 = 0 convention. */
+  def jsDivergence(before: DataFrame, after: DataFrame, c: String,
+                   roundTo: Int = 6): DataFrame = {
+    def counted(df: DataFrame, out: String) =
+      df.select(coalesce(col(c).cast("string"), lit("NA")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as(out))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val j = counted(before, "oa").join(counted(after, "ob"), Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+      .withColumn("ta", sum("oa").over(wAll))
+      .withColumn("tb", sum("ob").over(wAll))
+    // nullif → null proportions when a side is empty; every downstream
+    // term then nulls out and the ta/tb guard below owns the result
+    val p = col("oa").cast("double") / nullif(col("ta"), lit(0L))
+    val q = col("ob").cast("double") / nullif(col("tb"), lit(0L))
+    val m = (p + q) / 2.0
+    val term =
+      when(col("oa") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+        when(col("ob") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+    j.withColumn("cum", sum(term).over(wCum))
+      .agg(round(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))), roundTo).as("js"))
+      .select(lit(c).as("column"), col("js"))
+  }
+
   /** D3 drift dispatcher (`modules/utility.py:112-123`): for each column
     * present in BOTH tables — columns missing from `after` are silently
     * skipped (`:115-116`) — numeric-in-both → KS, anything else

@@ -287,6 +287,44 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Shannon entropy (nats) of each listed categorical column's value
+    * distribution, plus its category count — the corpus-diversity metric a
+    * mixture pipeline monitors next to the PMF (extension scope; no
+    * reference counterpart). Nulls bucket as "NA" like D2.
+    *
+    * Plan shape: ONE exploded scan counts every (column, value) pair with
+    * map-side combine (the chi2Multi idiom), then −Σ p·ln p runs through an
+    * ordered cumulative window PARTITIONED BY column — fixed double
+    * addition order per column, all columns in parallel, rounded to
+    * `roundTo` dp. The window only ever sees the grouped category frame,
+    * never data-sized input. */
+  def categoryEntropy(df: DataFrame, cols: Seq[String], roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
+      }: _*)).as("e"))
+      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCi = Window.partitionBy("ci")
+    val wCum = Window.partitionBy("ci").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col("cnt").cast("double") / col("tot")
+    val byCi = counts
+      .withColumn("tot", sum("cnt").over(wCi))
+      .withColumn("cum", sum(-p * log(p)).over(wCum))
+      .groupBy("ci")
+      .agg(count(lit(1)).as("n_categories"), round(max("cum"), roundTo).as("entropy"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    cols.zipWithIndex.map { case (c, i) =>
+      val (n, h) = byCi.getOrElse(i, (0L, None))
+      (c, n, h)
+    }.toDF("column", "n_categories", "entropy").orderBy("column")
+  }
+
   /** A9 normalized category distribution (empirical PMF). The total comes
     * from a window over the (already tiny) grouped result — no second scan. */
   def categoryPmf(df: DataFrame, c: String): DataFrame = {

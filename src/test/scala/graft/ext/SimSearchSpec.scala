@@ -105,4 +105,20 @@ class SimSearchSpec extends SparkSpec {
         "dequantization error exceeds half a quantization step")
     }
   }
+
+  test("labelCentroids: exact per-dimension means, one row per (label, pos)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 4.0f), 0), (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = SimSearch.labelCentroids(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(rows.size == 4)
+    assert(rows((0, 0)) == (2.0, 2L) && rows((0, 1)) == (3.0, 2L))
+    assert(rows((1, 0)) == (10.0, 1L) && rows((1, 1)) == (20.0, 1L))
+    // partition-invariance: a different layout yields identical means
+    val repart = SimSearch.labelCentroids(df.repartition(7)).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(repart == rows)
+  }
 }

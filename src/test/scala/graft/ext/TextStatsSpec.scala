@@ -141,4 +141,12 @@ class TextStatsSpec extends SparkSpec {
       .map(r => (r.getString(2), r.getDouble(3))).toSeq
     assert(got == top)
   }
+
+  test("vocabTopK: exact counts, count-desc token-asc order, k limit") {
+    val df = Seq("the cat sat", "the dog sat", "a cat!").toDF("text")
+    val rows = TextStats.vocabTopK(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts: the:2 cat:2 sat:2 dog:1 a:1 !:1 → top3 ties break token-asc
+    assert(rows.toSeq == Seq(("cat", 2L), ("sat", 2L), ("the", 2L)))
+  }
 }

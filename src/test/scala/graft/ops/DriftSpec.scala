@@ -73,4 +73,48 @@ class DriftSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "num").get.getString(1) == "ks")
     assert(rows.find(_.getString(0) == "cat").get.getString(1) == "chi2_like")
   }
+
+  test("psi: identical distributions → 0") {
+    val df = (1 to 200).map(_.toDouble).toDF("x")
+    val v = Drift.psi(df, df, "x").collect()(0)
+    assert(v.getString(0) == "x" && v.getDouble(1) == 0.0)
+  }
+
+  test("psi: shifted distribution → positive; empty side → null") {
+    val a = (1 to 200).map(_.toDouble).toDF("x")
+    val b = (101 to 300).map(_.toDouble).toDF("x")
+    assert(Drift.psi(a, b, "x").collect()(0).getDouble(1) > 0.5)
+    val empty = Seq.empty[Double].toDF("x")
+    assert(Drift.psi(a, empty, "x").collect()(0).isNullAt(1))
+  }
+
+  test("psi: after-side values outside the before range land in edge bins (eps floor)") {
+    // before spans [1,100]; after sits entirely above → all its mass in the
+    // top bin; every other bin's pb is eps-floored, psi stays finite
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val b = (1000 to 1100).map(_.toDouble).toDF("x")
+    val v = Drift.psi(a, b, "x").collect()(0).getDouble(1)
+    assert(!v.isNaN && !v.isInfinite && v > 1.0)
+  }
+
+  test("js: identical → 0, disjoint → ln 2, empty side → null") {
+    val a = Seq("x", "x", "y").toDF("v")
+    assert(Drift.jsDivergence(a, a, "v").collect()(0).getDouble(1) == 0.0)
+    val b = Seq("z", "w").toDF("v")
+    val dis = Drift.jsDivergence(a, b, "v").collect()(0).getDouble(1)
+    assert(math.abs(dis - math.log(2)) < 1e-6)
+    val empty = Seq.empty[String].toDF("v")
+    assert(Drift.jsDivergence(a, empty, "v").collect()(0).isNullAt(1))
+  }
+
+  test("js: nulls bucket as NA; hand-computed two-category value") {
+    // a: {x:1, NA:1}  b: {x:1}  → p=(.5,.5) q=(1,0) m=(.75,.25)
+    // JS = .5·(.5·ln(.5/.75) + .5·ln(.5/.25)) + .5·(1·ln(1/.75))
+    val a = Seq(Some("x"), None).toDF("v")
+    val b = Seq(Some("x")).toDF("v")
+    val expected = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) +
+      0.5 * (1.0 * math.log(1.0 / 0.75))
+    val got = Drift.jsDivergence(a, b, "v").collect()(0).getDouble(1)
+    assert(math.abs(got - expected) < 1e-6)
+  }
 }

@@ -98,6 +98,23 @@ class ProfileSpec extends SparkSpec {
     assert(pmf(0).getString(0) == "a" && math.abs(pmf(0).getDouble(2) - 0.5) < 1e-12)
   }
 
+  test("categoryEntropy: constant → 0, uniform → ln k, nulls bucket as NA") {
+    val df = Seq(
+      (Some("c"), "a"), (Some("c"), "b"), (Some("c"), "c"), (None, "d"))
+      .toDF("const", "uni")
+    val m = Profile.categoryEntropy(df, Seq("const", "uni")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // const: {c:3, NA:1} — NOT constant once nulls bucket; check explicitly
+    assert(m("const").getLong(1) == 2)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(m("const").getDouble(2) - h) < 1e-6)
+    assert(m("uni").getLong(1) == 4)
+    assert(math.abs(m("uni").getDouble(2) - math.log(4)) < 1e-6)
+    val c = Seq("z", "z", "z").toDF("only")
+    val r = Profile.categoryEntropy(c, Seq("only")).collect()(0)
+    assert(r.getLong(1) == 1 && r.getDouble(2) == 0.0)
+  }
+
   test("muSigma: sigma fallback 1.0 for constant and single-row columns") {
     val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("c", "x")
     val m = Profile.muSigma(const, Seq("c", "x")).collect().map(r => r.getString(0) -> r).toMap
