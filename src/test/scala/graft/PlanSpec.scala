@@ -167,4 +167,42 @@ class PlanSpec extends SparkSpec {
     val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
     assert(objAggs >= 2, s"expected partial+final aggregate pair:\n$plan")
   }
+
+  test("vocab top-k is a partial top-k over a map-side-combined count, not a global sort") {
+    val plan = simplePlan("x_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must merge per-partition heaps, not globally sort the vocabulary:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"token counts must combine map-side before the vocab shuffle:\n$plan")
+  }
+
+  test("snapshot diff is exactly one id-keyed join, no extra shuffles") {
+    val plan = simplePlan("x_snapshot_diff")
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"diff must be ONE full-outer id join, got $joins:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+  }
+
+  test("embed centroids partial-combine before the (label, dim) shuffle; no window") {
+    val plan = simplePlan("x_embed_centroid")
+    assert(!plan.contains("Window"),
+      s"centroid means must not serialize through a window:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"decimal sums must combine map-side:\n$plan")
+  }
+
+  test("PSI bins shuffle bounded bin counts, never the data rows") {
+    val plan = simplePlan("d_psi")
+    // both sides must aggregate on the literal bin chain BEFORE any
+    // exchange — the only post-scan shuffles carry ≤ bins+1 rows
+    assert(plan.contains("partial_count"),
+      s"bin counts must combine map-side inside the scan stage:\n$plan")
+    // the lone unpartitioned window runs over the joined ≤ bins+1 bin
+    // frame — data-sized inputs must never reach a Window here
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(windowIdx == -1 || aggIdx >= 0,
+      s"PSI window must sit above the bin aggregate:\n$plan")
+  }
 }
