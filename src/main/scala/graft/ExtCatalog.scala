@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunking, Dedup, Multimodal, SimSearch, TextStats}
+import graft.ext.{Chunking, Dedup, Multimodal, SimSearch, Sketches, TextStats}
 import graft.ops.{Profile, Snapshot}
 import graft.streaming.Events
 
@@ -66,6 +66,14 @@ object ExtCatalog {
       Profile.categoryEntropy(Tables.documents(s, d), Seq("lang", "source"))),
     "x_vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(Tables.documents(s, d), "text", 30)),
+    "x_vocab_cms" -> ((s, d) =>
+      // mergeable count-min sibling of x_vocab_topk — rows-only (sketch
+      // estimates are not SQL-expressible), SketchesSpec pins the envelope
+      Sketches.vocabCms(Tables.documents(s, d), "text", 30)),
+    "x_distinct_sketch" -> ((s, d) =>
+      // per-source HLL distinct-doc estimates + merged __ALL__ row —
+      // rows-only, SketchesSpec pins the error vs exact distincts
+      Sketches.distinctSketchMerge(Tables.documents(s, d), "text", "source")),
     "x_snapshot_diff" -> ((s, d) => {
       // two simulated corpus versions: 1-in-11 docs are new arrivals,
       // 1-in-13 were dropped, 1-in-5 had their text rewritten

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online drift monitoring — the Structured Streaming twin of
+  * [[graft.ops.Drift.psi]]: per event-time tumbling window, the PSI of a
+  * numeric column's live distribution against a STATIC reference
+  * distribution (e.g. the training snapshot). The detector a serving
+  * pipeline runs continuously, instead of re-scanning history per check.
+  *
+  * The reference is fitted ONCE, batch-side: exact decile edges and the
+  * reference bin proportions both become literals in the streaming plan
+  * — no stream-static join, no state beyond the windowed aggregate.
+  * Per window the stream shuffles ≤ bins+1 conditional counts (map-side
+  * combined), and the PSI term sum is a LITERAL fold over the bin
+  * columns — fixed addition order, so a window's PSI is bit-identical to
+  * the batch [[graft.ops.Drift.psi]] of the same rows against the same
+  * reference.
+  */
+object DriftStream {
+
+  /** Fit edges + reference proportions on `reference`, return a streaming
+    * frame (window_start, window_end, n, psi) — append-ready once the
+    * watermark closes each window. */
+  def psiMonitor(stream: DataFrame, reference: DataFrame, c: String,
+                 tsCol: String = "ts", windowDur: String = "1 hour",
+                 watermark: String = "2 hours", bins: Int = 10,
+                 eps: Double = 1e-6, roundTo: Int = 6): DataFrame = {
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edgeArr = expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))")
+    val refNonNull = reference.filter(col(c).isNotNull)
+    val edges: Seq[Double] = refNonNull.agg(edgeArr.as("qs")).head() match {
+      case r if r.isNullAt(0) => Seq.empty
+      case r => r.getSeq[Double](0).distinct.sorted
+    }
+    def binIdx(v: Column): Column = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(v.cast("double") >= lit(e), 1).otherwise(0))
+    val nBins = edges.size + 1
+    // reference proportions, eps-floored once here (counts are exact longs)
+    val refCounts = refNonNull.select(binIdx(col(c)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum
+    val pRef: Seq[Double] = (0 until nBins).map(i =>
+      math.max(refCounts.getOrElse(i, 0L).toDouble / refTotal, eps))
+
+    val counts = (0 until nBins).map(i =>
+      sum(when(binIdx(col(c)) === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val total = (0 until nBins).map(i => col(s"__c$i")).reduce(_ + _)
+    def pLive(i: Int): Column =
+      greatest(col(s"__c$i").cast("double") / nullif(total, lit(0L)), lit(eps))
+    // literal fold over the bins = fixed addition order, same as the
+    // batch plan's ordered cumulative window
+    val psi = (0 until nBins).map { i =>
+      (lit(pRef(i)) - pLive(i)) * log(lit(pRef(i)) / pLive(i))
+    }.reduce(_ + _)
+    stream
+      .filter(col(c).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        total.as("n"),
+        round(psi, roundTo).as("psi"))
+  }
+}
