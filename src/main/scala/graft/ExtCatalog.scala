@@ -66,6 +66,16 @@ object ExtCatalog {
       Profile.categoryEntropy(Tables.documents(s, d), Seq("lang", "source"))),
     "x_vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(Tables.documents(s, d), "text", 30)),
+    "x_group_quantiles" -> ((s, d) =>
+      // per-group exact interpolated quantiles (whitespace tokens per
+      // lang) — the grouped sibling of the profile's percentile columns
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(expr("percentile(n, array(0.25D, 0.5D, 0.75D))").as("q"))
+        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("median"),
+          col("q")(2).as("p75"))
+        .orderBy("lang")),
     "x_vocab_cms" -> ((s, d) =>
       // mergeable count-min sibling of x_vocab_topk — rows-only (sketch
       // estimates are not SQL-expressible), SketchesSpec pins the envelope
@@ -464,6 +474,12 @@ object ExtCatalog {
          |  FROM documents)
          |SELECT token, COUNT(*) AS n FROM toks
          |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "x_group_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT lang, quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS median,
+        |  quantile_cont(n, 0.75) AS p75
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "x_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
         |n AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text

@@ -97,6 +97,13 @@ object QueryCatalog {
       val li = Tables.lineitem(s, d)
       Drift.driftAll(li, li.filter(col("l_orderkey") % 2 === 1).drop("l_tax"))
     }),
+    "q_salted_agg" -> ((s, d) =>
+      // the skew-safe two-phase aggregate as a first-class query: a hot
+      // key spreads over 16 (key, salt) reducers before the final merge,
+      // output identical to the plain groupBy (oracle is the plain SQL)
+      graft.ops.Salting.saltedCountSum(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
     "d_psi" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Drift.psi(
@@ -475,6 +482,10 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "d1_ks_statistic" -> ksSql("l_quantity", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d2_chi2_drift" -> chi2Sql("l_returnflag", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(CAST(${Exact.centsSql("l_extendedprice")} AS DECIMAL(19,0))) AS DOUBLE) AS sum_cents
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d3_drift_all" -> d3Sql,

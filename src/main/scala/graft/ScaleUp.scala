@@ -17,7 +17,10 @@ object ScaleUp {
     "q1_pricing_summary", "q5_local_supplier_volume", "a1_profile_lineitem",
     "d1_ks_statistic", "d3_drift_all", "v2_generalize", "v4_synthetic",
     "v5_smart_suggest", "x_minhash_lsh", "x_ngram_jaccard", "x_corpus_clean",
-    "s_sessionize", "q_asof_join")
+    "s_sessionize", "q_asof_join",
+    // r4 additions: curvature of the new drift/audit/sketch paths
+    "d_psi", "x_vocab_topk", "x_snapshot_diff", "x_embed_centroid",
+    "x_distinct_sketch", "q_salted_agg")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

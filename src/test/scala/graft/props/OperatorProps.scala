@@ -155,4 +155,40 @@ object OperatorProps extends Properties("graft") {
       val counts = qs.groupBy(identity).values.map(_.size.toLong)
       r.getLong(0) == counts.min && r.getLong(1) == counts.size.toLong
     }
+
+  property("PSI: non-negative, 0 on identical samples") =
+    forAll(Gen.listOfN(30, Gen.choose(1, 50))) { xs =>
+      xs.nonEmpty ==> {
+        val df = xs.map(_.toDouble).toDF("x")
+        val self = Drift.psi(df, df, "x").head()
+        val shifted = Drift.psi(df, xs.map(_ + 1000.0).toDF("x"), "x").head()
+        self.getDouble(1) == 0.0 && shifted.getDouble(1) >= 0.0
+      }
+    }
+
+  property("JS: symmetric, within [0, ln 2]") =
+    forAll(Gen.listOfN(12, Gen.oneOf("a", "b", "c")),
+           Gen.listOfN(12, Gen.oneOf("b", "c", "d"))) { (as, bs) =>
+      val (da, db) = (as.toDF("v"), bs.toDF("v"))
+      val ab = Drift.jsDivergence(da, db, "v").head().getDouble(1)
+      val ba = Drift.jsDivergence(db, da, "v").head().getDouble(1)
+      ab == ba && ab >= 0.0 && ab <= math.log(2) + 1e-9
+    }
+
+  property("snapshot diff: classes partition the id universe") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 6L), Gen.oneOf("x", "y")))) { rows =>
+      val oldV = rows.distinctBy(_._1).toDF("id", "t")
+      val newV = rows.map { case (i, t) => (i + 2, t) }.distinctBy(_._1).toDF("id", "t")
+      val out = graft.ops.Snapshot.diff(oldV, newV, "id", Seq("t")).collect()
+      val ids = out.map(_.getLong(0)).toSet
+      val oldIds = rows.map(_._1).toSet
+      val newIds = rows.map(_._1 + 2).toSet
+      ids == (oldIds ++ newIds) && out.length == ids.size &&
+        out.forall { r =>
+          val (i, c) = (r.getLong(0), r.getString(1))
+          if (!oldIds(i)) c == "added"
+          else if (!newIds(i)) c == "removed"
+          else c == "changed" || c == "unchanged"
+        }
+    }
 }
