@@ -104,6 +104,12 @@ object QueryCatalog {
       graft.ops.Salting.saltedCountSum(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")),
+    "d_drift_extended" -> ((s, d) => {
+      // same split + l_tax-drop as d3, so the extended metrics line up
+      // with the reference dispatcher's rows column-for-column
+      val li = Tables.lineitem(s, d)
+      Drift.driftAllExtended(li, li.filter(col("l_orderkey") % 2 === 1).drop("l_tax"))
+    }),
     "d_psi" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Drift.psi(
@@ -415,6 +421,23 @@ object QueryCatalog {
        |  ROUND(MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END), 6) AS js
        |FROM cc""".stripMargin
 
+  /** Extended-drift SQL mirror: PSI rows for the shared numerics, JS rows
+    * for the shared strings/timestamps — the d3Sql union pattern over
+    * [[psiSql]]/[[jsSql]] subqueries. */
+  private def dExtendedSql: String = {
+    val before = "1 = 1"
+    val after = "l_orderkey % 2 = 1"
+    val sharedNumeric = LiNumeric.map(_._1).filterNot(_ == "l_tax")
+    val parts =
+      sharedNumeric.map { c =>
+        s"""SELECT "column", 'psi' AS type, psi AS metric FROM (${psiSql(c, before, after)}) x"""
+      } ++
+      (LiString ++ LiTs).map { c =>
+        s"""SELECT "column", 'js' AS type, js AS metric FROM (${jsSql("lineitem", c, before, after)}) x"""
+      }
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
   private def d3Sql: String = {
     val before = "1 = 1"
     val after = "l_orderkey % 2 = 1"
@@ -488,6 +511,7 @@ object QueryCatalog {
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "d_drift_extended" -> dExtendedSql,
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

@@ -67,8 +67,12 @@ final class GraftSession(val spark: SparkSession) {
     df
   }
 
-  /** Step 4 — utility: A1 profiles, D3 drift, optional D4 model check. */
-  def measureUtility(target: Option[String] = None): UtilityResult = {
+  /** Step 4 — utility: A1 profiles, D3 drift, optional D4 model check.
+    * `extended = true` adds the monitoring metrics beyond the reference —
+    * PSI per numeric column, Jensen–Shannon per categorical — as a second
+    * (column, type, metric) frame in the same shape as `drift`. */
+  def measureUtility(target: Option[String] = None,
+                     extended: Boolean = false): UtilityResult = {
     val before = anon.getOrElse(sys.error("no anon dataset uploaded"))
     val after = protected_.getOrElse(sys.error("protect() has not run"))
     val model = target.map(t => UtilityCheck.modelUtility(before, after, t))
@@ -76,7 +80,9 @@ final class GraftSession(val spark: SparkSession) {
       statsBefore = Profile.profile(before),
       statsAfter = Profile.profile(after),
       drift = Drift.driftAll(before, after),
-      modelUtility = model)
+      modelUtility = model,
+      extendedDrift =
+        if (extended) Some(Drift.driftAllExtended(before, after)) else None)
   }
 
   /** Step 5 — compliance: C1 checklist + C2 score. */
@@ -125,4 +131,5 @@ final case class RunSummary(quasiIds: Seq[String], riskScore: Option[Double],
 
 /** Utility-step bundle (SURVEY §3 entry point 3). */
 final case class UtilityResult(statsBefore: DataFrame, statsAfter: DataFrame,
-                               drift: DataFrame, modelUtility: Option[DataFrame])
+                               drift: DataFrame, modelUtility: Option[DataFrame],
+                               extendedDrift: Option[DataFrame] = None)

@@ -266,29 +266,69 @@ object Drift {
   def psi(before: DataFrame, after: DataFrame, c: String, bins: Int = 10,
           eps: Double = 1e-6, roundTo: Int = 6): DataFrame = {
     val spark = before.sparkSession
+    import spark.implicits._
+    psiMulti(before, after, Seq(c), bins, eps, roundTo).toDF("column", "psi")
+  }
+
+  /** [[psi]] for MANY columns in two fused scans per side (the
+    * ksStatisticMulti shape): ONE before-side aggregate fits every
+    * column's decile edges, then each side explodes (ci, bin) pairs into a
+    * single grouped count — the shuffle carries ≤ Σ(binsᵢ+1) rows however
+    * many columns ride along. Bin frames, totals, and the ordered term
+    * sums all run per-ci in parallel. Returns (column → Some(psi)), None
+    * when a side has no non-null rows. */
+  def psiMulti(before: DataFrame, after: DataFrame, cols: Seq[String],
+               bins: Int = 10, eps: Double = 1e-6, roundTo: Int = 6)
+      : Seq[(String, Option[Double])] = {
+    if (cols.isEmpty) return Seq.empty
+    val byCi = psiFrame(before, after, cols, bins, eps, roundTo).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    cols.zipWithIndex.map { case (c, i) => c -> byCi.getOrElse(i, None) }
+  }
+
+  /** The distributed (ci, psi) plan behind [[psiMulti]] — exposed so the
+    * plan-shape guards can assert on the real executed stages (the public
+    * forms collect the driver-sized result into a local frame). */
+  private[graft] def psiFrame(before: DataFrame, after: DataFrame,
+                              cols: Seq[String], bins: Int, eps: Double,
+                              roundTo: Int): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
     val probs = (1 until bins).map(_.toDouble / bins)
-    val edgeArr = expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))")
-    val edges: Seq[Double] = before.filter(col(c).isNotNull).agg(edgeArr.as("qs"))
-      .head() match {
-        case r if r.isNullAt(0) => Seq.empty
-        case r => r.getSeq[Double](0).distinct.sorted
-      }
-    val binIdx = edges.foldLeft(lit(0))((acc, e) =>
-      acc + when(col(c).cast("double") >= lit(e), 1).otherwise(0))
-    def binCounts(df: DataFrame, out: String) =
-      df.filter(col(c).isNotNull).select(binIdx.as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
-    val allBins = spark.range(edges.size + 1).select(col("id").cast("int").as("bin"))
-    val wAll = Window.partitionBy()
-    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fitRow = before.agg(
+      expr(s"percentile(CAST(${cols.head} AS DOUBLE), array(${probs.mkString("D,")}D))").as("q0"),
+      cols.tail.zipWithIndex.map { case (c, i) =>
+        expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))").as(s"q${i + 1}")
+      }: _*).head()
+    val edgesByCi: Map[Int, Seq[Double]] = cols.indices.map { i =>
+      i -> (if (fitRow.isNullAt(i)) Seq.empty
+            else fitRow.getSeq[Double](i).distinct.sorted)
+    }.toMap
+    def binIdx(c: Column, edges: Seq[Double]): Column =
+      edges.foldLeft(lit(0))((acc, e) =>
+        acc + when(c.cast("double") >= lit(e), 1).otherwise(0))
+    def side(df: DataFrame, out: String) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"),
+          when(col(c).isNotNull, binIdx(col(c), edgesByCi(i))).as("bin"))
+      }: _*)).as("e"))
+      .filter(col("e.bin").isNotNull)
+      .groupBy(col("e.ci").as("ci"), col("e.bin").as("bin"))
+      .agg(count(lit(1)).as(out))
+    val allBins = cols.indices
+      .flatMap(i => (0 to edgesByCi(i).size).map(b => (i, b)))
+      .toDF("ci", "bin")
+    val wCi = Window.partitionBy("ci")
+    val wCum = Window.partitionBy("ci").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val j = allBins
-      .join(binCounts(before, "ca"), Seq("bin"), "left")
-      .join(binCounts(after, "cb"), Seq("bin"), "left")
-      .select(col("bin"),
+      .join(side(before, "ca"), Seq("ci", "bin"), "left")
+      .join(side(after, "cb"), Seq("ci", "bin"), "left")
+      .select(col("ci"), col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .withColumn("ta", sum("ca").over(wAll))
-      .withColumn("tb", sum("cb").over(wAll))
+      .withColumn("ta", sum("ca").over(wCi))
+      .withColumn("tb", sum("cb").over(wCi))
     // nullif keeps the empty-side case ANSI-safe: a zero total divides to
     // null, greatest skips it to the eps floor, and the ta/tb guard below
     // nulls the whole result anyway
@@ -296,8 +336,8 @@ object Drift {
     val pb = greatest(col("cb").cast("double") / nullif(col("tb"), lit(0L)), lit(eps))
     val term = (pa - pb) * log(pa / pb)
     j.withColumn("cum", sum(term).over(wCum))
+      .groupBy("ci")
       .agg(round(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))), roundTo).as("psi"))
-      .select(lit(c).as("column"), col("psi"))
   }
 
   /** Jensen–Shannon divergence (nats) between the category distributions
@@ -335,6 +375,64 @@ object Drift {
     j.withColumn("cum", sum(term).over(wCum))
       .agg(round(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))), roundTo).as("js"))
       .select(lit(c).as("column"), col("js"))
+  }
+
+  /** [[jsDivergence]] for MANY columns in one fused pair of scans — the
+    * chi2Multi skeleton with the JS term. Returns (ci, js). */
+  private[graft] def jsMulti(before: DataFrame, after: DataFrame,
+                             cols: Seq[String]): DataFrame = {
+    def counted(df: DataFrame, out: String) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
+      }: _*)).as("e"))
+      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
+      .agg(count(lit(1)).as(out))
+    val wCi = Window.partitionBy("ci")
+    val wCum = Window.partitionBy("ci").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val j = counted(before, "oa").join(counted(after, "ob"), Seq("ci", "k"), "full_outer")
+      .select(col("ci"), col("k"),
+        coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+      .withColumn("ta", sum("oa").over(wCi))
+      .withColumn("tb", sum("ob").over(wCi))
+    val p = col("oa").cast("double") / nullif(col("ta"), lit(0L))
+    val q = col("ob").cast("double") / nullif(col("tb"), lit(0L))
+    val m = (p + q) / 2.0
+    val term =
+      when(col("oa") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+        when(col("ob") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+    j.withColumn("cum", sum(term).over(wCum))
+      .groupBy("ci")
+      .agg(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))).as("js"))
+  }
+
+  /** Extended drift view — the model-monitoring metrics next to the
+    * reference's D3: per shared numeric column a PSI row, per shared
+    * other column a JS row, same (column, type, metric) shape and
+    * column-skip semantics as [[driftAll]] so the two frames union
+    * cleanly. TWO fused jobs however many columns (one [[psiMulti]], one
+    * [[jsMulti]]), 6-dp rounding in-plan like D3. */
+  def driftAllExtended(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val afterCols = after.columns.toSet
+    val shared = before.schema.fields.filter(f => afterCols.contains(f.name))
+    def numericBoth(f: org.apache.spark.sql.types.StructField) =
+      f.dataType.isInstanceOf[NumericType] &&
+        after.schema(f.name).dataType.isInstanceOf[NumericType]
+    val numCols = shared.filter(numericBoth).map(_.name).toSeq
+    val catCols = shared.filterNot(numericBoth).map(_.name).toSeq
+    val psiRows = psiMulti(before, after, numCols).map { case (c, v) => (c, "psi", v) }
+    val jsByCi: Map[Int, Option[Double]] =
+      if (catCols.isEmpty) Map.empty
+      else jsMulti(before, after, catCols)
+        .select(col("ci"), round(col("js"), 6).as("m")).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val jsRows = catCols.zipWithIndex.map { case (c, i) =>
+      (c, "js", jsByCi.getOrElse(i, None))
+    }
+    (psiRows ++ jsRows).toDF("column", "type", "metric").orderBy("column")
   }
 
   /** D3 drift dispatcher (`modules/utility.py:112-123`): for each column

@@ -193,16 +193,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PSI bins shuffle bounded bin counts, never the data rows") {
-    val plan = simplePlan("d_psi")
+    // the public forms collect the driver-sized result, so assert on the
+    // distributed (ci, psi) frame they execute
+    val li = Tables.lineitem(spark, Sf)
+    val plan = graft.ops.Drift.psiFrame(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1),
+      Seq("l_quantity", "l_extendedprice"), 10, 1e-6, 6)
+      .queryExecution.executedPlan.toString
     // both sides must aggregate on the literal bin chain BEFORE any
-    // exchange — the only post-scan shuffles carry ≤ bins+1 rows
+    // exchange — the only post-scan shuffles carry ≤ Σ(bins+1) rows
     assert(plan.contains("partial_count"),
       s"bin counts must combine map-side inside the scan stage:\n$plan")
-    // the lone unpartitioned window runs over the joined ≤ bins+1 bin
-    // frame — data-sized inputs must never reach a Window here
-    val windowIdx = plan.indexOf("Window")
-    val aggIdx = plan.indexOf("HashAggregate")
-    assert(windowIdx == -1 || aggIdx >= 0,
-      s"PSI window must sit above the bin aggregate:\n$plan")
+    // the term-sum window must be partitioned by ci (parallel per column)
+    assert(!plan.contains("Exchange SinglePartition, "),
+      s"no data-path stage may collapse to a single partition:\n$plan")
   }
 }

@@ -35,11 +35,15 @@ class GraftSessionSpec extends SparkSpec {
     assert(prot.count() == 200)
     assert(prot.schema("income").dataType.typeName == "string") // generalized
 
-    val u = s.measureUtility(target = Some("target"))
+    val u = s.measureUtility(target = Some("target"), extended = true)
     val drift = u.drift.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(drift("income") == "chi2_like") // generalized col takes the categorical branch (SURVEY §4.4.1)
     assert(drift("age") == "ks")
     assert(u.statsBefore.count() == anon.columns.length)
+    // extended monitoring frame: same columns, psi/js dispatch
+    val ext = u.extendedDrift.get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext.keySet == drift.keySet)
+    assert(ext("income") == "js" && ext("age") == "psi")
 
     val (checklist, score) = s.compliance()
     assert(checklist.count() == 12 && score == 0.0)

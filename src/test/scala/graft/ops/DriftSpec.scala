@@ -107,6 +107,27 @@ class DriftSpec extends SparkSpec {
     assert(Drift.jsDivergence(a, empty, "v").collect()(0).isNullAt(1))
   }
 
+  test("psiMulti: fused multi-column values equal the single-column form") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val before = li.filter(col("l_orderkey") % 2 === 0)
+    val after = li.filter(col("l_orderkey") % 2 === 1)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val multi = Drift.psiMulti(before, after, cols).toMap
+    cols.foreach { c =>
+      val single = Drift.psi(before, after, c).collect()(0).getDouble(1)
+      assert(multi(c).contains(single), s"$c: ${multi(c)} vs $single")
+    }
+  }
+
+  test("driftAllExtended: psi for numerics, js for categoricals, skips missing columns") {
+    val before = Seq((1.0, "a", 2.0), (2.0, "b", 3.0), (3.0, "a", 4.0)).toDF("num", "cat", "dropped")
+    val after = Seq((1.0, "a"), (2.0, "c")).toDF("num", "cat")
+    val rows = Drift.driftAllExtended(before, after).collect()
+    assert(rows.map(_.getString(0)).sameElements(Array("cat", "num")))
+    assert(rows.find(_.getString(0) == "num").get.getString(1) == "psi")
+    assert(rows.find(_.getString(0) == "cat").get.getString(1) == "js")
+  }
+
   test("js: nulls bucket as NA; hand-computed two-category value") {
     // a: {x:1, NA:1}  b: {x:1}  → p=(.5,.5) q=(1,0) m=(.75,.25)
     // JS = .5·(.5·ln(.5/.75) + .5·ln(.5/.25)) + .5·(1·ln(1/.75))
