@@ -103,6 +103,15 @@ object ExtCatalog {
         docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 3, 0.6)
     }),
+    "x_neardup_delta" -> ((s, d) => {
+      // same corpus/batch split as x_dedup_delta, fuzzy matching: which
+      // incoming docs are ≥0.6-Jaccard near-dups of the curated corpus?
+      val docs = Tables.documents(s, d)
+      Dedup.neardupDelta(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id")
+    }),
     "x_dedup_delta" -> ((s, d) => {
       // existing corpus = docs 0 mod 3; incoming batch = the rest (with
       // the batch's own internal dups collapsed to the min id)
@@ -525,6 +534,19 @@ object ExtCatalog {
          |FROM pairs JOIN sizes ON probe_id = sizes.doc_id
          |WHERE CAST(shared AS DOUBLE) / sz >= 0.6
          |ORDER BY probe_id, corpus_id""".stripMargin,
+    "x_neardup_delta" ->
+      s"""WITH $shingleCtes,
+         |e AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 3 = 0),
+         |i AS (SELECT doc_id AS batch_id, s FROM sh WHERE doc_id % 3 <> 0),
+         |pairs AS (SELECT batch_id, corpus_id, COUNT(*) AS shared
+         |          FROM i JOIN e USING (s) GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id,
+         |  CAST(shared AS DOUBLE) / (si.sz + se.sz - shared) AS jaccard
+         |FROM pairs
+         |JOIN sizes si ON batch_id = si.doc_id
+         |JOIN sizes se ON corpus_id = se.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (si.sz + se.sz - shared) >= 0.6
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     "x_dedup_delta" ->
       """WITH inc AS (SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies

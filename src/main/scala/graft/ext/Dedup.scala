@@ -205,6 +205,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup — [[dedupDelta]]'s fuzzy sibling: which
+    * `incoming` documents sit at n-gram Jaccard ≥ `threshold` to some
+    * document of the already-curated `existing` corpus? Emits every
+    * (batch_id, corpus_id, jaccard) match so the caller can route
+    * near-dups to review or drop them; batch docs absent from the output
+    * are genuinely new.
+    *
+    * Scale shape: candidates come ONLY from shared shingles (inverted
+    * index join — never batch×corpus), with the PPJoin length filter
+    * pruning size-mismatched collisions before the distinct; the batch
+    * posting list broadcasts while the batch is small (same plan-stats
+    * auto-dispatch as the dfreq table), which is the standard
+    * continuous-ingestion asymmetry — the corpus index streams by, the
+    * delta rides in memory. Exact verification touches only candidate
+    * pairs. */
+  def neardupDelta(existing: DataFrame, incoming: DataFrame,
+                   textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val ex = existing.select(col(idCol).as("corpus_id"),
+        sort_array(shingleHashArray(existing, textCol, n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inc = incoming.select(col(idCol).as("batch_id"),
+        sort_array(shingleHashArray(incoming, textCol, n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exIdx = ex.select(col("corpus_id"), size(col("sh")).as("szc"),
+      explode(col("sh")).as("s"))
+    val incIdx0 = inc.select(col("batch_id"), size(col("sh")).as("szb"),
+      explode(col("sh")).as("s"))
+    val batchSmall = incoming.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      DfreqBroadcastMaxInputBytes
+    val incIdx = if (batchSmall) broadcast(incIdx0) else incIdx0
+    val candidates = exIdx.join(incIdx,
+        exIdx("s") === incIdx0("s") &&
+          col("szc").cast("double") >= col("szb") * threshold &&
+          col("szb").cast("double") >= col("szc") * threshold)
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(inc.select(col("batch_id"), col("sh").as("shb")), "batch_id")
+      .join(ex.select(col("corpus_id"), col("sh").as("shc")), "corpus_id")
+      .withColumn("shared", size(array_intersect(col("shb"), col("shc"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("shb")) + size(col("shc")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** Sub-document (passage-level) exact dedup — the "deduplicate inside
     * documents" pass of a training-data pipeline (boilerplate headers,
     * quoted replies, license blocks): each document splits into

@@ -190,6 +190,24 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("neardup delta flags batch docs near the corpus, exact jaccard values") {
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different corpus text about other things entirely")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near 0
+      (11L, "unrelated fresh content with novel wording throughout") // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.neardupDelta(existing, incoming, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1 && out(0)._1 == 10L && out(0)._2 == 0L)
+    // 10 tokens → 8 shingles per doc, 7 shared → J = 7/9
+    assert(math.abs(out(0)._3 - 7.0 / 9.0) < 1e-12)
+    // threshold above the pair's jaccard → empty
+    assert(Dedup.neardupDelta(existing, incoming, "text", "doc_id", 3, 0.9).count() == 0)
+  }
+
   test("passage dedup keeps only corpus-wide first passage occurrences") {
     // 2-token passages: doc 0 = [a b][c d], doc 1 = [a b][x y] (first
     // passage duplicates doc 0's), doc 2 = [c d][a b] (both passages
