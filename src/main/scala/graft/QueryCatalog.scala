@@ -104,6 +104,8 @@ object QueryCatalog {
       graft.ops.Salting.saltedCountSum(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")),
+    "a_corr_matrix" -> ((s, d) =>
+      Profile.correlationMatrix(Tables.lineitem(s, d), LiNumeric.map(_._1))),
     "d_drift_extended" -> ((s, d) => {
       // same split + l_tax-drop as d3, so the extended metrics line up
       // with the reference dispatcher's rows column-for-column
@@ -421,6 +423,28 @@ object QueryCatalog {
        |  ROUND(MAX(CASE WHEN ta > 0 AND tb > 0 THEN cum END), 6) AS js
        |FROM cc""".stripMargin
 
+  /** Correlation-matrix SQL mirror of [[Profile.correlationMatrix]] —
+    * generated from the same column list, same exact-cents moments
+    * (DECIMAL(19,0) sums, 38-digit products), same double expression
+    * shape and 6-dp rounding. One per-pair aggregate subquery unioned. */
+  private def corrSql: String = {
+    val cols = LiNumeric.map(_._1)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    def c19(c: String) = s"CAST(${Exact.centsSql(c)} AS DECIMAL(19,0))"
+    val parts = pairs.map { case (a, b) =>
+      val nd = "CAST(COUNT(*) AS DOUBLE)"
+      def s(x: String) = s"CAST(SUM(${c19(x)}) AS DOUBLE)"
+      def sp(x: String, y: String) = s"CAST(SUM(${c19(x)} * ${c19(y)}) AS DOUBLE)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, COUNT(*) AS n,
+         |  ROUND(($nd * ${sp(a, b)} - ${s(a)} * ${s(b)})
+         |    / NULLIF(SQRT($nd * ${sp(a, a)} - ${s(a)} * ${s(a)})
+         |      * SQRT($nd * ${sp(b, b)} - ${s(b)} * ${s(b)}), 0), 6) AS corr
+         |FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+    }
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+  }
+
   /** Extended-drift SQL mirror: PSI rows for the shared numerics, JS rows
     * for the shared strings/timestamps — the d3Sql union pattern over
     * [[psiSql]]/[[jsSql]] subqueries. */
@@ -512,6 +536,7 @@ object QueryCatalog {
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d_drift_extended" -> dExtendedSql,
+    "a_corr_matrix" -> corrSql,
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

@@ -287,6 +287,56 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` — the `df.corr()`
+    * companion to the per-column profile, with PAIRWISE-complete-
+    * observation semantics (a pair's moments sum only rows where BOTH
+    * columns are non-null, pandas' convention). Output one row per
+    * unordered pair (col_a < col_b): (col_a, col_b, n, corr); corr is
+    * null for a constant column or n < 2.
+    *
+    * Determinism: every moment is an exact integer/decimal sum of cents
+    * (Σx, Σy as DECIMAL(19,0); Σxy, Σx², Σy² as DECIMAL(38,0) from
+    * 19×19-digit products) — order-independent and bit-identical in any
+    * engine; the final correlation then evaluates a FIXED double
+    * expression over those exact sums, rounded to 6 dp. The whole matrix
+    * is ONE wide aggregate: one scan, map-side combined, 6·C(k,2)
+    * accumulators — never a per-pair job.
+    *
+    * Columns must be cents-representable (≤ 2 decimals, |v| < 10¹⁶ —
+    * the [[Exact]] policy); ids/keys/prices in the harness tables all
+    * qualify. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    def c19(c: String) = Exact.cents(col(c)).cast(DecimalType(19, 0))
+    def both(a: String, b: String) = col(a).isNotNull && col(b).isNotNull
+    val aggs: Seq[Column] = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val m = both(a, b)
+      Seq(
+        count(when(m, lit(1))).as(s"n_$i"),
+        sum(when(m, c19(a))).as(s"sx_$i"),
+        sum(when(m, c19(b))).as(s"sy_$i"),
+        sum(when(m, c19(a) * c19(b))).as(s"sxy_$i"),
+        sum(when(m, c19(a) * c19(a))).as(s"sxx_$i"),
+        sum(when(m, c19(b) * c19(b))).as(s"syy_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val nd = col(s"n_$i").cast("double")
+      def d(p: String) = col(s"$p$i").cast("double")
+      val num = nd * d("sxy_") - d("sx_") * d("sy_")
+      val den = sqrt(nd * d("sxx_") - d("sx_") * d("sx_")) *
+        sqrt(nd * d("syy_") - d("sy_") * d("sy_"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"n_$i").as("n"),
+        when(col(s"n_$i") >= 2, round(num / nullif(den, lit(0.0)), 6)).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Shannon entropy (nats) of each listed categorical column's value
     * distribution, plus its category count — the corpus-diversity metric a
     * mixture pipeline monitors next to the PMF (extension scope; no

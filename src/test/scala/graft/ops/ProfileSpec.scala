@@ -98,6 +98,27 @@ class ProfileSpec extends SparkSpec {
     assert(pmf(0).getString(0) == "a" && math.abs(pmf(0).getDouble(2) - 0.5) < 1e-12)
   }
 
+  test("correlationMatrix: hand values, pairwise-complete nulls, constant → null") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(5.0)),
+      (Some(3.0), Some(6.0), None),
+      (Some(4.0), None, Some(5.0)))
+      .toDF("x", "y", "c")
+    val rows = Profile.correlationMatrix(df, Seq("x", "y", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // y = 2x on its 3 complete rows → corr exactly 1
+    assert(rows(("x", "y")) == (3L, Some(1.0)))
+    // c is constant on its complete rows → zero variance → null
+    assert(rows(("x", "c")) == (3L, None))
+    assert(rows(("y", "c")) == (2L, None))
+    // anti-correlated pair
+    val df2 = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("a", "b")
+    val r2 = Profile.correlationMatrix(df2, Seq("a", "b")).collect()(0)
+    assert(r2.getDouble(3) == -1.0)
+  }
+
   test("categoryEntropy: constant → 0, uniform → ln k, nulls bucket as NA") {
     val df = Seq(
       (Some("c"), "a"), (Some("c"), "b"), (Some("c"), "c"), (None, "d"))
