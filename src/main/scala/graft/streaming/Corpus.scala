@@ -37,4 +37,43 @@ object CorpusStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select(col(idCol), col(tsCol), col("quality_score"))
+
+  /** Incremental corpus ACCUMULATION — the `foreachBatch` completion of
+    * the story: every micro-batch is deduped against the corpus built so
+    * far ([[graft.ext.Dedup.dedupDelta]] — batch-internal first
+    * occurrences, then a left-anti join on the normalized text) and only
+    * the genuinely NEW documents append to the corpus directory.
+    *
+    * Idempotent by construction, not by bookkeeping: if a failed batch
+    * replays, its documents are ALREADY in the corpus, so the anti-join
+    * drops every one of them and the re-run appends nothing — the dedup
+    * semantics are exactly the exactly-once guard. State is the corpus
+    * itself; nothing lives in the streaming state store, so the operator
+    * scales with the batch (not the history) and the corpus side can be
+    * bucketed for a co-located anti-join at 100 TB.
+    *
+    * Returns the started query; the caller owns `awaitTermination`. */
+  def ingestIncremental(docs: DataFrame, corpusDir: String,
+                        checkpointDir: String, textCol: String = "text",
+                        idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing: DataFrame =
+          if (new java.io.File(corpusDir).exists())
+            spark.read.parquet(corpusDir).select(col(idCol), col(textCol))
+          else batch.sparkSession.emptyDataFrame
+            .select() // schema-free sentinel, replaced below
+        val base =
+          if (existing.columns.isEmpty)
+            batch.select(col(idCol), col(textCol)).limit(0)
+          else existing
+        val fresh = graft.ext.Dedup.dedupDelta(base, batch, textCol, idCol)
+        val accepted = batch.select(col(idCol), col(textCol))
+          .join(fresh.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+        accepted.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
 }

@@ -54,4 +54,34 @@ class CorpusStreamSpec extends SparkSpec {
     // stream produced under first-seen order
     assert(batch == Set(1L, 6L))
   }
+
+  test("ingestIncremental: corpus accumulates only genuinely new docs across batches") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val corpus = s"$dir/corpus"
+    val mem = MemoryStream[Doc]
+    val q = CorpusStream.ingestIncremental(
+      mem.toDF().select($"doc_id", $"text"), corpus, s"$dir/ckpt")
+    try {
+      mem.addData(Doc(1, "alpha beta gamma", t("10:00")),
+        Doc(2, "delta epsilon zeta", t("10:00")))
+      q.processAllAvailable()
+      mem.addData(
+        Doc(3, "ALPHA  beta gamma", t("10:05")), // normalized dup of 1 → dropped
+        Doc(4, "eta theta iota", t("10:05")),    // new
+        Doc(5, "eta  THETA iota", t("10:05")))   // batch-internal dup of 4 → dropped
+      q.processAllAvailable()
+      // a later batch replaying already-corpus content appends nothing —
+      // the same anti-join that dedups is the exactly-once guard
+      mem.addData(Doc(6, "delta epsilon zeta", t("10:10")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(corpus).collect()
+        .map(r => r.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L))
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
