@@ -64,6 +64,16 @@ object ExtCatalog {
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
     "t_entropy" -> ((s, d) =>
       Profile.categoryEntropy(Tables.documents(s, d), Seq("lang", "source"))),
+    "a_mutual_info" -> ((s, d) =>
+      Profile.mutualInfo(Tables.documents(s, d), "lang", "source")),
+    "x_bpe_pairs" -> ((s, d) =>
+      TextStats.bpePairs(Tables.documents(s, d), "text", 30)),
+    "x_semdedup" -> ((s, d) =>
+      // same 0.4 threshold rationale as x_embed_neardup (corpus max
+      // pairwise cos ≈ 0.6); 8 sign bits → 256 buckets
+      SimSearch.semDedup(Tables.embeddings(s, d), 0.4, 8)),
+    "x_shard_assign" -> ((s, d) =>
+      ext.Sampling.shardAssign(Tables.documents(s, d), "doc_id", "text", 8)),
     "x_vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(Tables.documents(s, d), "text", 30)),
     "x_group_quantiles" -> ((s, d) =>
@@ -478,6 +488,44 @@ object ExtCatalog {
         |  FROM t)
         |SELECT "column", COUNT(*) AS n_categories, ROUND(MAX(cum), 6) AS entropy
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_mutual_info" ->
+      """WITH c AS (SELECT COALESCE(CAST(lang AS VARCHAR), 'NA') AS x,
+        |  COALESCE(CAST(source AS VARCHAR), 'NA') AS y, COUNT(*) AS cxy
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT x, y, cxy,
+        |  SUM(cxy) OVER () AS n,
+        |  SUM(cxy) OVER (PARTITION BY x) AS cx,
+        |  SUM(cxy) OVER (PARTITION BY y) AS cy FROM c),
+        |s AS (SELECT SUM((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |  ln(CAST(n * cxy AS DOUBLE) / CAST(cx * cy AS DOUBLE)))
+        |  OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT 'lang' AS col_x, 'source' AS col_y,
+        |  COUNT(*) AS n_cells, ROUND(MAX(cum), 6) AS mi FROM s""".stripMargin,
+    "x_bpe_pairs" ->
+      s"""WITH t AS (SELECT regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS toks
+         |  FROM documents),
+         |p AS (SELECT UNNEST(list_transform(range(1, len(toks)), i ->
+         |  {'a': toks[i], 'b': toks[i + 1]})) AS pr FROM t WHERE len(toks) >= 2)
+         |SELECT pr.a AS left_tok, pr.b AS right_tok, COUNT(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY n DESC, left_tok, right_tok LIMIT 30""".stripMargin,
+    "x_semdedup" -> {
+      val codeSql = (0 until 8).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding, $codeSql AS bucket FROM embeddings),
+         |d AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a.embedding", "b.embedding")}) /
+         |    (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) >= 0.4
+         |  GROUP BY 1)
+         |SELECT v.vec_id, v.bucket, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM v LEFT JOIN d ON v.vec_id = d.id ORDER BY v.vec_id""".stripMargin
+    },
+    "x_shard_assign" ->
+      s"""WITH t AS (SELECT ${ext.Sampling.gateSql("doc_id")} % 8 AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_vocab_topk" ->
       s"""WITH toks AS (SELECT UNNEST(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS token
          |  FROM documents)

@@ -42,6 +42,11 @@ object QueryCatalog {
     "c2_checklist_score" -> ((s, _) => Checklist.score(Checklist.defaultChecklist(s))),
     "p_row_transforms" -> ((s, d) => pRowTransforms(s, d)),
     "p8_standardize" -> ((s, d) => p8Standardize(s, d)),
+    "p_winsorize" -> ((s, d) =>
+      RowTransforms.winsorize(Tables.lineitem(s, d), "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_extendedprice_w"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
     "v1_sdc_suppress" -> ((s, d) =>
       // window variant: supplier is small at every SF, so one count-over-
@@ -560,6 +565,13 @@ object QueryCatalog {
     "c2_checklist_score" -> c2Sql,
     "p_row_transforms" -> pRowTransformsSql,
     "p8_standardize" -> p8Sql,
+    "p_winsorize" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+        |  quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS l_extendedprice_w
+        |FROM lineitem CROSS JOIN q
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p9_onehot" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS "l_returnflag__A",

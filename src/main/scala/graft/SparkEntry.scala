@@ -40,6 +40,7 @@ object SparkEntry {
     "q_corr_subquery" -> ((s, d) => Relational.qCorrSubquery(s, d)),
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
     "q_window_suite" -> ((s, d) => Relational.qWindowSuite(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -182,5 +183,6 @@ object SparkEntry {
     "q_corr_subquery" -> Relational.qCorrSubquerySql("customer"),
     "q_outer_join" -> Relational.qOuterJoinSql,
     "q_window_suite" -> Relational.qWindowSuiteSql,
+    "q_grouping_sets" -> Relational.qGroupingSetsSql("orders"),
   )
 }

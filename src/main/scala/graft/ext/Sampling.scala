@@ -235,6 +235,24 @@ object Sampling {
     * thresholds are cumulative per-mille cut points over gate(id) mod
     * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —
     * joins/filters downstream prune on it like any column. */
+  /** Deterministic output sharding + balance audit: each row lands in
+    * shard `gate(id) mod n`, and the result is the per-shard (doc count,
+    * token total) — what a corpus writer checks before emitting training
+    * shards. Hash assignment is the scalable form of "balanced shards":
+    * greedy bin packing is inherently sequential, while the gate is a
+    * pure codegen projection and the law of large numbers evens out
+    * per-shard token mass at corpus scale. One map-side-combined
+    * aggregate; shuffle carries n rows. */
+  def shardAssign(df: DataFrame, idCol: String, textCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, s"bad shard count $nShards")
+    df.select(pmod(gate(col(idCol)), lit(nShards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("shard")
+  }
+
   def splitColumn(id: Column, trainPerMille: Int, validPerMille: Int): Column = {
     require(trainPerMille >= 0 && validPerMille >= 0 &&
       trainPerMille + validPerMille <= 1000, "per-mille cut points must fit in [0,1000]")

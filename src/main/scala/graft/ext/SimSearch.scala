@@ -206,6 +206,44 @@ object SimSearch {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Semantic dedup (SemDeDup-style, deterministic form): embeddings
+    * bucket by the sign-bit code of their first `bits` dimensions (a
+    * fixed hyperplane LSH — no RNG, so the operator is exactly
+    * reproducible and oracle-gateable, unlike a k-means partition);
+    * within a bucket, a vector is a DUPLICATE when some lower-id bucket
+    * neighbor has cosine ≥ `threshold` (greedy keep-first — the same
+    * survivor convention as the text dedup family). Output: one row per
+    * vector with its bucket, the smallest such neighbor (`dup_of`,
+    * null = none) and the keep flag.
+    *
+    * Scale shape: the pair join is an equi-join ON THE BUCKET CODE —
+    * candidates are bucket-local (E[bucket] = n/2^bits; raise `bits`
+    * with corpus size), the corpus never self-joins unbucketed, and the
+    * per-duplicate reduction is a min aggregate, not a window. Missing
+    * cross-bucket pairs are the documented approximation (two sign-LSH
+    * buckets differing ⇒ some coordinate pair straddles a hyperplane),
+    * exactly as in published SemDeDup, which also only dedups within a
+    * cluster. */
+  def semDedup(df: DataFrame, threshold: Double, bits: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val code = (0 until bits).foldLeft(lit(0)) { (acc, j) =>
+      acc + when(element_at(col(vecCol), j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
+    }
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), code.as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("ida") < col("idb"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .groupBy(col("idb").as("id")).agg(min(col("ida")).as("dup_of"))
+    v.select(col("id"), col("bucket"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("bucket"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Corpus topic clustering — the mixture-analysis view a training
     * pipeline takes before sampling decisions: k-means over
     * unit-normalized embeddings (same quantizer family as [[ivfTopK]]),

@@ -151,6 +151,26 @@ object TextStats {
       .limit(k)
   }
 
+  /** Adjacent token-pair frequencies over the [[BpeTokenPattern]]
+    * pre-tokenization, top-k by count — the inner loop of a BPE tokenizer
+    * trainer (the most frequent pair is the next merge rule). One
+    * codegen scan builds each row's (tokenᵢ, tokenᵢ₊₁) pairs in place;
+    * the shuffle carries map-side-combined PAIR counts (O(|distinct
+    * pairs|), never O(tokens)); the k winners reduce via partial top-k
+    * (`TakeOrderedAndProject`), not a global sort. */
+  def bpePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
+    df.select(toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1), i =>
+        struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("left_tok"), col("p.b").as("right_tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("left_tok").asc, col("right_tok").asc)
+      .limit(k)
+  }
+
   /** Corpus cleaning pass — the composition a training-data pipeline
     * actually runs: exact-dedup survivors (min doc_id per text) that pass
     * a quality floor and a language filter. ONE shuffle (the dedup

@@ -375,6 +375,42 @@ object Profile {
     }.toDF("column", "n_categories", "entropy").orderBy("column")
   }
 
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence signal a feature audit reads next to [[categoryEntropy]]
+    * (extension scope; no reference counterpart). Nulls bucket as "NA".
+    *
+    * MI = Σ_{x,y} (c_xy/N)·ln(N·c_xy / (c_x·c_y)) over exact integer
+    * counts; every product stays a 64-bit integer (exact as a double up to
+    * 2⁵³, far past any cell-count product here), so each term is one
+    * float division + one `ln` on identical operands in any engine. The
+    * sum runs through an ordered cumulative window — fixed addition
+    * order — and rounds to `roundTo` dp, the [[categoryEntropy]] recipe.
+    *
+    * Plan shape: ONE map-side-combined count over (x, y), then marginals
+    * and the ordered sum as windows over the grouped CELL frame
+    * (|X|·|Y| rows, never data-sized). */
+  def mutualInfo(df: DataFrame, colX: String, colY: String,
+                 roundTo: Int = 6): DataFrame = {
+    val cells = df
+      .select(coalesce(col(colX).cast("string"), lit("NA")).as("x"),
+        coalesce(col(colY).cast("string"), lit("NA")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.partitionBy().orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = sum("cxy").over(wAll)
+    val cx = sum("cxy").over(Window.partitionBy("x"))
+    val cy = sum("cxy").over(Window.partitionBy("y"))
+    val term = (col("cxy").cast("double") / col("n")) *
+      log((col("n") * col("cxy")).cast("double") / (col("cx") * col("cy")).cast("double"))
+    cells
+      .withColumn("n", n).withColumn("cx", cx).withColumn("cy", cy)
+      .withColumn("cum", sum(term).over(wCum))
+      .agg(count(lit(1)).as("n_cells"), round(max("cum"), roundTo).as("mi"))
+      .select(lit(colX).as("col_x"), lit(colY).as("col_y"),
+        col("n_cells"), col("mi"))
+  }
+
   /** A9 normalized category distribution (empirical PMF). The total comes
     * from a window over the (already tiny) grouped result — no second scan. */
   def categoryPmf(df: DataFrame, c: String): DataFrame = {

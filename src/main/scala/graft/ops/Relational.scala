@@ -184,6 +184,29 @@ object Relational {
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** Explicit GROUPING SETS with GROUPING() disambiguation — the general
+    * form behind qRollup/qCube (one statement, both engines). The
+    * GROUPING flags distinguish a subtotal NULL from a data NULL, which
+    * rollup output alone cannot. Catalyst plans one Expand + one hash
+    * aggregate — rows replicate only per matching set, not per cube
+    * corner. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_gs_orders")
+    spark.sql(qGroupingSetsSql("graft_gs_orders"))
+  }
+
+  /** One statement for both engines (the oracle binds `orders`). */
+  def qGroupingSetsSql(table: String): String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n
+       |FROM $table
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+       |                        (o_orderstatus, o_orderpriority))
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Correlated-subquery surface (one statement, both engines): customers
     * whose balance beats their market segment's average. The comparison
     * is cross-multiplied into decimal-exact integer arithmetic

@@ -67,6 +67,24 @@ object RowTransforms {
     }
   }
 
+  /** Winsorize: clip a numeric column at its exact interpolated
+    * [pLo, pHi] quantiles — the standard outlier treatment before
+    * standardization or DP noise calibration (extension scope; the
+    * reference clips nothing). The fit is ONE tiny `percentile`
+    * aggregate (exact interpolated, == DuckDB `quantile_cont`), folded
+    * onto the scan via a broadcast cross join — the transform itself is
+    * a stateless codegen `least/greatest`, so the plan is fit-job +
+    * one shuffle-free pass, the generalizeNumeric skeleton. */
+  def winsorize(df: DataFrame, c: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val fit = df.agg(expr(s"percentile($c, array(${pLo}D, ${pHi}D))").as("q"))
+      .select(col("q")(0).as("__lo"), col("q")(1).as("__hi"))
+    df.crossJoin(broadcast(fit))
+      .withColumn(s"${c}_w",
+        least(greatest(col(c).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** P9 one-hot encoding with explicit category columns fitted on `fit`
     * (`modules/risk.py:18`): categories are the sorted distinct values of
     * the FIT table; unseen values in `df` produce all-zero vectors —

@@ -209,4 +209,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition, "),
       s"no data-path stage may collapse to a single partition:\n$plan")
   }
+
+  test("bpe pairs: map-side-combined pair counts, partial top-k, no window") {
+    val plan = simplePlan("x_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must merge per-partition heaps:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counts must combine map-side before the shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the pair path:\n$plan")
+  }
+
+  test("semdedup joins on the bucket code — never an unbucketed self cross join") {
+    val plan = simplePlan("x_semdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be an equi-join on the bucket:\n$plan")
+  }
+
+  test("shard assign is one map-side-combined aggregate, no window, no join") {
+    val plan = simplePlan("x_shard_assign")
+    assert(plan.contains("partial_count"),
+      s"shard stats must combine map-side:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"shard assignment is a pure projection + aggregate:\n$plan")
+  }
+
+  test("winsorize transform is a broadcast of the tiny fit, not a data shuffle") {
+    val plan = simplePlan("p_winsorize")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row fit must broadcast onto the scan:\n$plan")
+  }
+
+  test("mutual info windows run over the grouped cell frame, post-aggregate") {
+    val plan = simplePlan("a_mutual_info")
+    // the count aggregate must partial-combine BEFORE any window sees rows
+    assert(plan.contains("partial_count"),
+      s"cell counts must combine map-side:\n$plan")
+  }
 }

@@ -145,4 +145,20 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("shardAssign conserves docs and tokens, is partitioning-invariant") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val shards = Sampling.shardAssign(docs, "doc_id", "text", 8)
+    val rows = shards.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L), "all 8 shards populated")
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "doc mass conserved")
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens, "token mass conserved")
+    val again = Sampling.shardAssign(docs.repartition(11), "doc_id", "text", 8).collect()
+    assert(again.toSeq == rows.toSeq)
+    // balance: no shard holds more than 3× its fair share of docs
+    val fair = docs.count().toDouble / 8
+    assert(rows.forall(_.getLong(1) < fair * 3), "gate should spread docs")
+  }
 }

@@ -121,4 +121,30 @@ class SimSearchSpec extends SparkSpec {
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3)))).toMap
     assert(repart == rows)
   }
+
+  test("semDedup: lower-id survivor wins, cross-bucket pairs are out of scope") {
+    // ids 1,2: colinear (cos=1, same sign bucket) → 2 dups of 1.
+    // id 3: same bucket as 1,2 but near-orthogonal → kept.
+    // id 4: colinear with 1 but NEGATED (different sign bucket) → kept,
+    // documenting the bucket-local approximation.
+    val df = Seq(
+      (1L, vec(1.0, 1.0, 0.1)), (2L, vec(2.0, 2.0, 0.2)),
+      (3L, vec(0.1, 0.1, 5.0)), (4L, vec(-1.0, -1.0, -0.1)))
+      .toDF("vec_id", "embedding")
+    val rows = SimSearch.semDedup(df, 0.9, bits = 3).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+    assert(rows(1L) == (None, true))
+    assert(rows(2L) == (Some(1L), false))
+    assert(rows(3L)._2 && rows(4L)._2)
+    // determinism under repartitioning
+    val again = SimSearch.semDedup(df.repartition(5), 0.9, bits = 3).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+    assert(again == rows)
+    // on the corpus: dup_of is always a strictly lower id, and the keep
+    // flag is exactly dup_of's nullity
+    val corpus = graft.Tables.embeddings(spark, Sf)
+    val out = SimSearch.semDedup(corpus, 0.4)
+    assert(out.filter(col("dup_of") >= col("vec_id")).isEmpty)
+    assert(out.filter(col("keep") =!= col("dup_of").isNull).isEmpty)
+  }
 }

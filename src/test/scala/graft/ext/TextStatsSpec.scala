@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -148,5 +149,25 @@ class TextStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     // counts: the:2 cat:2 sat:2 dog:1 a:1 !:1 → top3 ties break token-asc
     assert(rows.toSeq == Seq(("cat", 2L), ("sat", 2L), ("the", 2L)))
+  }
+
+  test("bpePairs: adjacent-pair counts match a naive recount; 1-token docs drop") {
+    val df = Seq("the cat the cat", "the cat", "solo").toDF("text")
+    val rows = TextStats.bpePairs(df, "text", 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // pairs: (the,cat)×3, (cat,the)×1; "solo" has no pair
+    assert(rows == Map(("the", "cat") -> 3L, ("cat", "the") -> 1L))
+    // order: count desc, then token asc; k bounds the output
+    val top1 = TextStats.bpePairs(df, "text", 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "the")
+    // corpus-level: total pair mass = Σ max(len−1, 0) over BPE tokens
+    val docs = graft.Tables.documents(spark, Sf)
+    val total = TextStats.bpePairs(docs, "text", Int.MaxValue)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val expected = docs.select(
+        greatest(size(regexp_extract_all(lower(col("text")),
+          lit(TextStats.BpeTokenPattern), lit(0))) - 1, lit(0)).as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    assert(total == expected)
   }
 }

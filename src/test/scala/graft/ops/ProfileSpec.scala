@@ -136,6 +136,22 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 1 && r.getDouble(2) == 0.0)
   }
 
+  test("mutualInfo: MI(X,X)=H(X), MI(X,const)=0, partitioning-invariant") {
+    val docs = graft.Tables.documents(spark, Sf)
+    // self-MI equals the column's entropy (both 6-dp rounded)
+    val mi = Profile.mutualInfo(docs, "lang", "lang").collect()(0)
+    val h = Profile.categoryEntropy(docs, Seq("lang")).collect()(0)
+    assert(math.abs(mi.getDouble(3) - h.getDouble(2)) < 2e-6)
+    // independence: a constant column carries no information
+    val miC = Profile.mutualInfo(docs.withColumn("k", lit("c")), "lang", "k").collect()(0)
+    assert(miC.getDouble(3) == 0.0 && miC.getLong(2) > 0)
+    // fixed-order cumulative sum ⇒ bit-identical under any partitioning
+    val a = Profile.mutualInfo(docs, "lang", "source").collect()(0)
+    val b = Profile.mutualInfo(docs.repartition(17), "lang", "source").collect()(0)
+    assert(a == b)
+    assert(a.getDouble(3) >= 0.0 || math.abs(a.getDouble(3)) < 1e-6)
+  }
+
   test("muSigma: sigma fallback 1.0 for constant and single-row columns") {
     val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("c", "x")
     val m = Profile.muSigma(const, Seq("c", "x")).collect().map(r => r.getString(0) -> r).toMap

@@ -42,6 +42,25 @@ class RowTransformsSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
   }
 
+  test("winsorize clips exactly at the interpolated quantiles, keeps inner rows") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val out = RowTransforms.winsorize(li, "l_extendedprice")
+    // fit mirrors Spark's own exact percentile — recompute and compare
+    val Seq(lo, hi) = li
+      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))")).collect()(0)
+      .getSeq[Double](0).toSeq
+    assert(lo < hi)
+    val bad = out.filter(col("l_extendedprice_w") < lo || col("l_extendedprice_w") > hi)
+    assert(bad.isEmpty, "clipped column must live inside [lo, hi]")
+    val inner = out.filter(col("l_extendedprice") >= lo && col("l_extendedprice") <= hi)
+      .filter(col("l_extendedprice_w") =!= col("l_extendedprice"))
+    assert(inner.isEmpty, "rows inside the band must pass through untouched")
+    val nClipped = out.filter(col("l_extendedprice_w") =!= col("l_extendedprice")).count()
+    val n = li.count()
+    // ~2% of rows clip (1% per tail)
+    assert(nClipped > 0 && nClipped < n / 20, s"clipped $nClipped of $n")
+  }
+
   test("nullLabel stringifies then defaults (crash-free on any dtype)") {
     val df = Seq(Some(1.5), None).toDF("x")
     val out = df.select(RowTransforms.nullLabel(col("x"))).collect().map(_.getString(0))
