@@ -74,6 +74,13 @@ object ExtCatalog {
       SimSearch.semDedup(Tables.embeddings(s, d), 0.4, 8)),
     "x_shard_assign" -> ((s, d) =>
       ext.Sampling.shardAssign(Tables.documents(s, d), "doc_id", "text", 8)),
+    "x_semdedup_delta" -> ((s, d) => {
+      // batch = every 5th vector (an incoming shard), corpus = the rest
+      val e = Tables.embeddings(s, d)
+      SimSearch.semDedupDelta(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), 0.4, 8)
+    }),
     "x_vocab_topk" -> ((s, d) =>
       TextStats.vocabTopK(Tables.documents(s, d), "text", 30)),
     "x_group_quantiles" -> ((s, d) =>
@@ -520,6 +527,19 @@ object ExtCatalog {
          |  GROUP BY 1)
          |SELECT v.vec_id, v.bucket, d.dup_of, d.dup_of IS NULL AS keep
          |FROM v LEFT JOIN d ON v.vec_id = d.id ORDER BY v.vec_id""".stripMargin
+    },
+    "x_semdedup_delta" -> {
+      val codeSql = (0 until 8).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding, $codeSql AS bucket FROM embeddings),
+         |c AS (SELECT bucket, vec_id AS cid, embedding AS cv FROM v WHERE vec_id % 5 <> 0),
+         |b AS (SELECT bucket, vec_id AS batch_id, embedding AS bv FROM v WHERE vec_id % 5 = 0),
+         |p AS (SELECT batch_id, cid,
+         |  (${dotSql("bv", "cv")}) /
+         |  (SQRT(${dotSql("bv", "bv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+         |  FROM b JOIN c USING (bucket))
+         |SELECT batch_id, MIN(cid) AS dup_of, COUNT(*) AS n_matches, MAX(cos) AS best_cos
+         |FROM p WHERE cos >= 0.4 GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "x_shard_assign" ->
       s"""WITH t AS (SELECT ${ext.Sampling.gateSql("doc_id")} % 8 AS shard,

@@ -47,6 +47,11 @@ object QueryCatalog {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_extendedprice_w"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "p_robust_scale" -> ((s, d) =>
+      RowTransforms.robustScale(Tables.lineitem(s, d), "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_extendedprice_r"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
     "v1_sdc_suppress" -> ((s, d) =>
       // window variant: supplier is small at every SF, so one count-over-
@@ -571,6 +576,15 @@ object QueryCatalog {
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS l_extendedprice_w
         |FROM lineitem CROSS JOIN q
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p_robust_scale" ->
+      """WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+        |f AS (SELECT quantile_cont(abs(CAST(l_extendedprice AS DOUBLE) - med), 0.5) AS mad,
+        |  MIN(med) AS med FROM lineitem CROSS JOIN m)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  (CAST(l_extendedprice AS DOUBLE) - med) /
+        |    (CASE WHEN mad > 0.0 THEN mad ELSE 1.0 END) AS l_extendedprice_r
+        |FROM lineitem CROSS JOIN f
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p9_onehot" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -244,6 +244,35 @@ object SimSearch {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental batch-vs-corpus SEMANTIC dedup — the embedding sibling
+    * of `Dedup.neardupDelta` for continuous ingestion: which incoming
+    * vectors are ≥`threshold`-cosine duplicates of the curated corpus?
+    * Same fixed sign-bit buckets as [[semDedup]]; the candidate join is
+    * batch⋈corpus equi-keyed on the bucket (never batch×corpus), and the
+    * corpus is only ever scanned, not self-joined. Returns one row per
+    * DUPLICATE batch vector: (batch_id, dup_of = smallest matching
+    * corpus id, n_matches, best_cos = the strongest match). */
+  def semDedupDelta(corpus: DataFrame, batch: DataFrame, threshold: Double,
+                    bits: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def code(df: DataFrame) = (0 until bits).foldLeft(lit(0)) { (acc, j) =>
+      acc + when(element_at(col(vecCol), j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
+    }
+    val c = corpus.select(code(corpus).as("bucket"),
+      col(idCol).as("cid"), col(vecCol).as("cv"))
+    val b = batch.select(code(batch).as("bucket"),
+      col(idCol).as("batch_id"), col(vecCol).as("bv"))
+    b.join(c, Seq("bucket"))
+      .select(col("batch_id"), col("cid"),
+        cosine(col("bv"), col("cv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("batch_id")
+      .agg(min("cid").as("dup_of"), count(lit(1)).as("n_matches"),
+        max("cos").as("best_cos"))
+      .orderBy("batch_id")
+  }
+
   /** Corpus topic clustering — the mixture-analysis view a training
     * pipeline takes before sampling decisions: k-means over
     * unit-normalized embeddings (same quantizer family as [[ivfTopK]]),

@@ -85,6 +85,10 @@ object Drift {
     * plan runs. Free to evaluate — plan statistics, no job. */
   private val KsDriverMaxBytes = BigInt(8L) << 30
 
+  /** Same ceiling for the PSI decile-edge fit (one collected double
+    * column per numeric input while the scan estimate stays under it). */
+  private val PsiDriverFitMaxBytes = BigInt(8L) << 30
+
   /** Collect columns as primitive doubles KEEPING NaN/±Inf (they are real
     * sample points to the plan path and the oracle — NaN groups sort
     * last) and normalizing -0.0 → 0.0 (grouping treats them equal). */
@@ -295,14 +299,35 @@ object Drift {
     val spark = before.sparkSession
     import spark.implicits._
     val probs = (1 until bins).map(_.toDouble / bins)
-    val fitRow = before.agg(
-      expr(s"percentile(CAST(${cols.head} AS DOUBLE), array(${probs.mkString("D,")}D))").as("q0"),
-      cols.tail.zipWithIndex.map { case (c, i) =>
-        expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))").as(s"q${i + 1}")
-      }: _*).head()
-    val edgesByCi: Map[Int, Seq[Double]] = cols.indices.map { i =>
-      i -> (if (fitRow.isNullAt(i)) Seq.empty
-            else fitRow.getSeq[Double](i).distinct.sorted)
+    // Decile-edge fit, auto-dispatched like Profile.profile: a narrow
+    // fused collect + driver sorts below the size ceiling (the in-agg
+    // `percentile` buffers EVERY value per column inside one aggregation
+    // hash map — ~7 s for 7 lineitem columns at sf0.1, vs ~0.4 s
+    // collected), the domain-shuffling cents histogram above it. All
+    // three fits produce bit-identical quantile_cont interpolation; the
+    // in-agg form survives only as the per-column fallback for values
+    // the cents paths can't certify (>2 decimals / non-finite).
+    val driverOk = before.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      PsiDriverFitMaxBytes
+    val fits: Map[String, Exact.QuantFit] =
+      if (driverOk) Exact.quantilesViaDriverSortMulti(before, cols, probs)
+      else Exact.quantilesMultiCentsHistogram(before, cols, probs)
+    val fallbackCols = cols.filter(c => fits(c).quantiles.isEmpty)
+    val fallbackRow: Map[String, Seq[Double]] =
+      if (fallbackCols.isEmpty) Map.empty
+      else {
+        val r = before.agg(
+          expr(s"percentile(CAST(${fallbackCols.head} AS DOUBLE), array(${probs.mkString("D,")}D))").as("q0"),
+          fallbackCols.tail.zipWithIndex.map { case (c, i) =>
+            expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))").as(s"q${i + 1}")
+          }: _*).head()
+        fallbackCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) Seq.empty[Double] else r.getSeq[Double](i))
+        }.toMap
+      }
+    val edgesByCi: Map[Int, Seq[Double]] = cols.zipWithIndex.map { case (c, i) =>
+      val qs = fits(c).quantiles.getOrElse(fallbackRow.getOrElse(c, Seq.empty))
+      i -> (if (qs.exists(_.isNaN)) Seq.empty else qs.distinct.sorted)
     }.toMap
     def binIdx(c: Column, edges: Seq[Double]): Column =
       edges.foldLeft(lit(0))((acc, e) =>

