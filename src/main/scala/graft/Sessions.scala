@@ -32,12 +32,6 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // Wide single-pass aggregates (correlationMatrix: 6·C(k,2) moment
-      // accumulators) blow past the 100-field default, which silently
-      // drops the WHOLE stage out of codegen — 60s+ of interpreted
-      // Decimal boxing for a query that codegens in <1s. janino's
-      // hugeMethodLimit still guards pathological method sizes.
-      .config("spark.sql.codegen.maxFields", "1000")
       .withExtensions(GraftFunctions.install)
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
