@@ -67,6 +67,40 @@ final class GraftSession(val spark: SparkSession) {
     df
   }
 
+  /** Step 3 fused — the "smart protect" flow (suggest, then apply the
+    * suggestions) with ONE fitting scan: [[graft.ops.Privacy.protectFit]]
+    * collects every buffer V5/V1/V2 need, so the whole
+    * suggest→suppress→generalize→noise chain costs one Spark job of
+    * fitting plus the single transform pass — instead of a counting scan
+    * per operator (V5 sweep + V1 group counts + V2 percentile fit).
+    * Synthesis (when requested) still fits separately because it must
+    * observe the TRANSFORMED frame. Driver-fit regime; beyond the
+    * documented ceiling use [[protect]] whose per-operator distributed
+    * fits are individually scale-safe. */
+  def protectAuto(sdcThreshold: Long = 5, bins: Int = 10,
+                  epsilon: Double = 1.0, sensitivity: Double = 1.0,
+                  seed: Long = 42L, synthetic: Boolean = false): DataFrame = {
+    val a = anon.getOrElse(sys.error("no anon dataset uploaded"))
+    val fit = Privacy.protectFit(a)
+    var df = a
+    var dpCols = Seq.empty[String]
+    fit.suggestions.foreach {
+      case (c, "sdc", _) =>
+        val (rare, nullRare) = fit.rareCategories(c, sdcThreshold)
+        df = Privacy.sdcSuppressFitted(df, c, rare, nullRare)
+      case (c, "generalize+dp", _) =>
+        df = Privacy.generalizeFitted(df, c, fit.quantileEdges(c, bins))
+      case (c, "dp", _) => dpCols :+= c
+      case _ => ()
+    }
+    if (dpCols.nonEmpty)
+      df = Privacy.dpNoise(df, dpCols, epsilon, sensitivity, seed)
+    if (synthetic)
+      df = Privacy.syntheticSample(df, df.columns.toSeq, seed = seed)
+    protected_ = Some(df)
+    df
+  }
+
   /** Step 4 — utility: A1 profiles, D3 drift, optional D4 model check.
     * `extended = true` adds the monitoring metrics beyond the reference —
     * PSI per numeric column, Jensen–Shannon per categorical — as a second

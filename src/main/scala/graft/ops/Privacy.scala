@@ -189,6 +189,62 @@ object Privacy {
   private final case class NumFit(values: Array[Double], cum: Array[Double],
                                   mu: Double, sigma: Double)
 
+  /** ONE fused scan over the internal rows collecting, per numeric
+    * column, the SORTED raw doubles (nulls and non-finites dropped) and,
+    * per string column, the full category histogram (null is a key) —
+    * the shared fitting collector behind [[syntheticSample]]'s driver
+    * path and [[protectFit]]. Primitive batches, no encoder; practical
+    * while the projected columns fit driver memory (documented ceiling
+    * [[DriverFitMaxBytes]]). */
+  private def collectRawState(df: DataFrame, numNames: Seq[String], catNames: Seq[String])
+      : (Long, Map[String, Array[Double]], Map[String, Map[String, Long]]) = {
+    val kN = numNames.length
+    val kC = catNames.length
+    val proj = df.select(numNames.map(c => col(c).cast("double")) ++
+      catNames.map(c => col(c).cast("string")): _*)
+    val parts = proj.queryExecution.toRdd.mapPartitions { it =>
+      val bufs = Array.fill(kN)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+      val maps = Array.fill(kC)(scala.collection.mutable.HashMap.empty[String, Long])
+      var rows = 0L
+      it.foreach { r =>
+        rows += 1
+        var i = 0
+        while (i < kN) {
+          if (!r.isNullAt(i)) {
+            val v = r.getDouble(i)
+            if (!v.isNaN && !v.isInfinite) bufs(i) += v
+          }
+          i += 1
+        }
+        var j = 0
+        while (j < kC) {
+          val key = if (r.isNullAt(kN + j)) null else r.getUTF8String(kN + j).toString
+          val m = maps(j)
+          m.update(key, m.getOrElse(key, 0L) + 1L)
+          j += 1
+        }
+      }
+      Iterator.single((rows, bufs.map(_.result()), maps.map(_.toMap)))
+    }.collect()
+    val rowsTotal = parts.map(_._1).sum
+    val numArrs = numNames.zipWithIndex.map { case (c, bi) =>
+      val slices = parts.map(_._2(bi))
+      val sorted = new Array[Double](slices.map(_.length).sum)
+      var off = 0
+      slices.foreach { p => System.arraycopy(p, 0, sorted, off, p.length); off += p.length }
+      java.util.Arrays.sort(sorted)
+      c -> sorted
+    }.toMap
+    val catMaps = catNames.zipWithIndex.map { case (c, bj) =>
+      val merged = scala.collection.mutable.HashMap.empty[String, Long]
+      parts.foreach(_._3(bj).foreach { case (k, v) =>
+        merged.update(k, merged.getOrElse(k, 0L) + v)
+      })
+      c -> merged.toMap
+    }.toMap
+    (rowsTotal, numArrs, catMaps)
+  }
+
   /** Fit from a SORTED raw-double array (driver path): one pass builds
     * the distinct (values, cum) inverse-CDF table; μ/σ come from two-pass
     * Kahan-compensated sums — accurate to the last ulps for any finite
@@ -285,52 +341,13 @@ object Privacy {
 
     val (sourceRows, numFits, catCounts): (Long, Map[Int, NumFit], Map[Int, Seq[(String, Long)]]) =
       if (useDriverFit) {
-        val numNames = numIdx.map(_._1.name)
-        val catNames = catIdx.map(_._1.name)
-        val kN = numNames.length
-        val kC = catNames.length
-        val proj = df.select(numNames.map(c => col(c).cast("double")) ++
-          catNames.map(c => col(c).cast("string")): _*)
-        val parts = proj.queryExecution.toRdd.mapPartitions { it =>
-          val bufs = Array.fill(kN)(new scala.collection.mutable.ArrayBuilder.ofDouble)
-          val maps = Array.fill(kC)(scala.collection.mutable.HashMap.empty[String, Long])
-          var rows = 0L
-          it.foreach { r =>
-            rows += 1
-            var i = 0
-            while (i < kN) {
-              if (!r.isNullAt(i)) {
-                val v = r.getDouble(i)
-                if (!v.isNaN && !v.isInfinite) bufs(i) += v
-              }
-              i += 1
-            }
-            var j = 0
-            while (j < kC) {
-              val key = if (r.isNullAt(kN + j)) null else r.getUTF8String(kN + j).toString
-              val m = maps(j)
-              m.update(key, m.getOrElse(key, 0L) + 1L)
-              j += 1
-            }
-          }
-          Iterator.single((rows, bufs.map(_.result()), maps.map(_.toMap)))
-        }.collect()
-        val rowsTotal = parts.map(_._1).sum
-        val nf = numIdx.zipWithIndex.flatMap { case ((_, i), bi) =>
-          val slices = parts.map(_._2(bi))
-          val sorted = new Array[Double](slices.map(_.length).sum)
-          var off = 0
-          slices.foreach { p => System.arraycopy(p, 0, sorted, off, p.length); off += p.length }
-          java.util.Arrays.sort(sorted)
+        val (rowsTotal, numArrs, catMaps) =
+          collectRawState(df, numIdx.map(_._1.name).toSeq, catIdx.map(_._1.name).toSeq)
+        val nf = numIdx.flatMap { case ((f, i)) =>
+          val sorted = numArrs(f.name)
           if (sorted.isEmpty) None else Some(i -> fitFromSortedDoubles(sorted))
         }.toMap
-        val cc = catIdx.zipWithIndex.map { case ((_, i), bj) =>
-          val merged = scala.collection.mutable.HashMap.empty[String, Long]
-          parts.foreach(_._3(bj).foreach { case (k, v) =>
-            merged.update(k, merged.getOrElse(k, 0L) + v)
-          })
-          i -> merged.toSeq
-        }.toMap
+        val cc = catIdx.map { case (f, i) => i -> catMaps(f.name).toSeq }.toMap
         (rowsTotal, nf, cc)
       } else {
         def catEntry(f: org.apache.spark.sql.types.StructField, i: Int) =
@@ -541,4 +558,99 @@ object Privacy {
 
   def quasiSuggestions(df: DataFrame): Seq[String] =
     QuasiIdSuggestions.filter(df.columns.contains)
+
+  /** One-scan fitted state for the whole protect pipeline: V5
+    * suggestions, V1 rare-category sets, and V2 quantile edges are all
+    * pure driver-side reads of the same collected buffers, so
+    * suggest→suppress→generalize costs ONE fitting job instead of one
+    * scan per operator (the round-2 verdict's fusion item). V4 keeps its
+    * own fit because it must observe the TRANSFORMED frame (generalized
+    * columns are labels by the time synthesis runs).
+    *
+    * Driver-fit regime only (ceiling [[DriverFitMaxBytes]], same
+    * auto-dispatch contract as [[syntheticSample]]) — beyond it,
+    * [[GraftSession.protect]]'s per-operator distributed fits are each
+    * scale-safe on their own and remain the 100 TB path. */
+  final case class ProtectFit private[ops] (
+      rows: Long,
+      fields: Seq[StructField],
+      numSorted: Map[String, Array[Double]],
+      catCounts: Map[String, Map[String, Long]]) {
+
+    /** Non-null distinct count. Numeric: uniques in the sorted buffer
+      * (non-finites dropped by the collector — a ≤2-equivalence-class
+      * divergence from [[smartSuggest]]'s hash sweep that cannot flip
+      * the >50 threshold on finite data). */
+    def distinctCount(c: String): Long =
+      numSorted.get(c).map { arr =>
+        var u = 0L; var i = 0
+        while (i < arr.length) { if (i == 0 || arr(i) != arr(i - 1)) u += 1; i += 1 }
+        u
+      }.orElse(catCounts.get(c).map(_.keysIterator.count(_ != null).toLong))
+        .getOrElse(0L)
+
+    /** [[smartSuggest]]'s decisions from the fitted counts — identical
+      * rules, identical output shape. */
+    def suggestions: Seq[(String, String, Option[Double])] =
+      fields.flatMap { f =>
+        val u = distinctCount(f.name)
+        val s: Option[String] =
+          if (f.dataType == StringType) { if (u > 20) Some("sdc") else None }
+          else if (f.dataType.isInstanceOf[NumericType])
+            Some(if (u > 50) "generalize+dp" else "dp")
+          else None
+        s.map(x => (f.name, x,
+          if (f.dataType.isInstanceOf[NumericType]) Some(1.0) else None))
+      }
+
+    /** V2 edges: exact interpolated quantiles over the sorted buffer —
+      * the [[QuantileStrategy.DriverSort]] arithmetic verbatim. Empty
+      * buffer (all-null column) → empty. */
+    def quantileEdges(c: String, bins: Int): Seq[Double] = {
+      val arr = numSorted.getOrElse(c, Array.empty[Double])
+      if (arr.isEmpty) Seq.empty
+      else (0 to bins).map { i =>
+        val h = (i.toDouble / bins) * (arr.length - 1)
+        val k = math.floor(h).toInt
+        if (h == math.floor(h)) arr(k) else Exact.interp(arr(k), arr(k + 1), h - math.floor(h))
+      }
+    }
+
+    /** V1 rare categories of a fitted string column: (non-null rare
+      * values, whether the null group is rare). */
+    def rareCategories(c: String, threshold: Long): (Set[String], Boolean) = {
+      val m = catCounts.getOrElse(c, Map.empty)
+      (m.collect { case (k, n) if k != null && n < threshold => k }.toSet,
+        m.get(null) match { case Some(n) => n < threshold; case None => false })
+    }
+  }
+
+  /** Build a [[ProtectFit]] with ONE fused scan (see class doc). */
+  def protectFit(df: DataFrame): ProtectFit = {
+    val fields = df.schema.fields.toSeq
+    val numNames = fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    val catNames = fields.filter(_.dataType == StringType).map(_.name)
+    val (rows, numArrs, catMaps) = collectRawState(df, numNames, catNames)
+    ProtectFit(rows, fields, numArrs, catMaps)
+  }
+
+  /** V1 with a PRE-FITTED rare set (from [[ProtectFit]]): the suppress
+    * pass is a pure codegen when-chain — no counting job, no join. */
+  def sdcSuppressFitted(df: DataFrame, c: String,
+                        rare: Set[String], nullRare: Boolean): DataFrame = {
+    val isRare =
+      (if (nullRare) col(c).isNull else lit(false)) ||
+        (if (rare.nonEmpty) col(c).isInCollection(rare) else lit(false))
+    df.withColumn(c, when(isRare, lit("OTHER")).otherwise(col(c)))
+  }
+
+  /** V2 with PRE-FITTED raw quantile edges: duplicate-merge and
+    * degenerate-domain semantics identical to [[generalizeNumeric]]. */
+  def generalizeFitted(df: DataFrame, c: String, raw: Seq[Double]): DataFrame = {
+    if (raw.isEmpty || raw.exists(_.isNaN))
+      return df.withColumn(c, lit(null).cast("string"))
+    val edges = raw.distinct
+    if (edges.length < 2) df.withColumn(c, lit(null).cast("string"))
+    else df.withColumn(c, labelExpr(col(c), edges))
+  }
 }

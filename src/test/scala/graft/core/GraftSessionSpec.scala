@@ -69,4 +69,65 @@ class GraftSessionSpec extends SparkSpec {
     assert(lines.head == "age,gender,pincode,income,target")
     assert(lines.length == 4)
   }
+
+  test("protectAuto: one fitting job; suggestions and transforms match the unfused ops") {
+    import graft.ops.Privacy
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, Sf)
+
+    // the fused fit is exactly ONE Spark job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fit =
+      try {
+        val f = Privacy.protectFit(li)
+        // listener bus is async; give posted events a moment to drain
+        Thread.sleep(500)
+        f
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"protectFit ran ${jobs.get()} jobs, want 1")
+
+    // suggestion parity with the standalone V5 sweep
+    val v5 = Privacy.smartSuggest(li).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val fused = fit.suggestions.map { case (c, s, _) => (c, s) }.sorted
+    assert(fused == v5)
+
+    // transform parity, column by column, against the unfused operators
+    val sess = new GraftSession(spark).uploadAnon(li)
+    val auto = sess.protectAuto(sdcThreshold = 5, bins = 10)
+    val strCols = fused.collect { case (c, "sdc") => c }
+    val genCols = fused.collect { case (c, "generalize+dp") => c }
+    assert(genCols.nonEmpty, s"fixture lost coverage: $fused")
+    var manual = li
+    strCols.foreach { c => manual = Privacy.sdcSuppressBroadcast(manual, Seq(c), 5) }
+    genCols.foreach { c =>
+      manual = Privacy.generalizeNumeric(manual, c, 10, Privacy.QuantileStrategy.DriverSort)
+    }
+    // dp columns draw seeded noise whose values depend on upstream plan
+    // layout, so parity is checked on the deterministic columns
+    // dp columns draw seeded noise whose values depend on upstream plan
+    // layout, so parity compares the deterministic transformed columns
+    // (as a multiset — the stable keys are themselves transformed)
+    val detCols = strCols ++ genCols
+    def det(df: org.apache.spark.sql.DataFrame) = df.select(detCols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(det(auto) == det(manual),
+      "fused transforms must equal the unfused operator chain")
+
+    // lineitem's strings stay under the sdc threshold at this SF, so pin
+    // the fitted suppress against the window form directly on supplier
+    val sup = graft.Tables.supplier(spark, Sf).select(col("s_suppkey"), col("s_name"))
+    val supFit = Privacy.protectFit(sup)
+    val (rare, nullRare) = supFit.rareCategories("s_name", 5)
+    assert(rare.nonEmpty, "supplier names should have rare categories")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long](0), r.getAs[String](1))).sortBy(_._1).toSeq
+    assert(rows(Privacy.sdcSuppressFitted(sup, "s_name", rare, nullRare)) ==
+      rows(Privacy.sdcSuppress(sup, Seq("s_name"), 5)))
+  }
 }
