@@ -256,6 +256,7 @@ object ExtCatalog {
     "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
     "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
     "s_anomaly" -> ((s, d) => Events.anomaly(Tables.events(s, d))),
+    "s_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
   )
 
   // ------------------------------------------------------------- SQL parts
@@ -934,6 +935,22 @@ object ExtCatalog {
         |WHERE epoch_us(purchase_ts) > epoch_us(click_ts)
         |  AND epoch_us(purchase_ts) <= epoch_us(click_ts) + 1800000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "s_funnel" -> {
+      val over = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH b AS (SELECT user_id, event_id,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+         |w0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) $over AS q0 FROM b),
+         |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND q0 < us THEN us END) $over AS q1 FROM w0),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND q1 < us THEN us END) $over AS q2 FROM w1),
+         |u AS (SELECT user_id, MAX(q0) AS q0, MAX(q1) AS q1, MAX(q2) AS q2
+         |      FROM w2 GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS step, 'view' AS event_type, COUNT(q0) AS n_users FROM u
+         |  UNION ALL SELECT 2, 'click', COUNT(q1) FROM u
+         |  UNION ALL SELECT 3, 'purchase', COUNT(q2) FROM u) t
+         |ORDER BY step""".stripMargin
+    },
     "s_dedup_first" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT user_id, event_type, event_id, ts,

@@ -126,6 +126,43 @@ object Events {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Ordered k-step funnel (view → click → purchase by default): how many
+    * users reach each step, where step i+1 only counts when it happens
+    * STRICTLY after a qualifying step-i event of the same user (the
+    * classic product-analytics funnel, absent from the reference).
+    *
+    * Mechanics: one user-partitioned ordered pass; q₀ = running min
+    * timestamp of step-0 events, qᵢ = running min timestamp of step-i
+    * events whose row already sees qᵢ₋₁ < ts. Chained window columns
+    * share ONE (user_id, ts, event_id) sort — Catalyst plans a single
+    * shuffle+sort for the whole chain (the q_window_suite property) —
+    * then one per-user aggregate and a 3-row reshape. Never a
+    * self-join, never k scans. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val wRun = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val qual =
+        if (i == 0) col("event_type") === s
+        else col("event_type") === s && col(s"q${i - 1}") < col("us")
+      df = df.withColumn(s"q$i", min(when(qual, col("us"))).over(wRun))
+    }
+    val perUserAggs = steps.indices.map(i => max(col(s"q$i")).as(s"q$i"))
+    val perUser = df.groupBy("user_id").agg(perUserAggs.head, perUserAggs.tail: _*)
+    val countAggs = steps.indices.map(i => count(col(s"q$i")).as(s"n$i"))
+    val tot = perUser.agg(countAggs.head, countAggs.tail: _*)
+    tot.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("step"), lit(s).as("event_type"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("step")
+  }
+
   /** First-occurrence dedup per (user_id, event_type): the batch analogue
     * of `dropDuplicatesWithinWatermark` with an unbounded watermark —
     * deterministic first = smallest (ts, event_id). */

@@ -289,4 +289,27 @@ class EventsStreamSpec extends SparkSpec {
     val flat = (0 until 5).map(i => Ev(i.toLong, t(f"$i%02d:00"), 1, "view", 0))
     assert(Events.anomaly(flat.toDF()).collect().forall(!_.getBoolean(3)))
   }
+
+  test("funnel: strict ordering per user, same-timestamp steps don't qualify") {
+    val evs = Seq(
+      // user 1: full ordered funnel
+      Ev(1, t("10:00"), 1, "view", 0), Ev(2, t("10:05"), 1, "click", 0),
+      Ev(3, t("10:10"), 1, "purchase", 0),
+      // user 2: click BEFORE the view — never reaches step 2
+      Ev(4, t("09:00"), 2, "click", 0), Ev(5, t("09:30"), 2, "view", 0),
+      Ev(6, t("09:45"), 2, "purchase", 0),
+      // user 3: view only
+      Ev(7, t("08:00"), 3, "view", 0),
+      // user 4: view and click in the SAME microsecond — strict < fails
+      Ev(8, t("07:00"), 4, "view", 0), Ev(9, t("07:00"), 4, "click", 0))
+    val rows = Events.funnel(evs.toDF()).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)))
+    // funnel counts are monotone non-increasing by construction
+    assert(rows.map(_._3).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    // partitioning invariance
+    val again = Events.funnel(evs.toDF().repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(again == rows)
+  }
 }
