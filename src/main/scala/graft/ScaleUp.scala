@@ -20,7 +20,9 @@ object ScaleUp {
     "s_sessionize", "q_asof_join",
     // r4 additions: curvature of the new drift/audit/sketch paths
     "d_psi", "x_vocab_topk", "x_snapshot_diff", "x_embed_centroid",
-    "x_distinct_sketch", "q_salted_agg")
+    "x_distinct_sketch", "q_salted_agg",
+    // late-r4: the moment matrix, fused drift, pair counting, funnel
+    "a_corr_matrix", "d_drift_extended", "x_bpe_pairs", "s_funnel")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

@@ -339,4 +339,76 @@ object EventsStream extends Serializable {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
   }
+
+  final case class FunnelIn(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, step: Int)
+  /** Per-user funnel state: the not-yet-finalized event buffer (parallel
+    * arrays) + the earliest qualified timestamp per step
+    * (Long.MaxValue = not reached). */
+  final case class FunnelState(bufUs: Seq[Long], bufIds: Seq[Long],
+                               bufSteps: Seq[Int], q: Seq[Long])
+  final case class StepReached(user_id: Long, step: Int, event_type: String,
+                               ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[funnel]]: emits one `StepReached` row the first
+    * time a user reaches each funnel step, with EXACTLY the batch form's
+    * strict-ordering semantics under bounded disorder.
+    *
+    * The naive incremental update is wrong under reordering — a step-2
+    * event processed before its qualifying step-1 event arrives would be
+    * rejected forever. So events BUFFER in state until the event-time
+    * watermark passes them; only then do they replay, in (ts, event_id)
+    * order, through the same chained-q rule as the batch window pass.
+    * The watermark guarantees nothing older can still arrive, so the
+    * finalized prefix — and every emission — is identical to the batch
+    * result on the same data. State is bounded: the buffer holds at most
+    * one watermark-delay's worth of a user's step events, and a user
+    * whose funnel completes keeps only the tiny q vector. */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   watermarkDelayMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[StepReached] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    val NotReached = Long.MaxValue
+
+    def onUser(user: Long, rows: Iterator[FunnelIn],
+               state: GroupState[FunnelState]): Iterator[StepReached] = {
+      val prev = state.getOption.getOrElse(
+        FunnelState(Nil, Nil, Nil, Seq.fill(k)(NotReached)))
+      val incoming = rows.map(e => (usOf(e.ts), e.event_id, e.step)).toSeq
+      val buffered = prev.bufUs.lazyZip(prev.bufIds).lazyZip(prev.bufSteps).toSeq
+      val all = (buffered ++ incoming).sortBy { case (us, id, _) => (us, id) }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ripe, keep) = all.partition(_._1 <= wmUs)
+      val q = prev.q.toArray
+      val out = Seq.newBuilder[StepReached]
+      ripe.foreach { case (us, _, s) =>
+        val qualifies = s == 0 || q(s - 1) < us
+        if (qualifies && us < q(s)) {
+          q(s) = us
+          out += StepReached(user, s + 1, steps(s), tsOf(us))
+        }
+      }
+      state.update(FunnelState(keep.map(_._1), keep.map(_._2), keep.map(_._3), q.toSeq))
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(keep.map(_._1).max / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (e, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(e)
+      }
+    events.select(col("event_id"), col("ts"), col("user_id"), stepIdx.as("step"))
+      .filter(col("step").isNotNull)
+      .withWatermark("ts", s"$watermarkDelayMinutes minutes")
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+  }
 }

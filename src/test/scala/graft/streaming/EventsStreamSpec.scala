@@ -290,6 +290,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(Events.anomaly(flat.toDF()).collect().forall(!_.getBoolean(3)))
   }
 
+  test("funnelStream: watermark buffering makes late qualifying steps exact") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.funnelStream(mem.toDF(), watermarkDelayMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+
+    // the click ARRIVES before its qualifying view — a naive incremental
+    // funnel would reject it forever; the buffer replays in event order
+    mem.addData(Ev(1, t("10:05"), 1, "click", 0), Ev(2, t("10:10"), 1, "purchase", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t("10:00"), 1, "view", 0)) // late but inside the watermark
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("12:00"), 2, "view", 0)) // advance watermark past 10:10
+    q.processAllAvailable()
+    mem.addData(Ev(5, t("14:00"), 2, "view", 0)) // and once more to finalize
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_out").filter(col("user_id") === 1).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getTimestamp(3))).sortBy(_._1).toSeq
+    assert(rows == Seq((1, "view", t("10:00")), (2, "click", t("10:05")),
+      (3, "purchase", t("10:10"))))
+    // one emission per (user, step): the full-funnel user emitted exactly 3
+    assert(spark.table("funnel_out").filter(col("user_id") === 1).count() == 3)
+  }
+
   test("funnel: strict ordering per user, same-timestamp steps don't qualify") {
     val evs = Seq(
       // user 1: full ordered funnel
