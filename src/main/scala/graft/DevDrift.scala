@@ -23,6 +23,8 @@ object DevDrift {
     li.count()
     (1 to 2).foreach { i =>
       time(s"ksMulti x$i") { graft.ops.Drift.ksStatisticMulti(before, after, numCols, roundTo = Some(6)) }
+      time(s"ksMulti-driver x$i") { graft.ops.Drift.ksStatisticMulti(before, after, numCols, roundTo = Some(6), driverCollect = Some(true)) }
+      time(s"ksMulti-dist x$i") { graft.ops.Drift.ksStatisticMulti(before, after, numCols, roundTo = Some(6), driverCollect = Some(false)) }
       time(s"chi2Multi x$i") { graft.ops.Drift.chi2Multi(before, after, catCols).collect() }
       time(s"driftAll x$i") { graft.ops.Drift.driftAll(before, after).count() }
     }
