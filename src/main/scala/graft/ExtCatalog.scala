@@ -224,6 +224,14 @@ object ExtCatalog {
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
+    "m_thumbnail" -> ((s, d) =>
+      Multimodal.thumbnail(
+        Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+    "x_embed_pca" -> ((s, d) =>
+      // seeded-SVD dimensionality reduction (sign-indeterminate across
+      // BLAS builds → rows-only; SimSearchSpec pins the invariants)
+      SimSearch.pcaProject(Tables.embeddings(s, d), 8)),
     "x_corpus_clean" -> ((s, d) =>
       TextStats.corpusClean(Tables.documents(s, d), "text", "doc_id")),
     "x_curation_report" -> ((s, d) =>
@@ -853,6 +861,22 @@ object ExtCatalog {
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,
+    "m_thumbnail" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT doc_id, text, len,
+        |  1 + len % 64 AS src_w, 1 + len % 48 AS src_h FROM b),
+        |t AS (SELECT doc_id, text, len, src_w, src_h,
+        |  GREATEST(1, src_w * 16 // GREATEST(src_w, src_h)) AS thumb_w,
+        |  GREATEST(1, src_h * 16 // GREATEST(src_w, src_h)) AS thumb_h FROM d),
+        |n AS (SELECT *, LEAST(len, thumb_w * thumb_h) AS thumb_bytes FROM t)
+        |SELECT doc_id, CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+        |  CAST(thumb_w AS INTEGER) AS thumb_w, CAST(thumb_h AS INTEGER) AS thumb_h,
+        |  CAST(thumb_bytes AS INTEGER) AS thumb_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, thumb_bytes + 1),
+        |      i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+        |FROM n ORDER BY doc_id""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -52,6 +52,37 @@ object Multimodal {
       }
   }
 
+  final case class FakeThumb(doc_id: Long, src_w: Int, src_h: Int,
+                             thumb_w: Int, thumb_h: Int, thumb_bytes: Int,
+                             checksum: Long)
+
+  /** STUB resize/thumbnail: aspect-preserving integer target dims from
+    * the fake decode (`max(1, w·maxSide/max(w,h))` floor arithmetic —
+    * the real formula a resizer uses) and a deterministic byte-slice
+    * "thumbnail" whose checksum is a rolling polynomial over the sampled
+    * bytes. Same batched `mapPartitions` contract as [[decode]]: a real
+    * scaler replaces the body of the row map only. Every output is a
+    * pure integer function of the payload, so the operator is
+    * oracle-gateable despite the stubbed codec. */
+  def thumbnail(df: DataFrame, maxSide: Int = 16): Dataset[FakeThumb] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _) = decodeBytes(r.payload)
+          val long = math.max(w, h)
+          val tw = math.max(1, w * maxSide / long)
+          val th = math.max(1, h * maxSide / long)
+          val n = math.min(r.payload.length, tw * th)
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum = (sum * 31 + (r.payload(i) & 0xff)) % 1000000007L; i += 1 }
+          FakeThumb(r.doc_id, w, h, tw, th, n, sum)
+        }
+      }
+  }
+
   /** Frame sampling: slice `frames` fixed-width byte windows out of the
     * payload (expression-only — no decode needed for windowing). */
   def frameSample(df: DataFrame, frames: Int, frameBytes: Int): DataFrame =

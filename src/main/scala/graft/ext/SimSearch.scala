@@ -308,6 +308,29 @@ object SimSearch {
       .orderBy(col("cluster_id"))
   }
 
+  /** PCA projection of the embedding column to `k` dimensions — the
+    * standard shrink before an IVF/LSH index when the raw width is
+    * wasteful. MLlib's PCA computes the covariance eigenbasis
+    * distributed (one pass for the Gramian); the k×d rotation then
+    * broadcasts into a stateless projection scan. Component SIGN is
+    * BLAS-build-indeterminate, so the operator is rows-only; the spec
+    * pins the invariants that matter (explained variance ordering,
+    * norm preservation bound, determinism within a session). Output:
+    * (vec_id, pc — the k projected coordinates as a CSV string for
+    * scalar-typed harnesses). */
+  def pcaProject(df: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf { (arr: Seq[Float]) => Vectors.dense(arr.map(_.toDouble).toArray) }
+    val c = df.select(col(idCol).as("vec_id"), toVec(col(vecCol)).as("fv"))
+    val model = new PCA().setK(k).setInputCol("fv").setOutputCol("pc").fit(c)
+    val csv = udf { (v: Vector) => v.toArray.map(x => f"$x%.6f").mkString(",") }
+    model.transform(c)
+      .select(col("vec_id"), csv(col("pc")).as("pc_csv"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label mean embedding (class centroids), one output row per
     * (label, dimension) — the prototype-vector primitive behind label
     * diagnostics, nearest-class-mean classification, and IVF seeding.

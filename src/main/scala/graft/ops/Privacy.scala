@@ -415,6 +415,27 @@ object Privacy {
           .sortBy { case (v, cnt) => (-cnt, v != null, v) } // nulls first among ties
         val total = cats.map(_._2).sum.toDouble
         if (cats.isEmpty) acc.withColumn(c, lit(null).cast(f.dataType))
+        else if (cats.length > CatWhenChainMax) {
+          // Large vocabularies (timestamps cast to string, near-unique
+          // labels): a when-chain would nest one expression level PER
+          // CATEGORY — thousands of levels overflow the analyzer stack
+          // and defeat codegen. Instead sample the INDEX through the
+          // native empirical_sample binary search (cum bounds identical
+          // to the chain's [lo, hi) bins) and look the label up in a
+          // broadcast literal array — O(log k) per row, depth O(1).
+          graft.functions.GraftFunctions.ensureRegistered(spark)
+          val cum = cats.map(_._2.toDouble / total).scanLeft(0.0)(_ + _).tail
+          val idx = call_function("empirical_sample", rand(seed + 2000 + i),
+            typedlit(cats.indices.map(_.toDouble)), typedlit(cum.toSeq))
+            .cast("int")
+          val nullIdx = cats.indexWhere(_._1 == null)
+          val arr = typedlit(cats.map { case (v, _) => if (v == null) "" else v }.toSeq)
+          val picked = element_at(arr, idx + 1)
+          val out =
+            if (nullIdx >= 0) when(idx === nullIdx, lit(null).cast("string")).otherwise(picked)
+            else picked
+          acc.withColumn(c, out.cast(f.dataType))
+        }
         else {
           val cumHi = cats.map(_._2.toDouble / total).scanLeft(0.0)(_ + _).tail
           // u must be MATERIALIZED once per row before the when-chain: a
@@ -437,6 +458,12 @@ object Privacy {
   /** The suggestion heuristic only asks "more than 50 / 20 distinct?" —
     * any saturation cap above both thresholds yields exact decisions. */
   private val SuggestDistinctCap = 64
+
+  /** Vocabulary ceiling for the categorical inverse-CDF when-chain in
+    * [[syntheticSample]] — beyond it the chain's per-category expression
+    * nesting overflows the analyzer stack (and codegen), so sampling
+    * switches to the index-lookup form. */
+  private val CatWhenChainMax = 64
 
   /** V5 smart suggestion heuristic (`modules/privacy.py:55-68`): per
     * column, dtype + distinct-count dispatch into a suggested transform.

@@ -129,5 +129,12 @@ class GraftSessionSpec extends SparkSpec {
       .map(r => (r.getAs[Long](0), r.getAs[String](1))).sortBy(_._1).toSeq
     assert(rows(Privacy.sdcSuppressFitted(sup, "s_name", rare, nullRare)) ==
       rows(Privacy.sdcSuppress(sup, Seq("s_name"), 5)))
+
+    // synthetic=true appends V4 on the TRANSFORMED frame: row count and
+    // schema survive, values are synthesized (seeded)
+    val sess2 = new GraftSession(spark).uploadAnon(li)
+    val synth = sess2.protectAuto(synthetic = true)
+    assert(synth.count() == li.count())
+    assert(synth.columns.toSeq == auto.columns.toSeq)
   }
 }

@@ -148,6 +148,25 @@ class SimSearchSpec extends SparkSpec {
     assert(out.filter(col("keep") =!= col("dup_of").isNull).isEmpty)
   }
 
+  test("pcaProject: k columns, deterministic within a session, energy-ordered") {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.linalg.Vectors
+    val corpus = graft.Tables.embeddings(spark, Sf)
+    val out = SimSearch.pcaProject(corpus, 4).collect()
+    assert(out.length == corpus.count())
+    assert(out.forall(_.getString(1).split(",").length == 4))
+    // same session, same input → identical projection (seedless but
+    // deterministic given one BLAS build)
+    val again = SimSearch.pcaProject(corpus, 4).collect()
+    assert(out.map(_.getString(1)).toSeq == again.map(_.getString(1)).toSeq)
+    // explained variance is sorted descending — the PCA contract
+    val toVec = udf { (arr: Seq[Float]) => Vectors.dense(arr.map(_.toDouble).toArray) }
+    val c = corpus.select(toVec(col("embedding")).as("fv"))
+    val ev = new PCA().setK(4).setInputCol("fv").setOutputCol("pc")
+      .fit(c).explainedVariance.toArray
+    assert(ev.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("semDedupDelta flags batch vectors matching the corpus, bucket-locally") {
     // corpus 1,2; batch 10 (≈ copy of 1), 11 (orthogonal), 12 (negated 1)
     val corpus = Seq((1L, vec(1.0, 1.0, 0.1)), (2L, vec(0.1, 0.1, 5.0)))
