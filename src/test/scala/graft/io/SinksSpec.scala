@@ -26,4 +26,34 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() ==
       events.filter(col("event_type") === "click").count())
   }
+
+  test("sorted sink: files own disjoint key ranges; point reads touch one file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val li = graft.Tables.lineitem(spark, Sf)
+    Sinks.writeSorted(li, dir, Seq("l_orderkey"), numFiles = 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 range files, got ${files.length}")
+    // per-file key ranges must be pairwise disjoint (range clustering)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $hiA vs $loB")
+      case _ =>
+    }
+    // round trip is lossless
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // a point predicate is pushed to the scan, where the disjoint
+    // min/max file stats let parquet skip the other files' row groups
+    val point = back.filter(col("l_orderkey") === ranges.head._1)
+    val scan = point.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey"),
+      s"predicate not pushed: $scan")
+  }
 }
