@@ -116,6 +116,16 @@ object QueryCatalog {
         .orderBy("l_returnflag")),
     "a_corr_matrix" -> ((s, d) =>
       Profile.correlationMatrix(Tables.lineitem(s, d), LiNumeric.map(_._1))),
+    "a_moments_merge" -> ((s, d) => {
+      // incremental-profile primitive exercised end to end: two shard
+      // states merged must be BIT-IDENTICAL to a from-scratch profile —
+      // the oracle computes straight over the whole table
+      val li = Tables.lineitem(s, d)
+      val cols = LiNumeric.map(_._1)
+      Profile.statsFromMomentState(Profile.mergeMomentStates(Seq(
+        Profile.momentState(li.filter(col("l_orderkey") % 2 === 0), cols),
+        Profile.momentState(li.filter(col("l_orderkey") % 2 === 1), cols))))
+    }),
     "d_drift_extended" -> ((s, d) => {
       // same split + l_tax-drop as d3, so the extended metrics line up
       // with the reference dispatcher's rows column-for-column
@@ -276,6 +286,15 @@ object QueryCatalog {
          |  CASE WHEN COUNT($c) < 2 THEN 1.0
          |       WHEN ${Exact.stdSql(c)} = 0.0 THEN 1.0
          |       ELSE ${Exact.stdSql(c)} END AS sigma
+         |FROM lineitem""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  private def aMomentsMergeSql: String =
+    LiNumeric.map { case (c, _) =>
+      s"""SELECT '$c' AS "column", COUNT($c) AS n,
+         |  ${Exact.meanSql(c)} AS mean,
+         |  ${Exact.stdSql(c)} AS std,
+         |  CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max
          |FROM lineitem""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
 
@@ -562,6 +581,7 @@ object QueryCatalog {
     "a5_distinct_counts" -> a5Sql,
     "a7_row_counts" -> a7Sql,
     "a8_mu_sigma" -> a8Sql,
+    "a_moments_merge" -> aMomentsMergeSql,
     "a9_category_pmf" ->
       """SELECT value, cnt, CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS p
         |FROM (SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem GROUP BY 1) q

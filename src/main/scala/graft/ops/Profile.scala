@@ -430,6 +430,45 @@ object Profile {
         col("n_cells"), col("mi"))
   }
 
+  /** Mergeable per-column moment state — the incremental-profile
+    * primitive: profile each shard/batch INDEPENDENTLY, keep the tiny
+    * (column, n, S1, S2, min, max) frame, and combine states with
+    * [[mergeMomentStates]] instead of ever rescanning old data. Because
+    * S1/S2 are exact decimal cents sums (order-independent integers),
+    * merged statistics are BIT-IDENTICAL to a from-scratch pass — the
+    * property that makes a 100 TB rolling profile trustworthy. One
+    * exploded map-side-combined aggregate per call. */
+  def momentState(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), col(c).cast("double").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.v").as("v"))
+      .groupBy("column")
+      .agg(count(col("v")).as("n"),
+        Exact.s1(col("v")).as("s1"),
+        Exact.s2(col("v")).as("s2"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  /** Combine any number of [[momentState]] frames: decimal sums add,
+    * counts add, bounds min/max — a state-domain aggregate (rows =
+    * |columns| per input, never data-sized). */
+  def mergeMomentStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("column")
+      .agg(sum("n").as("n"),
+        sum("s1").cast(DecimalType(19, 0)).as("s1"),
+        sum("s2").cast(DecimalType(26, 0)).as("s2"),
+        min("mn").as("mn"), max("mx").as("mx"))
+
+  /** Publish (column, n, mean, std, min, max) from a moment state with
+    * the [[Exact]] fixed-op-order arithmetic (sample std, ddof=1). */
+  def statsFromMomentState(state: DataFrame): DataFrame =
+    state.select(col("column"), col("n"),
+        Exact.meanFromMoments(col("s1"), col("n")).as("mean"),
+        Exact.stdFromMoments(col("s1"), col("s2"), col("n")).as("std"),
+        col("mn").as("min"), col("mx").as("max"))
+      .orderBy("column")
+
   /** A9 normalized category distribution (empirical PMF). The total comes
     * from a window over the (already tiny) grouped result — no second scan. */
   def categoryPmf(df: DataFrame, c: String): DataFrame = {

@@ -152,6 +152,28 @@ class ProfileSpec extends SparkSpec {
     assert(a.getDouble(3) >= 0.0 || math.abs(a.getDouble(3)) < 1e-6)
   }
 
+  test("momentState merge is bit-identical to a from-scratch pass, any split") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_orderkey")
+    val whole = Profile.statsFromMomentState(
+      Profile.momentState(li, cols)).collect().map(_.toSeq).toSeq
+    // 3-way uneven split, then merge — decimal sums make it exact
+    val parts = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2)).map(Profile.momentState(_, cols))
+    val merged = Profile.statsFromMomentState(
+      Profile.mergeMomentStates(parts)).collect().map(_.toSeq).toSeq
+    assert(merged == whole, "merged shard stats must equal the single pass bit-for-bit")
+    // merging a state with itself doubles n but keeps the mean
+    val dbl = Profile.statsFromMomentState(Profile.mergeMomentStates(
+      Seq(parts.head, parts.head))).collect()
+    val single = Profile.statsFromMomentState(parts.head).collect()
+    dbl.zip(single).foreach { case (d, s) =>
+      assert(d.getLong(1) == 2 * s.getLong(1) && d.getDouble(2) == s.getDouble(2))
+    }
+  }
+
   test("muSigma: sigma fallback 1.0 for constant and single-row columns") {
     val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("c", "x")
     val m = Profile.muSigma(const, Seq("c", "x")).collect().map(r => r.getString(0) -> r).toMap
