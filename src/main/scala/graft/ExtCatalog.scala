@@ -212,6 +212,10 @@ object ExtCatalog {
     "x_keyword_search" -> ((s, d) =>
       TextStats.keywordSearch(Tables.documents(s, d), "text", "doc_id",
         KeywordTerms, 20)),
+    "x_source_best" -> ((s, d) =>
+      // each domain's 5 best pages by quality — bounded aggregate
+      ext.Sampling.perSourceBest(Tables.documents(s, d), "text", "doc_id",
+        "source", 5)),
     "x_source_cap" -> ((s, d) =>
       // at most 10 docs per source (per-domain crawl cap) — bounded
       // aggregate, never a full-table window sort
@@ -675,6 +679,25 @@ object ExtCatalog {
          |            ELSE 'test' END AS split, COUNT(*) AS n
          |FROM (SELECT ${ext.Sampling.gateSql("l_orderkey")} % 1000 AS g FROM lineitem) t
          |GROUP BY 1 ORDER BY split""".stripMargin,
+    "x_source_best" -> {
+      val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  length(text) AS n_chars, len(ts) AS n_tokens,
+         |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+         |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS q FROM s),
+         |r AS (SELECT source, doc_id, q,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, q AS quality_score
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+    },
     "x_source_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

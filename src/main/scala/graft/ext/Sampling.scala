@@ -235,6 +235,27 @@ object Sampling {
     * thresholds are cumulative per-mille cut points over gate(id) mod
     * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —
     * joins/filters downstream prune on it like any column. */
+  /** Best-k documents per source BY QUALITY — the "keep each domain's
+    * best pages" curation selector. A `TopKByScore` typed aggregate
+    * keeps ≤k (score, id) pairs per (map partition, source) and merges
+    * partials, so candidates reduce BEFORE the shuffle and a massive
+    * domain never funnels through one sorting task (the window-rank
+    * formulation would). Ties break on the LOWEST id (score desc,
+    * id asc — the ANN top-k convention). */
+  def perSourceBest(df: DataFrame, textCol: String, idCol: String,
+                    keyCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    df.select(col(keyCol).as("source"),
+        graft.ext.TextStats.qualityScore(col(textCol)).as("q"),
+        col(idCol).cast("long").as("id"))
+      .groupBy("source")
+      .agg(topk(col("q"), col("id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("quality_score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Deterministic output sharding + balance audit: each row lands in
     * shard `gate(id) mod n`, and the result is the per-shard (doc count,
     * token total) — what a corpus writer checks before emitting training

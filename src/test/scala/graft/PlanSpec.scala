@@ -225,6 +225,14 @@ class PlanSpec extends SparkSpec {
       s"pair generation must be an equi-join on the bucket:\n$plan")
   }
 
+  test("per-source best-k is a partial-combining bounded aggregate, not a window sort") {
+    val plan = simplePlan("x_source_best")
+    assert(!plan.contains("Window"),
+      s"best-k must not sort whole domains through a window exchange:\n$plan")
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final TopKByScore pair:\n$plan")
+  }
+
   test("shard assign is one map-side-combined aggregate, no window, no join") {
     val plan = simplePlan("x_shard_assign")
     assert(plan.contains("partial_count"),

@@ -27,6 +27,19 @@ class SinksSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("schema evolution: mergeSchema unions shard schemas, missing cols null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "text").write.parquet(s"$dir/s1")
+    Seq((2L, "en", 0.9)).toDF("id", "lang", "quality").write.parquet(s"$dir/s2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/s1", s"$dir/s2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "lang", "quality", "text"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[String]("text") == "a" && byId(1L).isNullAt(merged.columns.indexOf("lang")))
+    assert(byId(2L).getAs[String]("lang") == "en" && byId(2L).isNullAt(merged.columns.indexOf("text")))
+  }
+
   test("sorted sink: files own disjoint key ranges; point reads touch one file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
     val li = graft.Tables.lineitem(spark, Sf)
