@@ -83,6 +83,9 @@ object QueryCatalog {
     "v9_l_diversity" -> ((s, d) =>
       Privacy.lDiversity(Tables.lineitem(s, d),
         Seq("l_quantity", "l_returnflag"), "l_linestatus")),
+    "v10_t_closeness" -> ((s, d) =>
+      Privacy.tCloseness(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_returnflag"), "l_linestatus")),
     "v7_quasi_suggestions" -> ((s, d) => {
       val renamed = Tables.customer(s, d)
         .select(col("c_acctbal").as("income"), col("c_mktsegment").as("city"),
@@ -637,5 +640,18 @@ object QueryCatalog {
         |           FROM lineitem GROUP BY 1, 2)
         |SELECT CAST(MIN(l) AS BIGINT) AS l_min,
         |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM g""".stripMargin,
+    "v10_t_closeness" ->
+      """WITH cells AS (SELECT l_quantity, l_returnflag,
+        |  COALESCE(CAST(l_linestatus AS VARCHAR), 'NA') AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |w AS (SELECT *,
+        |  SUM(c) OVER (PARTITION BY l_quantity, l_returnflag) AS ng,
+        |  SUM(c) OVER (PARTITION BY v) AS cv,
+        |  SUM(c) OVER () AS N FROM cells),
+        |g AS (SELECT l_quantity, l_returnflag, MAX(ng) AS ng, MAX(N) AS N,
+        |  SUM(ABS(c * N - cv * ng)) AS s1, SUM(cv) AS s2
+        |  FROM w GROUP BY 1, 2)
+        |SELECT MAX((CAST(s1 AS DOUBLE) / (ng * N) + CAST(N - s2 AS DOUBLE) / N) * 0.5) AS t_max,
+        |  COUNT(*) AS n_groups FROM g""".stripMargin,
   )
 }

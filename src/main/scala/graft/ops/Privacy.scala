@@ -578,6 +578,43 @@ object Privacy {
       .agg(count_distinct(col(sensitive)).as("l"))
       .agg(min(col("l")).as("l_min"), count(lit(1)).as("n_groups"))
 
+  /** V10 (extension): t-closeness — the third release gate next to
+    * [[kAnonymity]]/[[lDiversity]]: the worst total-variation distance
+    * between any quasi group's sensitive-value distribution and the
+    * global one (TV is the standard instantiation for unordered
+    * categorical sensitive values; EMD reduces to it under the discrete
+    * metric). A released table is t-close when the reported maximum ≤ t.
+    *
+    * Exactness: every |p_gv − p_v| term cross-multiplies to the integer
+    * |c_gv·N − c_v·n_g|, absent categories contribute (N − Σ_{v∈g} c_v)/N,
+    * and each group does ONE double division at the end — identical bits
+    * in any engine, no float accumulation. Integer products stay in long
+    * for row counts < ~3·10⁹ (the decimal form takes over past that).
+    *
+    * Plan shape: one map-side-combinable aggregate on (quasi, sensitive);
+    * the marginals and the TV terms are windows over the grouped CELL
+    * frame (|groups|·|V| rows, never data-sized). */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String): DataFrame = {
+    val cells = df
+      .groupBy((quasi.map(col) :+
+        coalesce(col(sensitive).cast("string"), lit("NA")).as("__v")): _*)
+      .agg(count(lit(1)).as("c"))
+    val wG = Window.partitionBy(quasi.map(col): _*)
+    val wV = Window.partitionBy("__v")
+    val wAll = Window.partitionBy()
+    val term = abs(col("c") * col("N") - col("cv") * col("ng"))
+    val perGroup = cells
+      .withColumn("ng", sum("c").over(wG))
+      .withColumn("cv", sum("c").over(wV))
+      .withColumn("N", sum("c").over(wAll))
+      .groupBy(quasi.map(col): _*)
+      .agg(max("ng").as("ng"), max("N").as("N"),
+        sum(term).as("s1"), sum("cv").as("s2"))
+    val tv = (col("s1").cast("double") / (col("ng") * col("N")) +
+      (col("N") - col("s2")).cast("double") / col("N")) * 0.5
+    perGroup.agg(max(tv).as("t_max"), count(lit(1)).as("n_groups"))
+  }
+
   /** V7 quasi-identifier suggestions (`modules/risk.py:8`): static list ∩
     * actual columns. */
   val QuasiIdSuggestions: Seq[String] =

@@ -136,4 +136,20 @@ class PrivacySpec extends SparkSpec {
     val r = Privacy.lDiversity(df, Seq("q"), "s").head()
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
   }
+
+  test("t-closeness: hand TV values, 0 for identical distributions, absent cats count") {
+    // A: {x,x,y,y}, B: {x,x}; global p = (2/3, 1/3)
+    // TV(A) = ½(|½−⅔| + |½−⅓|) = 1/6; TV(B) = ½(|1−⅔| + ⅓) = 1/3 (y absent in B)
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x")).toDF("q", "s")
+    val r = Privacy.tCloseness(df, Seq("q"), "s").head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-15 && r.getLong(1) == 2L)
+    // every group mirrors the global distribution → t = 0 exactly
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("q", "s")
+    val r0 = Privacy.tCloseness(uniform, Seq("q"), "s").head()
+    assert(r0.getDouble(0) == 0.0)
+    // partitioning invariance (integer numerators, one division)
+    val a = Privacy.tCloseness(df.repartition(5), Seq("q"), "s").head()
+    assert(a.getDouble(0) == r.getDouble(0))
+  }
 }
