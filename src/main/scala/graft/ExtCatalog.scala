@@ -171,6 +171,8 @@ object ExtCatalog {
         .orderBy(col("split"))),
     "t_token_count" -> ((s, d) =>
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
+    "x_hash_embed" -> ((s, d) =>
+      TextStats.hashEmbed(Tables.documents(s, d), "text", "doc_id", 64)),
     "x_token_chunks" -> ((s, d) =>
       // overlapping 32-token chunks at stride 24 — the RAG/long-doc splitter
       Chunking.tokenChunks(Tables.documents(s, d), "text", "doc_id", 32, 24)),
@@ -853,6 +855,14 @@ object ExtCatalog {
          |  COUNT(*) AS n_docs, MIN(q) AS min_quality, MAX(q) AS max_quality
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "x_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}'),
+         |    tk -> CAST(${thSql("tk")} AS BIGINT) % 64) AS hs
+         |  FROM documents)
+         |SELECT doc_id, array_to_string(
+         |  list_transform(range(0, 64), b -> len(list_filter(hs, h -> h = b))), ',') AS tf_csv
+         |FROM t ORDER BY doc_id""".stripMargin,
     "t_token_count" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
          |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS toks

@@ -171,6 +171,30 @@ object TextStats {
       .limit(k)
   }
 
+  /** Feature-hashing vectorizer (hashing trick): a `dim`-bucket term-
+    * count vector per document from the [[BpeTokenPattern]] tokens —
+    * the model-free text embedding that feeds the cosine/ANN family
+    * when no learned encoder exists. Buckets come from the explicit
+    * [[tokenHash]] polynomial (never an engine-private hash), so
+    * vectors are bit-identical in any engine and any partitioning.
+    * ONE stateless codegen scan — the counts array builds in-row via
+    * filter-counts over the token-hash array; no shuffle, no state,
+    * no vocabulary fit. Output rides as CSV for scalar-typed hash
+    * gates (array form via [[hashEmbedVec]]). */
+  def hashEmbed(df: DataFrame, textCol: String, idCol: String,
+                dim: Int = 64): DataFrame =
+    df.select(col(idCol), hashEmbedVec(col(textCol), dim).as("v"))
+      .select(col(idCol), array_join(col("v"), ",").as("tf_csv"))
+      .orderBy(col(idCol))
+
+  /** The `dim`-length bucket-count ARRAY form of [[hashEmbed]]. */
+  def hashEmbedVec(textCol: Column, dim: Int): Column = {
+    val hs = transform(regexp_extract_all(lower(textCol), lit(BpeTokenPattern), lit(0)),
+      t => pmod(tokenHash(t).cast("long"), lit(dim.toLong)))
+    transform(sequence(lit(0), lit(dim - 1)),
+      b => size(filter(hs, h => h === b.cast("long"))))
+  }
+
   /** Corpus cleaning pass — the composition a training-data pipeline
     * actually runs: exact-dedup survivors (min doc_id per text) that pass
     * a quality floor and a language filter. ONE shuffle (the dedup

@@ -151,6 +151,22 @@ class TextStatsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("cat", 2L), ("sat", 2L), ("the", 2L)))
   }
 
+  test("hashEmbed: counts conserve token mass, 64 buckets, partition-invariant") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = TextStats.hashEmbed(docs, "text", "doc_id").collect()
+    assert(out.length == docs.count())
+    val vecs = out.map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toInt))
+    assert(vecs.forall(_._2.length == 64))
+    // Σ bucket counts per doc == that doc's BPE token count
+    val tokCounts = TextStats.tokenCount(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) => assert(v.sum == tokCounts(id), s"doc $id") }
+    // stateless and deterministic under any layout
+    val again = TextStats.hashEmbed(docs.repartition(9), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall(r => again(r.getLong(0)) == r.getString(1)))
+  }
+
   test("bpePairs: adjacent-pair counts match a naive recount; 1-token docs drop") {
     val df = Seq("the cat the cat", "the cat", "solo").toDF("text")
     val rows = TextStats.bpePairs(df, "text", 10).collect()
