@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -293,20 +293,17 @@ object Drift {
   /** The distributed (ci, psi) plan behind [[psiMulti]] — exposed so the
     * plan-shape guards can assert on the real executed stages (the public
     * forms collect the driver-sized result into a local frame). */
-  private[graft] def psiFrame(before: DataFrame, after: DataFrame,
-                              cols: Seq[String], bins: Int, eps: Double,
-                              roundTo: Int): DataFrame = {
-    val spark = before.sparkSession
-    import spark.implicits._
+  /** Decile-edge fit for PSI, auto-dispatched like Profile.profile: a
+    * narrow fused collect + driver sorts below the size ceiling (the
+    * in-agg `percentile` buffers EVERY value per column inside one
+    * aggregation hash map — ~7 s for 7 lineitem columns at sf0.1, vs
+    * ~0.4 s collected), the domain-shuffling cents histogram above it.
+    * All three fits produce bit-identical quantile_cont interpolation;
+    * the in-agg form survives only as the per-column fallback for values
+    * the cents paths can't certify (>2 decimals / non-finite). */
+  private def psiEdges(before: DataFrame, cols: Seq[String],
+                       bins: Int): Map[Int, Seq[Double]] = {
     val probs = (1 until bins).map(_.toDouble / bins)
-    // Decile-edge fit, auto-dispatched like Profile.profile: a narrow
-    // fused collect + driver sorts below the size ceiling (the in-agg
-    // `percentile` buffers EVERY value per column inside one aggregation
-    // hash map — ~7 s for 7 lineitem columns at sf0.1, vs ~0.4 s
-    // collected), the domain-shuffling cents histogram above it. All
-    // three fits produce bit-identical quantile_cont interpolation; the
-    // in-agg form survives only as the per-column fallback for values
-    // the cents paths can't certify (>2 decimals / non-finite).
     val driverOk = before.queryExecution.optimizedPlan.stats.sizeInBytes <=
       PsiDriverFitMaxBytes
     val fits: Map[String, Exact.QuantFit] =
@@ -325,30 +322,32 @@ object Drift {
           c -> (if (r.isNullAt(i)) Seq.empty[Double] else r.getSeq[Double](i))
         }.toMap
       }
-    val edgesByCi: Map[Int, Seq[Double]] = cols.zipWithIndex.map { case (c, i) =>
+    cols.zipWithIndex.map { case (c, i) =>
       val qs = fits(c).quantiles.getOrElse(fallbackRow.getOrElse(c, Seq.empty))
       i -> (if (qs.exists(_.isNaN)) Seq.empty else qs.distinct.sorted)
     }.toMap
-    def binIdx(c: Column, edges: Seq[Double]): Column =
-      edges.foldLeft(lit(0))((acc, e) =>
-        acc + when(c.cast("double") >= lit(e), 1).otherwise(0))
-    def side(df: DataFrame, out: String) = df
-      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("ci"),
-          when(col(c).isNotNull, binIdx(col(c), edgesByCi(i))).as("bin"))
-      }: _*)).as("e"))
-      .filter(col("e.bin").isNotNull)
-      .groupBy(col("e.ci").as("ci"), col("e.bin").as("bin"))
-      .agg(count(lit(1)).as(out))
-    val allBins = cols.indices
+  }
+
+  private def binIdx(c: Column, edges: Seq[Double]): Column =
+    edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(c.cast("double") >= lit(e), 1).otherwise(0))
+
+  /** The PSI tail over PRE-GROUPED per-side (ci, bin, count) frames:
+    * dense bin spine, totals, eps-floored ordered term sum. */
+  private def psiFromSides(beforeCounts: DataFrame, afterCounts: DataFrame,
+                           edgesByCi: Map[Int, Seq[Double]], nCols: Int,
+                           eps: Double, roundTo: Int)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val allBins = (0 until nCols)
       .flatMap(i => (0 to edgesByCi(i).size).map(b => (i, b)))
       .toDF("ci", "bin")
     val wCi = Window.partitionBy("ci")
     val wCum = Window.partitionBy("ci").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val j = allBins
-      .join(side(before, "ca"), Seq("ci", "bin"), "left")
-      .join(side(after, "cb"), Seq("ci", "bin"), "left")
+      .join(beforeCounts, Seq("ci", "bin"), "left")
+      .join(afterCounts, Seq("ci", "bin"), "left")
       .select(col("ci"), col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
@@ -363,6 +362,23 @@ object Drift {
     j.withColumn("cum", sum(term).over(wCum))
       .groupBy("ci")
       .agg(round(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))), roundTo).as("psi"))
+  }
+
+  private[graft] def psiFrame(before: DataFrame, after: DataFrame,
+                              cols: Seq[String], bins: Int, eps: Double,
+                              roundTo: Int): DataFrame = {
+    implicit val spark: SparkSession = before.sparkSession
+    val edgesByCi = psiEdges(before, cols, bins)
+    def side(df: DataFrame, out: String) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"),
+          when(col(c).isNotNull, binIdx(col(c), edgesByCi(i))).as("bin"))
+      }: _*)).as("e"))
+      .filter(col("e.bin").isNotNull)
+      .groupBy(col("e.ci").as("ci"), col("e.bin").as("bin"))
+      .agg(count(lit(1)).as(out))
+    psiFromSides(side(before, "ca"), side(after, "cb"),
+      edgesByCi, cols.length, eps, roundTo)
   }
 
   /** Jensen–Shannon divergence (nats) between the category distributions
@@ -404,18 +420,12 @@ object Drift {
 
   /** [[jsDivergence]] for MANY columns in one fused pair of scans — the
     * chi2Multi skeleton with the JS term. Returns (ci, js). */
-  private[graft] def jsMulti(before: DataFrame, after: DataFrame,
-                             cols: Seq[String]): DataFrame = {
-    def counted(df: DataFrame, out: String) = df
-      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
-      }: _*)).as("e"))
-      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
-      .agg(count(lit(1)).as(out))
+  /** The JS tail over PRE-GROUPED per-side (ci, k, count) frames. */
+  private def jsFromSides(a: DataFrame, b: DataFrame): DataFrame = {
     val wCi = Window.partitionBy("ci")
     val wCum = Window.partitionBy("ci").orderBy("k")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val j = counted(before, "oa").join(counted(after, "ob"), Seq("ci", "k"), "full_outer")
+    val j = a.join(b, Seq("ci", "k"), "full_outer")
       .select(col("ci"), col("k"),
         coalesce(col("oa"), lit(0L)).as("oa"),
         coalesce(col("ob"), lit(0L)).as("ob"))
@@ -432,14 +442,26 @@ object Drift {
       .agg(max(when(col("ta") > 0 && col("tb") > 0, col("cum"))).as("js"))
   }
 
+  private[graft] def jsMulti(before: DataFrame, after: DataFrame,
+                             cols: Seq[String]): DataFrame = {
+    def counted(df: DataFrame, out: String) = df
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
+      }: _*)).as("e"))
+      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
+      .agg(count(lit(1)).as(out))
+    jsFromSides(counted(before, "oa"), counted(after, "ob"))
+  }
+
   /** Extended drift view — the model-monitoring metrics next to the
     * reference's D3: per shared numeric column a PSI row, per shared
     * other column a JS row, same (column, type, metric) shape and
     * column-skip semantics as [[driftAll]] so the two frames union
     * cleanly. TWO fused jobs however many columns (one [[psiMulti]], one
     * [[jsMulti]]), 6-dp rounding in-plan like D3. */
-  def driftAllExtended(before: DataFrame, after: DataFrame): DataFrame = {
-    val spark = before.sparkSession
+  def driftAllExtended(before: DataFrame, after: DataFrame,
+                       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    implicit val spark: SparkSession = before.sparkSession
     import spark.implicits._
     val afterCols = after.columns.toSet
     val shared = before.schema.fields.filter(f => afterCols.contains(f.name))
@@ -448,16 +470,69 @@ object Drift {
         after.schema(f.name).dataType.isInstanceOf[NumericType]
     val numCols = shared.filter(numericBoth).map(_.name).toSeq
     val catCols = shared.filterNot(numericBoth).map(_.name).toSeq
-    val psiRows = psiMulti(before, after, numCols).map { case (c, v) => (c, "psi", v) }
-    val jsByCi: Map[Int, Option[Double]] =
-      if (catCols.isEmpty) Map.empty
-      else jsMulti(before, after, catCols)
-        .select(col("ci"), round(col("js"), 6).as("m")).collect()
-        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    if (numCols.isEmpty || catCols.isEmpty) {
+      // single-family input: the per-family forms are already one scan each
+      val psiRows = psiMulti(before, after, numCols, bins, eps)
+        .map { case (c, v) => (c, "psi", v) }
+      val jsRows = jsMultiRows(before, after, catCols)
+      return (psiRows ++ jsRows).toDF("column", "type", "metric").orderBy("column")
+    }
+    // Fused form — ONE exploded map-side-combined count per side covers
+    // BOTH families (numeric rows carry their literal-chain bin index,
+    // categorical rows their value; ci is offset by |numCols| for cats).
+    // The psi spine join and the js full-outer join each consume both
+    // side frames, and both metric frames collect in ONE union action —
+    // the side aggregates end in identical exchanges, so ReuseExchange
+    // runs each side's scan exactly once (cheaper than persist, whose
+    // cache materialization measurably outweighed the saved scan here).
+    val edgesByCi = psiEdges(before, numCols, bins)
+    def fusedSide(df: DataFrame, out: String) = df
+      .select(explode(array(
+        numCols.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("ci"),
+            when(col(c).isNotNull, binIdx(col(c), edgesByCi(i))).as("bin"),
+            lit(null).cast("string").as("k"))
+        } ++
+        catCols.zipWithIndex.map { case (c, j) =>
+          struct(lit(numCols.length + j).as("ci"), lit(null).cast("int").as("bin"),
+            coalesce(col(c).cast("string"), lit("NA")).as("k"))
+        }: _*)).as("e"))
+      .filter(col("e.ci") >= numCols.length || col("e.bin").isNotNull)
+      .groupBy(col("e.ci").as("ci"), col("e.bin").as("bin"), col("e.k").as("k"))
+      .agg(count(lit(1)).as(out))
+    val bc = fusedSide(before, "ca")
+    val ac = fusedSide(after, "cb")
+    val psiPart = psiFromSides(
+        bc.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("ca")),
+        ac.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("cb")),
+        edgesByCi, numCols.length, eps, roundTo = 6)
+      .select(lit("psi").as("kind"), col("ci"), col("psi").as("m"))
+    val jsPart = jsFromSides(
+        bc.filter(col("ci") >= numCols.length)
+          .select((col("ci") - numCols.length).as("ci"), col("k"), col("ca").as("oa")),
+        ac.filter(col("ci") >= numCols.length)
+          .select((col("ci") - numCols.length).as("ci"), col("k"), col("cb").as("ob")))
+      .select(lit("js").as("kind"), col("ci"), round(col("js"), 6).as("m"))
+    val collected = psiPart.unionByName(jsPart).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val psiRows = numCols.zipWithIndex.map { case (c, i) =>
+      (c, "psi", collected.getOrElse(("psi", i), None))
+    }
     val jsRows = catCols.zipWithIndex.map { case (c, i) =>
-      (c, "js", jsByCi.getOrElse(i, None))
+      (c, "js", collected.getOrElse(("js", i), None))
     }
     (psiRows ++ jsRows).toDF("column", "type", "metric").orderBy("column")
+  }
+
+  /** js rows for [[driftAllExtended]]'s single-family fallback. */
+  private def jsMultiRows(before: DataFrame, after: DataFrame,
+                          catCols: Seq[String]): Seq[(String, String, Option[Double])] = {
+    if (catCols.isEmpty) return Seq.empty
+    val jsByCi = jsMulti(before, after, catCols)
+      .select(col("ci"), round(col("js"), 6).as("m")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    catCols.zipWithIndex.map { case (c, i) => (c, "js", jsByCi.getOrElse(i, None)) }
   }
 
   /** D3 drift dispatcher (`modules/utility.py:112-123`): for each column
