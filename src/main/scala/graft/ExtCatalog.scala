@@ -227,6 +227,10 @@ object ExtCatalog {
       ext.Sampling.mixRebalance(Tables.documents(s, d), "doc_id", "lang")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+    "x_mix_temperature" -> ((s, d) =>
+      ext.Sampling.temperatureRebalance(Tables.documents(s, d), "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
     "m_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"), 4, 16)),
@@ -712,6 +716,19 @@ object ExtCatalog {
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
          |WHERE ${ext.Sampling.gateSql("d.doc_id")} % cnt < mn
+         |ORDER BY d.doc_id""".stripMargin,
+    "x_mix_temperature" ->
+      s"""WITH c AS (SELECT source AS g, COUNT(*) AS c FROM documents GROUP BY 1),
+         |cum AS (SELECT g, c,
+         |  SUM(SQRT(CAST(c AS DOUBLE))) OVER (ORDER BY g
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+         |e AS (SELECT g, c, MAX(cum) OVER () AS S, SUM(c) OVER () AS T FROM cum),
+         |th AS (SELECT g,
+         |  CAST(FLOOR(SQRT(CAST(c AS DOUBLE)) / S * CAST(T AS DOUBLE)
+         |    / CAST(c AS DOUBLE) * 1000000.0) AS BIGINT) AS thr FROM e)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d JOIN th ON d.source IS NOT DISTINCT FROM th.g
+         |WHERE ${ext.Sampling.gateSql("d.doc_id")} % 1000000 < LEAST(thr, 1000000)
          |ORDER BY d.doc_id""".stripMargin,
     "x_keyword_search" -> {
       val counts = KeywordTerms.map(t =>

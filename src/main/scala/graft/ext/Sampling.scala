@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling operators for a training-data pipeline:
   * hash-gated row selection instead of RNG draws, so a sample is
@@ -85,6 +86,39 @@ object Sampling {
       .crossJoin(broadcast(floor))
       .filter(pmod(gate(col(idCol)), col("grp_cnt")) < least(targetExpr, col("grp_cnt")))
       .drop("__grp", "grp_cnt", "uniform_target")
+  }
+
+  /** Temperature-based mix reweighting — the multilingual-corpus
+    * sampling math (the α-exponentiated source weights of mBERT/XLM-R):
+    * w_s ∝ c_s^α flattens the source distribution toward uniform while
+    * keeping big sources bigger; each source then keeps
+    * rate_s = w_s·T/c_s of its rows through the deterministic gate.
+    * α is FIXED at ½ because sqrt is IEEE-correctly-rounded in every
+    * engine while pow(x, 0.3) is not — the one exponent that keeps the
+    * operator hash-reproducible cross-engine (documented tradeoff).
+    *
+    * Determinism: Σ√c runs as an ordered cumulative window over the
+    * (tiny) per-source count frame, each source does one fixed-order
+    * double chain ending in floor → integer threshold, and row selection
+    * is the integer gate — no RNG, identical rows at any parallelism.
+    * Plan: one grouped count, thresholds broadcast onto one corpus
+    * scan — the mixRebalance shape. */
+  def temperatureRebalance(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("__g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val thr = floor(sqrt(col("__c").cast("double")) / col("__S") *
+      col("__T").cast("double") / col("__c").cast("double") * lit(1000000.0))
+      .cast("long")
+    val thresholds = counts
+      .withColumn("__cum", sum(sqrt(col("__c").cast("double"))).over(wCum))
+      .withColumn("__S", max("__cum").over(wAll))
+      .withColumn("__T", sum("__c").over(wAll))
+      .select(col("__g"), thr.as("__thr"))
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__g"))
+      .filter(pmod(gate(col(idCol)), lit(1000000L)) < least(col("__thr"), lit(1000000L)))
+      .drop("__g", "__thr")
   }
 
   /** Per-key row cap — "keep at most k docs per source/domain", the

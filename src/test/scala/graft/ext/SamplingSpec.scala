@@ -146,6 +146,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature rebalance flattens the mix toward uniform, deterministically") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = Sampling.temperatureRebalance(docs, "doc_id", "source")
+    val before = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=½ keeps every source present and shrinks only over-represented ones
+    assert(after.keySet == before.keySet)
+    // flattening: the kept-share is higher for smaller sources
+    val shares = before.toSeq.sortBy(_._2).map { case (s, n) => after(s).toDouble / n }
+    shares.sliding(2).foreach { case Seq(small, large) =>
+      assert(small >= large - 0.1, s"smaller sources must keep a larger share: $shares")
+    case _ => }
+    // selection is a pure function of ids — identical under repartitioning
+    val again = Sampling.temperatureRebalance(docs.repartition(13), "doc_id", "source")
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
+  }
+
   test("shardAssign conserves docs and tokens, is partitioning-invariant") {
     val docs = graft.Tables.documents(spark, Sf)
     val shards = Sampling.shardAssign(docs, "doc_id", "text", 8)
