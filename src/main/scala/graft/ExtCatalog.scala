@@ -275,6 +275,16 @@ object ExtCatalog {
     "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
     "s_anomaly" -> ((s, d) => Events.anomaly(Tables.events(s, d))),
     "s_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    "s_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
+    "t_lang_mismatch" -> ((s, d) => {
+      // curation audit: documents whose METADATA language disagrees with
+      // the content prediction — one codegen scan over the corpus
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"),
+          TextStats.langPred(col("text")).as("lang_pred"))
+        .filter(!(col("lang_pred") <=> col("lang")))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------------- SQL parts
@@ -1009,6 +1019,29 @@ object ExtCatalog {
         |WHERE epoch_us(purchase_ts) > epoch_us(click_ts)
         |  AND epoch_us(purchase_ts) <= epoch_us(click_ts) + 1800000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "s_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, d) AS INTEGER) AS "offset",
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE datediff('day', cohort_day, d) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_lang_mismatch" -> {
+      val structs = TextStats.LangMarkers.map { case (lang, markers) =>
+        val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'score': len(list_filter(ts, x -> list_contains($arr, x))), 'lang': '$lang'}"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+         |b AS (SELECT doc_id, lang, list_sort($structs, 'DESC')[1] AS best FROM t),
+         |p AS (SELECT doc_id, lang,
+         |  IF(best.score > 0, best.lang, 'und') AS lang_pred FROM b)
+         |SELECT doc_id, lang, lang_pred FROM p
+         |WHERE lang_pred IS DISTINCT FROM lang
+         |ORDER BY doc_id""".stripMargin
+    },
     "s_funnel" -> {
       val over = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"

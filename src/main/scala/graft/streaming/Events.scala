@@ -163,6 +163,27 @@ object Events {
       .orderBy("step")
   }
 
+  /** Day-N cohort retention: users cohort by their FIRST active day;
+    * each (cohort_day, offset) cell counts users active `offset` days
+    * later — the classic retention triangle. Plan: the (user, day)
+    * activity grid reduces first (map-side-combined — shuffle carries
+    * distinct user-days, not events), the cohort day rides a user
+    * window over that reduced frame, and the final cell count is a
+    * grid-domain aggregate. */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id", "d").agg(count(lit(1)).as("__n")).drop("__n")
+    val wUser = Window.partitionBy("user_id")
+    activity
+      .withColumn("cohort_day", min("d").over(wUser))
+      .withColumn("offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users")) // rows are distinct (user, day)
+      .orderBy("cohort_day", "offset")
+  }
+
   /** First-occurrence dedup per (user_id, event_type): the batch analogue
     * of `dropDuplicatesWithinWatermark` with an unbounded watermark —
     * deterministic first = smallest (ts, event_id). */

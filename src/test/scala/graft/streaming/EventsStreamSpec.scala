@@ -317,6 +317,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.table("funnel_out").filter(col("user_id") === 1).count() == 3)
   }
 
+  test("retention: cohort day-0 counts every user once, offsets need later days") {
+    def d(day: Int, m: String) = Timestamp.valueOf(f"2024-01-$day%02d $m:00")
+    val evs = Seq(
+      // user 1: active day 1 and day 3 → offsets 0 and 2
+      Ev(1, d(1, "10:00"), 1, "view", 0), Ev(2, d(1, "11:00"), 1, "click", 0),
+      Ev(3, d(3, "09:00"), 1, "view", 0),
+      // user 2: day 1 only → offset 0
+      Ev(4, d(1, "12:00"), 2, "view", 0),
+      // user 3: cohorts on day 2, returns day 3 → (day2, 0) and (day2, 1)
+      Ev(5, d(2, "08:00"), 3, "view", 0), Ev(6, d(3, "08:00"), 3, "view", 0))
+    val rows = Events.retention(evs.toDF()).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
+
   test("funnel: strict ordering per user, same-timestamp steps don't qualify") {
     val evs = Seq(
       // user 1: full ordered funnel
