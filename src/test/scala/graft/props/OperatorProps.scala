@@ -175,6 +175,48 @@ object OperatorProps extends Properties("graft") {
       ab == ba && ab >= 0.0 && ab <= math.log(2) + 1e-9
     }
 
+  property("V10: t-closeness ∈ [0,1]; 0 when every group mirrors the global mix") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.oneOf("g1", "g2", "g3"), word))) { rows =>
+      val df = rows.toDF("q", "s")
+      val r = Privacy.tCloseness(df, Seq("q"), "s").head()
+      val t = r.getDouble(0)
+      val mirrored = rows.flatMap { case (_, s) => Seq(("g1", s), ("g2", s)) }.toDF("q", "s")
+      val t0 = Privacy.tCloseness(mirrored, Seq("q"), "s").head().getDouble(0)
+      t >= 0.0 && t <= 1.0 + 1e-12 && t0 == 0.0
+    }
+
+  property("mutual info: non-negative, 0 against a constant column") =
+    forAll(Gen.listOfN(20, Gen.zip(word, word))) { rows =>
+      val df = rows.toDF("x", "y")
+      val mi = graft.ops.Profile.mutualInfo(df, "x", "y").head().getDouble(3)
+      val miC = graft.ops.Profile.mutualInfo(
+        df.withColumn("k", lit("c")), "x", "k").head().getDouble(3)
+      mi >= -1e-6 && miC == 0.0
+    }
+
+  property("winsorize: output bounded by the fitted quantiles, order preserved") =
+    forAll(Gen.listOfN(15, Gen.choose(-1000.0, 1000.0))) { xs =>
+      val df = xs.map(x => math.rint(x * 100) / 100).toDF("v")
+      val out = graft.ops.RowTransforms.winsorize(df, "v", 0.1, 0.9)
+        .select("v_w").collect().map(_.getDouble(0))
+      val sorted = xs.map(x => math.rint(x * 100) / 100).sorted
+      out.forall(w => w >= sorted.head && w <= sorted.last)
+    }
+
+  property("temperature rebalance: output ⊆ input, smallest group kept whole") =
+    forAll(Gen.listOfN(30, Gen.oneOf("s1", "s2", "s3"))) { groups =>
+      val df = groups.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+      val out = Sampling.temperatureRebalance(df, "id", "g")
+      val outIds = out.select("id").collect().map(_.getLong(0)).toSet
+      val inCounts = groups.groupBy(identity).view.mapValues(_.size).toMap
+      val outCounts = out.select("g").collect().map(_.getString(0))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val minGroup = inCounts.minBy { case (g, n) => (n, g) }._1
+      // rate_s ≥ 1 for the smallest group (T ≥ S·√c_min), so it survives whole
+      outIds.subsetOf(df.collect().map(_.getLong(0)).toSet) &&
+        outCounts.getOrElse(minGroup, 0) == inCounts(minGroup)
+    }
+
   property("snapshot diff: classes partition the id universe") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 6L), Gen.oneOf("x", "y")))) { rows =>
       val oldV = rows.distinctBy(_._1).toDF("id", "t")
