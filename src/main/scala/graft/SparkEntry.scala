@@ -41,6 +41,7 @@ object SparkEntry {
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(s, d)),
     "q_window_suite" -> ((s, d) => Relational.qWindowSuite(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
+    "q_nearest_event" -> ((s, d) => Relational.qNearestEvent(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -184,5 +185,19 @@ object SparkEntry {
     "q_outer_join" -> Relational.qOuterJoinSql,
     "q_window_suite" -> Relational.qWindowSuiteSql,
     "q_grouping_sets" -> Relational.qGroupingSetsSql("orders"),
+    "q_nearest_event" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, click_id, click_ts, purchase_id,
+        |        ABS(epoch_us(purchase_ts) - epoch_us(click_ts)) AS delta_us
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |      WHERE ABS(epoch_us(purchase_ts) - epoch_us(click_ts)) <= 1800000000),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY click_id
+        |        ORDER BY delta_us, purchase_id) AS rk FROM j)
+        |SELECT click_id, user_id, click_ts,
+        |  purchase_id AS nearest_purchase_id, delta_us
+        |FROM r WHERE rk = 1 ORDER BY click_id""".stripMargin,
   )
 }

@@ -184,6 +184,34 @@ object Relational {
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** Nearest-event join — the BIDIRECTIONAL sibling of the as-of join:
+    * each click pairs with its temporally closest purchase (either
+    * direction) within the band, ties broken on the smaller purchase id.
+    * The pair space is an equi-join on user with the band as residual
+    * (never a cross product), and the per-click winner is ONE `min` of a
+    * lexicographic (|Δt|, id, ts) struct — a map-side-combinable
+    * aggregate, not a rank window, so a hot user never serializes. */
+  def qNearestEvent(spark: SparkSession, sfDir: String,
+                    withinMinutes: Int = 30): DataFrame = {
+    val us = withinMinutes.toLong * 60L * 1000000L
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val d = abs(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(d <= us)
+      .groupBy(col("click_id"))
+      .agg(min(col("user_id")).as("user_id"), min(col("click_ts")).as("click_ts"),
+        min(struct(d.as("delta_us"), col("purchase_id"),
+          col("purchase_ts"))).as("w"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("w.purchase_id").as("nearest_purchase_id"),
+        col("w.delta_us").as("delta_us"))
+      .orderBy(col("click_id"))
+  }
+
   /** Explicit GROUPING SETS with GROUPING() disambiguation — the general
     * form behind qRollup/qCube (one statement, both engines). The
     * GROUPING flags distinguish a subtotal NULL from a data NULL, which

@@ -49,4 +49,22 @@ class AsofRangeSpec extends SparkSpec {
     assert(total == liRows) // bands cover [1, 51) and quantities are 1..50
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("nearest-event: bidirectional closest wins; one row per matched click") {
+    val out = Relational.qNearestEvent(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "exactly one nearest purchase per click")
+    // every delta within the band, non-negative
+    assert(out.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1800000000L))
+    // cross-check a click against a brute-force nearest on the same data
+    val e = graft.Tables.events(spark, Sf)
+    val first = out.head
+    def us(t: java.sql.Timestamp) = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val clickUs = us(first.getTimestamp(2))
+    val cands = e.filter(col("event_type") === "purchase" &&
+        col("user_id") === first.getLong(1)).collect()
+      .map(r => (math.abs(us(r.getTimestamp(1)) - clickUs), r.getLong(0)))
+      .filter(_._1 <= 1800000000L)
+    assert(cands.nonEmpty && cands.min == (first.getLong(4), first.getLong(3)))
+  }
 }
