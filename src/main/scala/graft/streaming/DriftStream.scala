@@ -66,4 +66,61 @@ object DriftStream {
         total.as("n"),
         round(psi, roundTo).as("psi"))
   }
+
+  /** The CATEGORICAL twin of [[psiMonitor]]: per tumbling window, the
+    * Jensen–Shannon divergence of a column's live category distribution
+    * against a static reference PMF. Vocabulary and reference
+    * proportions fit once batch-side and fold as literals (k-ascending,
+    * matching the batch [[graft.ops.Drift.jsDivergence]] term order, so
+    * a window whose categories all exist in the reference scores
+    * bit-identically to the batch metric on the same rows). Live values
+    * outside the vocabulary collapse into one `__OTHER__` bucket (pRef =
+    * 0 there, contributing only the live-side q·ln 2 mass) — bounding
+    * the aggregate width however wild the stream's values get. Nulls
+    * bucket as "NA" like every categorical drift metric here. */
+  def jsMonitor(stream: DataFrame, reference: DataFrame, c: String,
+                tsCol: String = "ts", windowDur: String = "1 hour",
+                watermark: String = "2 hours", maxCategories: Int = 100,
+                roundTo: Int = 6): DataFrame = {
+    val refKey = coalesce(col(c).cast("string"), lit("NA"))
+    val refCounts: Seq[(String, Long)] = reference.select(refKey.as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    require(refCounts.nonEmpty, "empty reference")
+    val vocab = refCounts.take(maxCategories).map(_._1)
+    val refTotal = refCounts.map(_._2).sum.toDouble
+    val pRefByK: Map[String, Double] =
+      refCounts.take(maxCategories).map { case (k, n) => k -> n / refTotal }.toMap
+    // fold order: vocabulary ascending, then the OTHER bucket (carrying
+    // any reference tail mass past maxCategories)
+    val keys = vocab :+ "__OTHER__"
+    // tail mass accumulates in VOCAB order (a Map-iteration sum would be
+    // non-deterministic in its float addition order across runs)
+    val vocabMass = vocab.foldLeft(0.0)((acc, k) => acc + pRefByK(k))
+    val pRef: Seq[Double] = keys.map {
+      case "__OTHER__" => 1.0 - vocabMass
+      case k => pRefByK(k)
+    }
+    val liveKey = coalesce(col(c).cast("string"), lit("NA"))
+    val mapped = when(liveKey.isInCollection(vocab), liveKey).otherwise(lit("__OTHER__"))
+    val counts = keys.indices.map(i =>
+      sum(when(mapped === keys(i), 1L).otherwise(0L)).as(s"__c$i"))
+    val total = keys.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    val js = keys.indices.map { i =>
+      val p = lit(pRef(i))
+      val q = col(s"__c$i").cast("double") / nullif(total, lit(0L))
+      val m = (p + q) / 2.0
+      (if (pRef(i) > 0) p * log(p / m) * 0.5 else lit(0.0)) +
+        when(col(s"__c$i") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+    }.reduce(_ + _)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        total.as("n"),
+        round(js, roundTo).as("js"))
+  }
 }

@@ -44,6 +44,46 @@ class DriftStreamSpec extends SparkSpec {
     assert(got("2024-01-01 11:00:00.0")._2.get > got("2024-01-01 10:00:00.0")._2.get)
   }
 
+  test("jsMonitor: per-window JS matches the batch jsDivergence of the same rows") {
+    implicit val sc = spark.sqlContext
+    val reference = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("k")
+
+    // window 10:00 mirrors the reference; window 11:00 is skewed to c
+    val w1 = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")
+    val w2 = Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(8)("c")
+    case class KObs(ts: Timestamp, k: String)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = DriftStream.jsMonitor(
+        mem.toDF().toDF("ts", "k"), reference, "k", tsCol = "ts")
+      .writeStream.format("memory").queryName("js_out")
+      .outputMode("complete").start()
+    mem.addData(w1.map(k => (t("10:05"), k)) ++ w2.map(k => (t("11:10"), k)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("js_out").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    def batchJs(ks: Seq[String]) = graft.ops.Drift
+      .jsDivergence(reference, ks.toDF("k"), "k")
+      .collect()(0).getDouble(1)
+    assert(got("2024-01-01 10:00:00.0")._2.contains(batchJs(w1)),
+      s"stream ${got("2024-01-01 10:00:00.0")._2} vs batch ${batchJs(w1)}")
+    assert(got("2024-01-01 11:00:00.0")._2.contains(batchJs(w2)))
+    assert(got("2024-01-01 11:00:00.0")._2.get > got("2024-01-01 10:00:00.0")._2.get)
+    // out-of-vocabulary live values fold into OTHER instead of widening the agg
+    val mem2 = MemoryStream[(Timestamp, String)]
+    val q2 = DriftStream.jsMonitor(
+        mem2.toDF().toDF("ts", "k"), reference, "k", tsCol = "ts")
+      .writeStream.format("memory").queryName("js_oov")
+      .outputMode("complete").start()
+    mem2.addData(Seq((t("10:05"), "zzz"), (t("10:06"), "a")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val oov = spark.table("js_oov").collect()(0)
+    assert(oov.getLong(2) == 2L && !oov.isNullAt(3) && oov.getDouble(3) > 0.0)
+  }
+
   test("psiMonitor: watermark closes windows in append mode") {
     implicit val sc = spark.sqlContext
     val reference = (1 to 100).map(_.toDouble).toDF("v")
