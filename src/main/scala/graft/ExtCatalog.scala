@@ -129,6 +129,14 @@ object ExtCatalog {
         docs.filter(col("doc_id") % 3 =!= 0),
         "text", "doc_id")
     }),
+    "x_minhash_delta" -> ((s, d) => {
+      // same corpus/batch split; the banded-signature incremental path
+      val docs = Tables.documents(s, d)
+      Dedup.minhashDelta(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id")
+    }),
     "x_dedup_delta" -> ((s, d) => {
       // existing corpus = docs 0 mod 3; incoming batch = the rest (with
       // the batch's own internal dups collapsed to the min id)
@@ -644,6 +652,35 @@ object ExtCatalog {
          |JOIN sizes se ON corpus_id = se.doc_id
          |WHERE CAST(shared AS DOUBLE) / (si.sz + se.sz - shared) >= 0.6
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    "x_minhash_delta" -> {
+      val perms = Dedup.minhashPerms(32)
+        .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
+        .mkString("[", ", ", "]")
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, list(s) AS hl FROM sh GROUP BY 1),
+         |sig AS (SELECT doc_id,
+         |  list_transform($perms, p ->
+         |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg
+         |  FROM hs),
+         |banded AS (SELECT doc_id, j AS band,
+         |  array_to_string(sg[j * 4 + 1 : j * 4 + 4], '-') AS bsig
+         |  FROM sig, UNNEST(range(0, 8)) AS t(j)),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM banded b JOIN banded c ON b.band = c.band AND b.bsig = c.bsig
+         |  WHERE b.doc_id % 3 <> 0 AND c.doc_id % 3 = 0),
+         |sh2 AS (SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS shared
+         |  FROM cand JOIN sh x ON x.doc_id = cand.batch_id
+         |  JOIN sh y ON y.doc_id = cand.corpus_id AND y.s = x.s GROUP BY 1, 2),
+         |jj AS (SELECT batch_id, corpus_id,
+         |  CAST(shared AS DOUBLE) / (sb.sz + sc.sz - shared) AS jaccard
+         |  FROM sh2 JOIN sizes sb ON batch_id = sb.doc_id
+         |  JOIN sizes sc ON corpus_id = sc.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (sb.sz + sc.sz - shared) >= 0.6),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+         |  ORDER BY jaccard DESC, corpus_id) AS rk FROM jj)
+         |SELECT batch_id, corpus_id AS dup_of, jaccard
+         |FROM r WHERE rk = 1 ORDER BY batch_id""".stripMargin
+    },
     "x_dedup_delta" ->
       """WITH inc AS (SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies

@@ -518,6 +518,60 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Incremental batch-vs-corpus dedup via MINHASH BANDING — the sketch
+    * sibling of [[neardupDelta]] for continuous ingestion at scale: the
+    * corpus side carries only its banded signatures (bands·(perms/bands)
+    * longs per doc — a CONSTANT-size index that persists across batches
+    * and never re-derives from text), the batch bands join corpus bands
+    * by (band, signature) equality, and only band-collision candidates
+    * pay the exact-Jaccard verify. Same survivors as neardupDelta when
+    * the banding recalls them (banding is the standard probabilistic
+    * prefilter — candidates are verified exactly, misses are the
+    * documented LSH tradeoff at the chosen (bands, rows) operating
+    * point). Output: (batch_id, dup_of, jaccard) per verified duplicate,
+    * min corpus id per batch doc. */
+  def minhashDelta(existing: DataFrame, incoming: DataFrame,
+                   textCol: String, idCol: String,
+                   n: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.6): DataFrame = {
+    require(numPerms % bands == 0)
+    val r = numPerms / bands
+    graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
+    def prep(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), shingleHashArray(df, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(df: DataFrame, idName: String) = df
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numPerms)))
+      .select(col(idName), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
+            x => x.cast("string"))).as("bsig"))
+      }: _*)).as("bs"))
+      .select(col(idName), col("bs.band"), col("bs.bsig"))
+    val ex = prep(existing, "corpus_id")
+    val inc = prep(incoming, "batch_id")
+    val candidates = bandsOf(inc, "batch_id")
+      .join(bandsOf(ex, "corpus_id"), Seq("band", "bsig"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(inc.select(col("batch_id"), col("sh").as("shb")), "batch_id")
+      .join(ex.select(col("corpus_id"), col("sh").as("shc")), "corpus_id")
+      .withColumn("shared", size(array_intersect(col("shb"), col("shc"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("shb")) + size(col("shc")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      // best match per batch doc: max jaccard, ties to the smallest
+      // corpus id — one lexicographic min-struct aggregate (map-side
+      // combinable; negation is IEEE-exact so -(−j) round-trips)
+      .groupBy("batch_id")
+      .agg(min(struct((-col("jaccard")).as("nj"),
+        col("corpus_id").as("cid"))).as("w"))
+      .select(col("batch_id"), col("w.cid").as("dup_of"),
+        (-col("w.nj")).as("jaccard"))
+      .orderBy("batch_id")
+  }
+
   /** SimHash fingerprint: 61-bit sign-aggregated token-hash bits (kept
     * under 2^62 so all arithmetic stays in positive long range). Built as
     * a SQL expression because the shift amount is itself a lambda variable

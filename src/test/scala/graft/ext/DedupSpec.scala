@@ -250,4 +250,27 @@ class DedupSpec extends SparkSpec {
       .select("corpus_id").collect().map(_.getLong(0)).toSet
     assert(bloom.subsetOf(tiny) && tiny.size >= bloom.size)
   }
+
+  test("minhashDelta ⊆ neardupDelta with identical scores where recalled") {
+    val docs = graft.Tables.documents(spark, Sf)
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val banded = Dedup.minhashDelta(corpus, batch, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the exact inverted-index form, reduced to the same best-match shape
+    val exact = Dedup.neardupDelta(corpus, batch, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (b, ms) =>
+        val best = ms.minBy { case (_, cid, j) => (-j, cid) }
+        b -> (best._2, best._3)
+      }
+    // banding can only MISS pairs, never invent them; recalled ids agree
+    assert(banded.keySet.subsetOf(exact.keySet))
+    banded.foreach { case (b, (cid, j)) =>
+      assert(exact(b) == (cid, j), s"batch $b: banded ($cid,$j) vs exact ${exact(b)}")
+    }
+    // at these near-dup similarities the 8×4 banding recalls nearly all
+    assert(banded.size >= exact.size * 7 / 10, s"${banded.size} of ${exact.size}")
+  }
 }
