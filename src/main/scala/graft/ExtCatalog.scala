@@ -181,6 +181,8 @@ object ExtCatalog {
       TextStats.tokenCount(Tables.documents(s, d), "text", "doc_id")),
     "x_hash_embed" -> ((s, d) =>
       TextStats.hashEmbed(Tables.documents(s, d), "text", "doc_id", 64)),
+    "t_bigram_logprob" -> ((s, d) =>
+      TextStats.bigramLogProb(Tables.documents(s, d), "text", "doc_id")),
     "x_token_chunks" -> ((s, d) =>
       // overlapping 32-token chunks at stride 24 — the RAG/long-doc splitter
       Chunking.tokenChunks(Tables.documents(s, d), "text", "doc_id", 32, 24)),
@@ -919,6 +921,24 @@ object ExtCatalog {
          |  COUNT(*) AS n_docs, MIN(q) AS min_quality, MAX(q) AS max_quality
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "t_bigram_logprob" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS ts
+         |  FROM documents),
+         |pairs AS (SELECT doc_id, i AS pos, ts[i] AS a, ts[i + 1] AS b
+         |  FROM base, UNNEST(range(1, len(ts))) t(i) WHERE len(ts) >= 2),
+         |uc AS (SELECT a, COUNT(*) AS ca FROM
+         |  (SELECT UNNEST(ts) AS a FROM base) GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM uc),
+         |bi AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+         |j AS (SELECT p.doc_id, p.pos,
+         |  ln(CAST(cab + 1 AS DOUBLE) / CAST(ca + v AS DOUBLE)) AS term
+         |  FROM pairs p JOIN bi USING (a, b) JOIN uc USING (a) CROSS JOIN vv),
+         |c AS (SELECT doc_id, SUM(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j)
+         |SELECT doc_id, COUNT(*) AS n_pairs,
+         |  ROUND(MAX(cum) / COUNT(*), 6) AS avg_logprob
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_hash_embed" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}'),

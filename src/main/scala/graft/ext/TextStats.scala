@@ -195,6 +195,49 @@ object TextStats {
       b => size(filter(hs, h => h === b.cast("long"))))
   }
 
+  /** Corpus-fitted bigram log-probability score — the statistical
+    * language-model quality signal (the perplexity-proxy a pipeline uses
+    * when no neural LM is available; KenLM's role, order 2): per document
+    * the mean over adjacent token pairs of
+    * ln((c(a,b) + 1) / (c(a) + V)) — Laplace-smoothed bigram MLE fitted
+    * on the corpus itself. Low scores mark improbable token sequences
+    * (garbled text, wrong-language fragments, mojibake).
+    *
+    * Determinism: every term is ln of a ratio of exact integers, summed
+    * per document in POSITION order through a window (fixed addition
+    * order), one division for the mean, 6-dp round.
+    *
+    * Scale shape: unigram/bigram count tables are vocab-sized hash
+    * aggregates; the pair frame joins them by key (shuffle joins — the
+    * tables grow with the vocabulary, not the corpus); the per-doc sum
+    * windows partition BY DOCUMENT, parallel across docs. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("ts"))
+    val pairs = base.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(i.as("pos"), element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = base.select(explode(col("ts")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val vRow = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val wCum = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
+    pairs
+      .join(bi, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(vRow))
+      .withColumn("cum", sum(term).over(wCum))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("cum")) / count(lit(1)), roundTo).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus cleaning pass — the composition a training-data pipeline
     * actually runs: exact-dedup survivors (min doc_id per text) that pass
     * a quality floor and a language filter. ONE shuffle (the dedup

@@ -151,6 +151,23 @@ class TextStatsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("cat", 2L), ("sat", 2L), ("the", 2L)))
   }
 
+  test("bigramLogProb: repeated phrases score higher than shuffled garble") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = TextStats.bigramLogProb(docs, "text", "doc_id").collect()
+    // every doc with ≥2 tokens scores; all logprobs are negative
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getDouble(2) < 0.0))
+    // a corpus-frequent bigram scores above an unseen-word pairing
+    val df = Seq((1L, "the quick fox the quick fox the quick fox"),
+      (2L, "zqzq wxwx vbvb nmnm zqzq wxwx")).toDF("doc_id", "text")
+    val s = TextStats.bigramLogProb(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L), s"frequent phrases must outscore garble: $s")
+    // partitioning invariance (ordered per-doc sums)
+    val a = TextStats.bigramLogProb(docs.repartition(7), "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.forall(r => a(r.getLong(0)) == r.getDouble(2)))
+  }
+
   test("hashEmbed: counts conserve token mass, 64 buckets, partition-invariant") {
     val docs = graft.Tables.documents(spark, Sf)
     val out = TextStats.hashEmbed(docs, "text", "doc_id").collect()
