@@ -253,4 +253,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"cell counts must combine map-side:\n$plan")
   }
+
+  test("bigram logprob: equi-joins only, per-doc windows partition by doc") {
+    val plan = simplePlan("t_bigram_logprob")
+    assert(!plan.contains("CartesianProduct"),
+      s"count-table joins must be keyed:\n$plan")
+    // the only single-partition exchange allowed is the 1-row V fit; the
+    // term-sum window itself must partition by doc_id
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"per-doc windows must partition by doc_id:\n$plan")
+  }
+
+  test("minhash delta: candidates come from a banded equi-join, never cross") {
+    val plan = simplePlan("x_minhash_delta")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band collision join must be equi-keyed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("HashAggregate"), s"expected aggregates in:\n$plan")
+  }
+
+  test("nearest event: equi-join on user with residual band, min-struct winner") {
+    val plan = simplePlan("q_nearest_event")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be an equi-join on user:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-click winner must be an aggregate, not a rank window:\n$plan")
+  }
+
+  test("funnel: the chained windows share ONE user sort") {
+    val plan = simplePlan("s_funnel")
+    val sorts = plan.linesIterator.count(l =>
+      l.trim.startsWith("Sort ") || l.contains("*Sort "))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"chained q windows must reuse one user shuffle:\n$plan")
+  }
 }
