@@ -112,6 +112,13 @@ object ExtCatalog {
     }),
     "x_embed_centroid" -> ((s, d) =>
       SimSearch.labelCentroids(Tables.embeddings(s, d))),
+    "d_embed_drift" -> ((s, d) => {
+      // two halves of the embedding population — encoder/mix drift check
+      val e = Tables.embeddings(s, d)
+      SimSearch.centroidShift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
     "x_contamination" -> ((s, d) => {
       // probe = every 10th doc (an "eval set"), corpus = the rest
       val docs = Tables.documents(s, d)
@@ -607,6 +614,19 @@ object ExtCatalog {
         |       ELSE 'changed' END AS change_class
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "d_embed_drift" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |  CAST(CAST(embedding[CAST(i + 1 AS BIGINT)] AS DOUBLE) AS DECIMAL(38,12)) AS e
+        |  FROM embeddings, UNNEST(range(len(embedding))) t(i)),
+        |a AS (SELECT pos, CAST(SUM(e) AS DOUBLE) / COUNT(*) AS ma
+        |      FROM x WHERE vec_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT pos, CAST(SUM(e) AS DOUBLE) / COUNT(*) AS mb
+        |      FROM x WHERE vec_id % 2 = 1 GROUP BY 1),
+        |d AS (SELECT pos, ma - mb AS diff FROM a JOIN b USING (pos)),
+        |c AS (SELECT pos, diff, SUM(diff * diff) OVER (ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT COUNT(*) AS n_dims, ROUND(SQRT(MAX(cum)), 6) AS l2_shift,
+        |  ROUND(MAX(ABS(diff)), 6) AS max_abs_shift FROM c""".stripMargin,
     "x_embed_centroid" ->
       """WITH x AS (SELECT label, CAST(i AS INTEGER) AS pos,
         |  CAST(CAST(embedding[CAST(i + 1 AS BIGINT)] AS DOUBLE) AS DECIMAL(38,12)) AS e

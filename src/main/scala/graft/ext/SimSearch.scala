@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (ArrayType(FloatType)) —
@@ -329,6 +330,38 @@ object SimSearch {
     model.transform(c)
       .select(col("vec_id"), csv(col("pc")).as("pc_csv"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Embedding-distribution drift between two vector populations — the
+    * monitoring twin of the scalar drift family for the embedding
+    * column: per-dimension EXACT-decimal centroid means on each side,
+    * then the L2 norm of the mean-shift vector and the worst single
+    * dimension's |shift|. The signal a pipeline watches when the
+    * upstream encoder or corpus mix changes.
+    *
+    * Determinism: each mean is an order-independent DECIMAL(38,12) sum
+    * over exact float-widened elements (the [[labelCentroids]] policy,
+    * same ≤10⁻¹² element-level rounding caveat); the diff² sum runs
+    * through a position-ordered window and rounds at 6 dp.
+    *
+    * Plan shape: one posexplode + hash aggregate per side keyed by
+    * dimension (map-side combined, O(dim) rows out); everything after
+    * operates on the dim-sized frame. */
+  def centroidShift(a: DataFrame, b: DataFrame,
+                    vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    def dimMeans(df: DataFrame, out: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy("pos")
+      .agg((sum(col("e").cast("double").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as(out))
+    val wCum = Window.orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimMeans(a, "ma").join(dimMeans(b, "mb"), Seq("pos"))
+      .withColumn("diff", col("ma") - col("mb"))
+      .withColumn("cum", sum(col("diff") * col("diff")).over(wCum))
+      .agg(count(lit(1)).as("n_dims"),
+        round(sqrt(max("cum")), roundTo).as("l2_shift"),
+        round(max(abs(col("diff"))), roundTo).as("max_abs_shift"))
   }
 
   /** Per-label mean embedding (class centroids), one output row per

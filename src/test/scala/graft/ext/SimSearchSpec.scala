@@ -148,6 +148,21 @@ class SimSearchSpec extends SparkSpec {
     assert(out.filter(col("keep") =!= col("dup_of").isNull).isEmpty)
   }
 
+  test("centroidShift: zero against itself, positive under a real shift") {
+    val corpus = graft.Tables.embeddings(spark, Sf)
+    val self = SimSearch.centroidShift(corpus, corpus).collect()(0)
+    assert(self.getLong(0) == 64L && self.getDouble(1) == 0.0 && self.getDouble(2) == 0.0)
+    // shift one side by a constant vector → l2 ≈ sqrt(dim)·shift
+    val shifted = corpus.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.5f)))
+    val r = SimSearch.centroidShift(corpus, shifted).collect()(0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(64.0) * 0.5) < 0.01, r.toString)
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.01)
+    // partitioning invariance (decimal sums + ordered diff² window)
+    val again = SimSearch.centroidShift(corpus.repartition(9), shifted).collect()(0)
+    assert(again == r)
+  }
+
   test("pcaProject: k columns, deterministic within a session, energy-ordered") {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.linalg.Vectors
