@@ -52,14 +52,18 @@ object ExtCatalog {
       // seeded k-means mixture view — rows-only (no oracle), spec-gated
       SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),
     "x_dedup_clusters" -> ((s, d) =>
-      // pairs → connected components → survivor per cluster
+      // pairs → connected components → survivor per cluster. The pair
+      // source auto-dispatches: lossless AllPairs while the corpus is
+      // small, banded minhash (exact-verified collisions) past the
+      // ceiling — the quadratic AllPairs candidate volume is the one
+      // scale-killer in the clusters family.
       Dedup.dedupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+        Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "x_dedup_clusters_dist" -> ((s, d) =>
       // same pairs, the distributed min-label-propagation scale path —
       // output-identical to the driver union-find, same oracle
       Dedup.dedupClustersDistributed(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+        Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "t_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
     "t_entropy" -> ((s, d) =>

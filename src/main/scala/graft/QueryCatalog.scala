@@ -149,7 +149,12 @@ object QueryCatalog {
     }),
     "v6_linkage_risk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      Linkage.linkageRisk(
+      // Pinned to the exact physical form: this entry IS the oracle for
+      // the exact math (1 % subsets keep O(n·m) affordable at any SF the
+      // driver runs); the guarded `linkageRisk` entry point would give
+      // the same answer here but its estimate-based dispatch should not
+      // gate an oracle row.
+      Linkage.linkageRiskExact(
         li.filter(col("l_orderkey") % 100 === 0),
         li.filter(col("l_orderkey") % 100 === 50),
         Seq("l_quantity", "l_discount", "l_returnflag"))

@@ -29,6 +29,16 @@ object Dedup {
     * broadcast under ~50 MB of (hash, df) pairs. */
   val DfreqBroadcastMaxInputBytes: Long = 16L << 20
 
+  /** Input-size ceiling for the EXACT AllPairs path in
+    * [[nearDupPairsAuto]]. AllPairs is lossless but its pair OUTPUT (and
+    * the candidate set feeding it) grows quadratically with
+    * copies-per-duplicate-cluster, so it is the right tool only while
+    * the corpus is small enough that the quadratic term cannot matter;
+    * past this ceiling the banded minhash prefilter (band-bucket
+    * equi-join, exact-Jaccard verify on collisions only) is the shape
+    * that survives a 100× scale-up. */
+  val AllPairsExactMaxInputBytes: Long = 1L << 20
+
   /** Exact dedup: survivor id (min) + multiplicity per distinct text. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -146,6 +156,27 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy(col("ida"), col("idb"))
   }
+
+  /** Near-dup PAIR SOURCE with scale auto-dispatch — what downstream
+    * consumers (dedup clustering, survivor selection) should read instead
+    * of hardcoding one physical form: below
+    * [[AllPairsExactMaxInputBytes]] of input (optimizer scan estimate —
+    * free to evaluate, no job) the lossless [[ngramJaccardPairs]] runs;
+    * above it [[minhashLshPairs]] at an operating point (numPerms, bands)
+    * whose banding recalls every pair at or above `threshold` with high
+    * probability (collisions verify EXACTLY, so emitted pairs are always
+    * true pairs — the dispatch trades a vanishing miss probability for
+    * candidate volume that stays ~linear in corpus size). Both forms emit
+    * the same (ida, idb, jaccard) schema with exact Jaccard values, so
+    * the switch is invisible to consumers. */
+  def nearDupPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       numPerms: Int = 32, bands: Int = 8,
+                       maxExactInputBytes: Long = AllPairsExactMaxInputBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxExactInputBytes)
+      ngramJaccardPairs(df, textCol, idCol, n, threshold)
+    else
+      minhashLshPairs(df, textCol, idCol, n, numPerms, bands, threshold)
 
   /** Cross-corpus contamination: for every (corpus doc, probe doc) pair,
     * the CONTAINMENT |S_c ∩ S_p| / |S_p| — the fraction of the probe

@@ -208,11 +208,19 @@ object TextStats {
     * order), one division for the mean, 6-dp round.
     *
     * Scale shape: unigram/bigram count tables are vocab-sized hash
-    * aggregates; the pair frame joins them by key (shuffle joins — the
-    * tables grow with the vocabulary, not the corpus); the per-doc sum
-    * windows partition BY DOCUMENT, parallel across docs. */
+    * aggregates. While the INPUT corpus sits under the broadcast ceiling
+    * (optimizer scan estimate, [[Dedup.DfreqBroadcastMaxInputBytes]] —
+    * the same free plan-stats dispatch as the dedup document-frequency
+    * table) both count tables broadcast, so the pair frame never
+    * shuffles on its token keys — which matters doubly because the
+    * unigram key is stop-word-skewed (a shuffled `a`-join concentrates
+    * "the"/"and" pairs on single reducers). Past the ceiling both joins
+    * shuffle — the vocabulary grows with the corpus and the skew is
+    * diluted by the bigram join running first. Either way the per-doc
+    * sum windows partition BY DOCUMENT, parallel across docs. */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
-                    roundTo: Int = 6): DataFrame = {
+                    roundTo: Int = 6,
+                    maxBroadcastInputBytes: Long = Dedup.DfreqBroadcastMaxInputBytes): DataFrame = {
     val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
     val base = df.select(col(idCol).as("doc_id"), toks.as("ts"))
     val pairs = base.filter(size(col("ts")) >= 2)
@@ -227,9 +235,13 @@ object TextStats {
     val wCum = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val term = log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
+    val vocabSmall = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      maxBroadcastInputBytes
+    val biJ = if (vocabSmall) broadcast(bi) else bi
+    val uniJ = if (vocabSmall) broadcast(uni) else uni
     pairs
-      .join(bi, Seq("a", "b"))
-      .join(uni, Seq("a"))
+      .join(biJ, Seq("a", "b"))
+      .join(uniJ, Seq("a"))
       .crossJoin(broadcast(vRow))
       .withColumn("cum", sum(term).over(wCum))
       .groupBy("doc_id")

@@ -308,11 +308,20 @@ object Privacy {
   }
 
   /** Auto driver-fit ceiling for [[syntheticSample]]: below this
-    * optimizer scan-size estimate (≈10⁸ rows of a typical fact table)
-    * collecting the raw numeric columns beats any shuffle; above it the
-    * fused domain-shuffling job is the only safe path. Free to evaluate —
-    * plan statistics, no job. */
-  private val DriverFitMaxBytes = BigInt(8L) << 30
+    * optimizer scan-size estimate collecting the raw numeric columns
+    * beats any shuffle; above it the fused domain-shuffling histogram
+    * job takes over. Free to evaluate — plan statistics, no job.
+    *
+    * The ceiling is deliberately LOW (≈10⁶ rows of a typical fact
+    * table, far under what the driver could physically hold): the
+    * driver path's cost is a single-threaded O(n log n) sort plus
+    * collect bandwidth, so its wall time grows superlinearly long
+    * before memory is at risk, while the distributed fit is a flat
+    * map-side-combined aggregate whose shuffle is only value-DOMAIN
+    * sized. The crossover in practice sits near this estimate — an
+    * earlier 8 GiB ceiling kept the driver path in a region where a 4×
+    * input cost ~10× the wall time. */
+  private val DriverFitMaxBytes = BigInt(16L) << 20
 
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
                       seed: Long = 42L, driverFit: Option[Boolean] = None): DataFrame = {

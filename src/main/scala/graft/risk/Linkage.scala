@@ -16,8 +16,8 @@ import graft.ops.RowTransforms
   * 1 − d₀/(d₀ + 1e-9) (with k=1 the row max IS d₀, so the score collapses
   * to an exact-match detector); overall = clip(mean, 0, 1).
   *
-  * Two physical forms:
-  *  - [[linkageRisk]]: exact cross-join + min-per-row. O(n·m) — correct
+  * Two physical forms (auto-dispatched by [[linkageRisk]]):
+  *  - [[linkageRiskExact]]: exact cross-join + min-per-row. O(n·m) — correct
   *    choice up to ~10⁵×10⁵ pairs; Catalyst broadcasts the smaller side.
   *  - [[linkageRiskLSH]]: BucketedRandomProjectionLSH approximate
   *    similarity join for the 100 TB path (documented approximation:
@@ -46,6 +46,31 @@ object Linkage {
     (withHots, featCols)
   }
 
+  /** Ceiling on the PRODUCT of the two sides' optimizer scan estimates
+    * below which the exact O(n·m) cross join is allowed: (4 MB)² ≈
+    * 10⁵ × 10⁵ rows of pruned quasi-ID columns — the largest pair space
+    * where exact beats any index. Free to evaluate (plan statistics). */
+  val ExactMaxPairBytesProduct: BigInt = BigInt(4L << 20) * BigInt(4L << 20)
+
+  /** True when the exact cross-join pair space is affordable per
+    * [[ExactMaxPairBytesProduct]]; the [[linkageRisk]] dispatch guard. */
+  private[graft] def exactIsSafe(anon: DataFrame, real: DataFrame,
+                                 maxPairBytesProduct: BigInt = ExactMaxPairBytesProduct): Boolean =
+    anon.queryExecution.optimizedPlan.stats.sizeInBytes *
+      real.queryExecution.optimizedPlan.stats.sizeInBytes <= maxPairBytesProduct
+
+  /** V6 with a scale guard — the user-facing entry point: exact while
+    * the pair space is affordable ([[exactIsSafe]]), else fail over to
+    * [[linkageRiskLSH]] rather than silently planning an O(n·m) cross
+    * join (at full fact-table size that join is the one thing in this
+    * module that cannot survive a scale-up; the LSH answer differs only
+    * in far pairs' ≈0 score contributions). Force a path with
+    * [[linkageRiskExact]] / [[linkageRiskLSH]] directly. */
+  def linkageRisk(anon: DataFrame, real: DataFrame, quasi: Seq[String],
+                  maxPairBytesProduct: BigInt = ExactMaxPairBytesProduct): DataFrame =
+    if (exactIsSafe(anon, real, maxPairBytesProduct)) linkageRiskExact(anon, real, quasi)
+    else linkageRiskLSH(anon, real, quasi)
+
   /** Exact V6: overall risk score as a 1-row DataFrame (risk_score).
     *
     * The categorical part of the euclidean distance uses the algebraic
@@ -56,7 +81,7 @@ object Linkage {
     * hardcoded per-category CASE list: any category set, any subset,
     * bit-identical terms (each is exactly 0.0 / 1.0 / 2.0) and identical
     * addition order (numeric terms first, then one term per cat column). */
-  def linkageRisk(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
+  def linkageRiskExact(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
     val (nums, cats) = split(anon, quasi)
     val anonStd = RowTransforms.standardize(anon.select(quasi.map(col): _*), anon, nums)
     val realStd = RowTransforms.standardize(real.select(quasi.map(col): _*), anon, nums)

@@ -264,6 +264,33 @@ class PlanSpec extends SparkSpec {
       s"per-doc windows must partition by doc_id:\n$plan")
   }
 
+  test("bigram logprob: vocab-sized count tables broadcast below the ceiling, shuffle above") {
+    val docs = Tables.documents(spark, Sf)
+    val small = graft.ext.TextStats.bigramLogProb(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // below the ceiling the stop-word-skewed unigram join and the bigram
+    // join must both ride broadcasts — the pair frame never shuffles on
+    // its token keys
+    assert(small.split("BroadcastHashJoin").length - 1 >= 2,
+      s"count tables should broadcast on a small corpus:\n$small")
+    assert(!small.contains("SortMergeJoin"),
+      s"no token-keyed shuffle join expected below the ceiling:\n$small")
+    // past the ceiling the joins fall back to shuffles (vocab grows with
+    // the corpus) — still equi-keyed, never nested-loop. Auto-broadcast
+    // is disabled here to emulate the large-corpus size estimates that
+    // make Catalyst choose shuffle joins on its own at real scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val large = graft.ext.TextStats.bigramLogProb(docs, "text", "doc_id",
+          maxBroadcastInputBytes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"),
+        s"forced-zero ceiling should shuffle the count joins:\n$large")
+      assert(!large.contains("CartesianProduct"), s"joins must stay keyed:\n$large")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhash delta: candidates come from a banded equi-join, never cross") {
     val plan = simplePlan("x_minhash_delta")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -286,5 +313,7 @@ class PlanSpec extends SparkSpec {
       l.trim.startsWith("Sort ") || l.contains("*Sort "))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
     assert(exchanges <= 1, s"chained q windows must reuse one user shuffle:\n$plan")
+    assert(sorts <= 2, s"chained q windows must share the (user, ts) sort " +
+      s"(one in-exchange sort + at most the final output order), saw $sorts:\n$plan")
   }
 }

@@ -93,6 +93,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("nearDupPairsAuto dispatches AllPairs below the ceiling, minhash above — same pairs") {
+    val real = graft.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaExact = Dedup.nearDupPairsAuto(real, "text", "doc_id", 3, 0.6,
+      maxExactInputBytes = Long.MaxValue)
+    val viaMinhash = Dedup.nearDupPairsAuto(real, "text", "doc_id", 3, 0.6,
+      maxExactInputBytes = 0L)
+    // the forced paths must be the two real physical forms, not one form twice
+    assert(viaExact.queryExecution.executedPlan.toString !=
+      viaMinhash.queryExecution.executedPlan.toString)
+    // on this corpus the banding recalls every ≥0.6 pair, and collisions
+    // verify with exact Jaccard — so the dispatch is output-invisible
+    assert(pairSet(viaExact) == pairSet(Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, 0.6)))
+    assert(pairSet(viaMinhash) == pairSet(viaExact))
+    // downstream clustering is therefore identical on both paths
+    val cExact = Dedup.dedupClusters(viaExact).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cMin = Dedup.dedupClusters(viaMinhash).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cExact == cMin)
+  }
+
   test("minhash signature: identical docs identical sigs; near-dups mostly agree") {
     val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("text"), 3, 32).as("sig"))

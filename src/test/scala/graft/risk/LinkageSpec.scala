@@ -83,6 +83,30 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("linkageRisk guard dispatches exact below the pair ceiling, LSH above") {
+    val anon = (1 to 40).map(i => (i.toDouble, if (i % 2 == 0) "A" else "B")).toDF("q", "f")
+    val real = anon
+    // tiny frames → pair space affordable → exact path
+    assert(Linkage.exactIsSafe(anon, real))
+    // forced-zero ceiling → guard must refuse the cross join
+    assert(!Linkage.exactIsSafe(anon, real, maxPairBytesProduct = BigInt(0)))
+    // both dispatch targets agree on this exact-match corpus, so the
+    // guard is output-invisible here while provably switching plans:
+    // the LSH physical form carries the hash-table generator; the exact
+    // form must not
+    val exactPlan = Linkage.linkageRisk(anon, real, Seq("q", "f"))
+      .queryExecution.executedPlan.toString
+    val lshPlan = Linkage.linkageRisk(anon, real, Seq("q", "f"), maxPairBytesProduct = BigInt(0))
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("UDF"), s"exact path must stay UDF-free:\n$exactPlan")
+    assert(exactPlan != lshPlan)
+    val viaGuardExact = Linkage.linkageRisk(anon, real, Seq("q", "f")).collect()(0).getDouble(0)
+    val viaGuardLsh = Linkage.linkageRisk(anon, real, Seq("q", "f"), maxPairBytesProduct = BigInt(0))
+      .collect()(0).getDouble(0)
+    assert(viaGuardExact == 1.0)
+    assert(math.abs(viaGuardLsh - 1.0) < 1e-6)
+  }
+
   test("LSH risk agrees with exact on an exact-match heavy pair") {
     val anon = (1 to 40).map(i => (i.toDouble, if (i % 2 == 0) "A" else "B")).toDF("q", "f")
     val real = anon
