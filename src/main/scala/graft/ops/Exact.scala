@@ -29,6 +29,13 @@ object Exact {
   def cents(c: Column): Column =
     (c.cast(DecimalType(18, 2)) * lit(100)).cast(LongType)
 
+  /** ⌊√Long.MaxValue⌋ — the largest |cents| whose self/cross products
+    * still fit a native long. Past it a long multiplication overflows —
+    * an ANSI abort of the whole job (or a silent wrap with ANSI off) —
+    * so every long-space cents product must be guarded by this bound and
+    * fall back to decimal multiplies beyond it. */
+  val LongSafeCentsAbsMax: Long = 3037000499L
+
   /** Exact first moment Σ cents as DECIMAL(19,0) — width 19 forces int128
     * storage in DuckDB so S1·S1 cannot overflow its int64 fast path. */
   def s1(c: Column): Column =

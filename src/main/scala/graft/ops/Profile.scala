@@ -302,15 +302,37 @@ object Profile {
     * is ONE wide aggregate: one scan, map-side combined, 6·C(k,2)
     * accumulators — never a per-pair job.
     *
-    * The per-row products multiply in native LONG space and cast ONCE to
-    * DECIMAL(21,0) for the exact sum — the [[Exact.s2]] recipe. The
-    * first formulation multiplied DECIMAL(19,0)s (a BigDecimal multiply
-    * per pair per row, ~140/row on the 8-column profile), which benched
-    * 100× slower on the identical values.
+    * The hot path is ALL-LONG per row — multiply in native long, then
+    * split each product into hi/lo 32-bit halves and sum the halves as
+    * plain longs (Σprod = 2³²·Σhi + Σlo, recombined in decimal over the
+    * C(k,2) RESULT rows only). Decimal never touches the per-row loop:
+    * summing DECIMAL(21,0)-cast products instead (precision > 18 ⇒
+    * non-compact accumulators) benched 7–8× slower on identical values,
+    * and multiplying DECIMAL(19,0)s ~100× slower.
     *
-    * Columns must be cents-representable with |cents| < ~3·10⁹ so the
-    * cross products stay inside long (the [[Exact.s2]] domain);
-    * ids/keys/prices in the harness tables all qualify. */
+    * Guards — exactness has two domain edges, each with a fallback:
+    *  - MAGNITUDE: long products are exact only while every |cents| stays
+    *    under ⌊√Long.Max⌋ ≈ 3.04·10⁹ ([[Exact.LongSafeCentsAbsMax]]);
+    *    past it an ANSI session aborts mid-job, a non-ANSI one wraps
+    *    silently. A per-row CaseWhen gate keeps unsafe rows from ever
+    *    multiplying, and a max-|cents| accumulator RIDING THE SAME
+    *    AGGREGATE detects them: if any group exceeded the bound the
+    *    optimistic result is discarded and the products re-aggregate as
+    *    DECIMAL(19,0) multiplies — slow but exact at any magnitude.
+    *  - ROW COUNT: the hi/lo partial sums themselves stay inside long
+    *    only while n ≤ ~2·10⁹ rows ([[HiLoSafeMaxRows]]); a pre-flight
+    *    `df.count()` (empty-schema parquet scan, nearly free) routes
+    *    bigger inputs straight to the decimal form.
+    * Every form feeds identical exact sums into the same final double
+    * expression, so the dispatch is output-invisible. Both guards are
+    * data-based — plan statistics see neither value ranges nor exact
+    * row counts. */
+  /** Row-count ceiling for [[correlationMatrix]]'s hi/lo long partial
+    * sums: Σlo grows ≤ n·(2³²−1), so n must stay under
+    * Long.Max/(2³²−1) ≈ 2.15·10⁹; 2·10⁹ leaves margin. Bigger inputs
+    * take the decimal form. */
+  val HiLoSafeMaxRows: Long = 2000000000L
+
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -337,13 +359,65 @@ object Profile {
     val ex = proj.select(explode(array(entries: _*)).as("e"))
       .select(col("e.pi").as("pi"), col("e.x").as("x"), col("e.y").as("y"))
     val m = col("x").isNotNull && col("y").isNotNull
-    val g = ex.groupBy("pi").agg(
-      count(when(m, lit(1))).as("n"),
-      sum(when(m, col("x")).cast(DecimalType(19, 0))).as("sx"),
-      sum(when(m, col("y")).cast(DecimalType(19, 0))).as("sy"),
-      sum((col("x") * col("y")).cast(DecimalType(21, 0))).as("sxy"),
-      sum(when(m, col("x") * col("x")).cast(DecimalType(21, 0))).as("sxx"),
-      sum(when(m, col("y") * col("y")).cast(DecimalType(21, 0))).as("syy"))
+    // per-row gate: CaseWhen branches evaluate lazily, so rows past the
+    // long-product domain never multiply (an ungated ANSI multiply would
+    // abort the job; try_multiply would survive but evicts the stage
+    // from codegen — 8× slower). Gated-out rows sum as NULL and force
+    // mabs past the bound, so the guard always discards this pass before
+    // the dropped products could matter.
+    val safeB = lit(Exact.LongSafeCentsAbsMax)
+    val inDomain = abs(col("x")) <= safeB && abs(col("y")) <= safeB
+    def hi(c: Column): Column = shiftright(c, 32)
+    def lo(c: Column): Column = c.bitwiseAND(lit(0xFFFFFFFFL))
+    val pxy = col("x") * col("y")
+    val pxx = col("x") * col("x")
+    val pyy = col("y") * col("y")
+    // exact at any magnitude (DECIMAL(19,0) multiplies), any row count
+    def decimalAgg: DataFrame =
+      ex.groupBy("pi").agg(
+        count(when(m, lit(1))).as("n"),
+        sum(when(m, col("x")).cast(DecimalType(19, 0))).as("sx"),
+        sum(when(m, col("y")).cast(DecimalType(19, 0))).as("sy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("sxy"),
+        sum(when(m, col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))).as("sxx"),
+        sum(when(m, col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))).as("syy"))
+    val hiLoRowSafe = df.count() <= HiLoSafeMaxRows
+    val g: DataFrame =
+      if (!hiLoRowSafe) decimalAgg
+      else {
+        val gLong = ex.groupBy("pi").agg(
+          count(when(m, lit(1))).as("n"),
+          sum(when(m && inDomain, col("x"))).as("sx_l"),
+          sum(when(m && inDomain, col("y"))).as("sy_l"),
+          sum(when(inDomain, hi(pxy))).as("sxy_hi"),
+          sum(when(inDomain, lo(pxy))).as("sxy_lo"),
+          sum(when(m && inDomain, hi(pxx))).as("sxx_hi"),
+          sum(when(m && inDomain, lo(pxx))).as("sxx_lo"),
+          sum(when(m && inDomain, hi(pyy))).as("syy_hi"),
+          sum(when(m && inDomain, lo(pyy))).as("syy_lo"),
+          greatest(max(abs(col("x"))), max(abs(col("y")))).as("mabs"))
+        // the optimistic result is C(k,2) rows — collect it, check the
+        // magnitude probe, and either keep it as a LocalRelation or
+        // discard and re-run in decimal space (two scans only when the
+        // data actually needs 128-bit products)
+        val optimistic = gLong.collect()
+        val mabsIdx = gLong.schema.fieldIndex("mabs")
+        val longSafe = optimistic.forall(r =>
+          r.isNullAt(mabsIdx) || r.getLong(mabsIdx) <= Exact.LongSafeCentsAbsMax)
+        if (!longSafe) decimalAgg
+        else {
+          def comb(h: String, l: String): Column =
+            col(h).cast(DecimalType(38, 0)) * lit(4294967296L) +
+              col(l).cast(DecimalType(38, 0))
+          spark.createDataFrame(java.util.Arrays.asList(optimistic: _*), gLong.schema)
+            .select(col("pi"), col("n"),
+              col("sx_l").cast(DecimalType(19, 0)).as("sx"),
+              col("sy_l").cast(DecimalType(19, 0)).as("sy"),
+              comb("sxy_hi", "sxy_lo").as("sxy"),
+              comb("sxx_hi", "sxx_lo").as("sxx"),
+              comb("syy_hi", "syy_lo").as("syy"))
+        }
+      }
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val num = nd * d("sxy") - d("sx") * d("sy")

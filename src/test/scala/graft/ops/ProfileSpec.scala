@@ -119,6 +119,21 @@ class ProfileSpec extends SparkSpec {
     assert(r2.getDouble(3) == -1.0)
   }
 
+  test("correlationMatrix: columns past the long-safe cents domain stay exact (decimal fallback)") {
+    // |cents| = 1e11 > ⌊√Long.Max⌋ ≈ 3.04e9 — the long-multiply form
+    // would wrap silently here; the magnitude guard must take the
+    // decimal branch and still return the exact answer
+    val big = Seq((1.0e9, 3.0e9), (2.0e9, 2.0e9), (3.0e9, 1.0e9)).toDF("a", "b")
+    val r = Profile.correlationMatrix(big, Seq("a", "b")).collect()(0)
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == -1.0, s"expected exact -1.0, got ${r.getDouble(3)}")
+    // mixed: one safe + one oversized column — whole matrix goes decimal,
+    // answers unchanged (y = 2x → exactly 1)
+    val mixed = Seq((1.0, 2.0e9), (2.0, 4.0e9), (3.0, 6.0e9)).toDF("x", "y")
+    val rm = Profile.correlationMatrix(mixed, Seq("x", "y")).collect()(0)
+    assert(rm.getDouble(3) == 1.0)
+  }
+
   test("categoryEntropy: constant → 0, uniform → ln k, nulls bucket as NA") {
     val df = Seq(
       (Some("c"), "a"), (Some("c"), "b"), (Some("c"), "c"), (None, "d"))
