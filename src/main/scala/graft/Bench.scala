@@ -1,10 +1,36 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+
 /** Benchmark main: times every catalog query at the target scale factor
   * and prints ONE JSON line. A warmup pass (table counts + the catalog at
   * the smallest available scale factor) absorbs JVM/codegen/parquet-footer
   * startup so per-query numbers measure the operators, not janino/C2. */
 object Bench {
+
+  /** Force FULL materialization of every output row and column, without
+    * shipping data to the driver.
+    *
+    * `df.count()` is NOT a benchmark action: Catalyst prunes everything
+    * the count doesn't need, so a count over a wide aggregate times only
+    * the grouping (the aggregate functions are optimized away) and a
+    * count over a projection times a zero-column scan. Executing the
+    * analyzed plan's own InternalRow RDD produces every output row with
+    * all columns computed — the work a real consumer of the query pays. */
+  def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  /** One timed, fully-materialized execution behind a GC barrier. The
+    * barrier keeps one query's garbage (an MLlib fit, a big broadcast)
+    * from being collected inside the NEXT query's wall time — the
+    * run-order contamination that made round-4 numbers partly
+    * untrustworthy. */
+  def timed(fn: => DataFrame): Double = {
+    System.gc()
+    val t0 = System.nanoTime()
+    materialize(fn)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(appName = "graft-bench")
@@ -15,10 +41,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Warmup 2: run the whole catalog at a SMALLER scale factor so codegen
-    // compilation and JIT happen before the timed pass. If no smaller
-    // directory exists we skip this pass entirely — running it at the
-    // target scale would double wall time and fully warm the page cache,
-    // overstating steady-state numbers for cold-read workloads.
+    // compilation and JIT happen before the timed pass — MATERIALIZED like
+    // the timed pass, because a count()-pruned plan compiles different
+    // generated classes than the plan the timed pass executes. If no
+    // smaller directory exists we skip this pass entirely — running it at
+    // the target scale would double wall time and fully warm the page
+    // cache, overstating steady-state numbers for cold-read workloads.
     val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
       val guess = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
       Option.when(guess != sfDir && new java.io.File(guess).isDirectory)(guess)
@@ -26,7 +54,7 @@ object Bench {
     warmDir match {
       case Some(dir) =>
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, dir).count() catch { case _: Throwable => () }
+          try materialize(fn(spark, dir)) catch { case _: Throwable => () }
         }
       case None =>
         System.err.println("[bench] no smaller scale-factor dir found; skipping catalog warmup")
@@ -35,13 +63,13 @@ object Bench {
     // Timed pass. A query that throws is reported with value -1 (and
     // listed under "failed") so a failure can't masquerade as a timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val (v, ok) =
+        try (timed(fn(spark, sfDir)), true)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          (-1.0, false)
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, v, ok)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

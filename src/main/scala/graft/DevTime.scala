@@ -10,8 +10,11 @@ object DevTime {
     val names = args.tail
     val spark = Sessions.local(appName = "graft-devtime")
     names.foreach { name =>
+      // full materialization (Bench.materialize): a .count() here lets
+      // Catalyst prune the very work being timed
+      System.gc()
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n = Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
       println(f"[devtime] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

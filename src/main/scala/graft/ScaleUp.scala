@@ -66,11 +66,11 @@ object ScaleUp {
     dst
   }
 
-  /** Per-query wall seconds for the headline set at `dir`. */
+  /** Per-query wall seconds for the headline set at `dir` — fully
+    * materialized behind a GC barrier, like the main timed pass
+    * ([[Bench.timed]]). */
   def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] =
     Headline.map { n =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).count()
-      n -> (System.nanoTime() - t0) / 1e9
+      n -> Bench.timed(SparkEntry.queries(n)(spark, dir))
     }
 }

@@ -41,10 +41,21 @@ object Exact {
   def s1(c: Column): Column =
     sum(cents(c).cast(DecimalType(19, 0))).cast(DecimalType(19, 0))
 
-  /** Exact second moment Σ cents² as DECIMAL(21,0) per-row (≲1e14 each),
-    * summed exactly in decimal space. */
-  def s2(c: Column): Column =
-    sum((cents(c) * cents(c)).cast(DecimalType(21, 0))).cast(DecimalType(26, 0))
+  /** Exact second moment Σ cents², summed exactly in decimal space.
+    *
+    * The square multiplies in native long ONLY inside the long-safe
+    * domain ([[LongSafeCentsAbsMax]] — the CaseWhen branch is lazy, so
+    * in-domain rows never touch BigDecimal); |cents| beyond it (large
+    * ids/keys at big scale factors) squares as DECIMAL(19,0) — slower
+    * per such row but exact, where an ungated long multiply would abort
+    * the whole job under ANSI. Result width 38: Σ cents² can pass 10²⁶
+    * legitimately once big-id columns profile at scale. */
+  def s2(c: Column): Column = {
+    val v = cents(c)
+    val sq = when(abs(v) <= lit(LongSafeCentsAbsMax), (v * v).cast(DecimalType(38, 0)))
+      .otherwise(v.cast(DecimalType(19, 0)) * v.cast(DecimalType(19, 0)))
+    sum(sq).cast(DecimalType(38, 0))
+  }
 
   /** mean = S1/100/n with fixed double op order. */
   def meanFromMoments(s1: Column, n: Column): Column =
@@ -428,7 +439,9 @@ object Exact {
     s"CAST(SUM(CAST(${centsSql(c)} AS DECIMAL(19,0))) AS DECIMAL(19,0))"
 
   def s2Sql(c: String): String =
-    s"CAST(SUM(CAST(${centsSql(c)} * ${centsSql(c)} AS DECIMAL(21,0))) AS DECIMAL(26,0))"
+    s"CAST(SUM(CASE WHEN ABS(${centsSql(c)}) <= $LongSafeCentsAbsMax " +
+      s"THEN CAST(${centsSql(c)} * ${centsSql(c)} AS DECIMAL(38,0)) " +
+      s"ELSE CAST(${centsSql(c)} AS DECIMAL(19,0)) * CAST(${centsSql(c)} AS DECIMAL(19,0)) END) AS DECIMAL(38,0))"
 
   def meanSql(c: String): String =
     s"CAST(${s1Sql(c)} AS DOUBLE) / 100.0 / COUNT($c)"

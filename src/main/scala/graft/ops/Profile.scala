@@ -531,7 +531,7 @@ object Profile {
       .groupBy("column")
       .agg(sum("n").as("n"),
         sum("s1").cast(DecimalType(19, 0)).as("s1"),
-        sum("s2").cast(DecimalType(26, 0)).as("s2"),
+        sum("s2").cast(DecimalType(38, 0)).as("s2"),
         min("mn").as("mn"), max("mx").as("mx"))
 
   /** Publish (column, n, mean, std, min, max) from a moment state with

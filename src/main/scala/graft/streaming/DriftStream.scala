@@ -85,12 +85,18 @@ object DriftStream {
     val refKey = coalesce(col(c).cast("string"), lit("NA"))
     val refCounts: Seq[(String, Long)] = reference.select(refKey.as("k"))
       .groupBy("k").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(refCounts.nonEmpty, "empty reference")
-    val vocab = refCounts.take(maxCategories).map(_._1)
+    // keep the top-mass categories (count desc, key tie-break — taking
+    // the lexicographically-first keys instead would fold DOMINANT
+    // categories into __OTHER__ on any wide reference, gutting the drift
+    // signal), then order the kept set by key so the literal fold is
+    // deterministic and matches the batch metric's term order
+    val kept = refCounts.sortBy { case (k, n) => (-n, k) }.take(maxCategories)
+    val vocab = kept.map(_._1).sorted
     val refTotal = refCounts.map(_._2).sum.toDouble
     val pRefByK: Map[String, Double] =
-      refCounts.take(maxCategories).map { case (k, n) => k -> n / refTotal }.toMap
+      kept.map { case (k, n) => k -> n / refTotal }.toMap
     // fold order: vocabulary ascending, then the OTHER bucket (carrying
     // any reference tail mass past maxCategories)
     val keys = vocab :+ "__OTHER__"

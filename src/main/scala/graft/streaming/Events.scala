@@ -382,12 +382,19 @@ object EventsStream extends Serializable {
     * order, through the same chained-q rule as the batch window pass.
     * The watermark guarantees nothing older can still arrive, so the
     * finalized prefix — and every emission — is identical to the batch
-    * result on the same data. State is bounded: the buffer holds at most
-    * one watermark-delay's worth of a user's step events, and a user
-    * whose funnel completes keeps only the tiny q vector. */
+    * result on the same data. State is bounded two ways: the buffer holds
+    * at most one watermark-delay's worth of a user's step events, and a
+    * user idle (event-time) longer than `idleStateTTLMinutes` has their
+    * whole state REMOVED — without that, the per-user q tombstones grow
+    * monotonically with total user cardinality over the stream's
+    * lifetime. The TTL is the one deliberate deviation from exact batch
+    * parity: a user who re-appears after it re-qualifies steps from
+    * scratch (their first-reach memory is gone), so size the TTL to the
+    * domain's plausible return horizon. */
   def funnelStream(events: DataFrame,
                    steps: Seq[String] = Seq("view", "click", "purchase"),
-                   watermarkDelayMinutes: Int = 30)
+                   watermarkDelayMinutes: Int = 30,
+                   idleStateTTLMinutes: Long = 30L * 24 * 60)
       : org.apache.spark.sql.Dataset[StepReached] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -413,10 +420,23 @@ object EventsStream extends Serializable {
           out += StepReached(user, s + 1, steps(s), tsOf(us))
         }
       }
-      state.update(FunnelState(keep.map(_._1), keep.map(_._2), keep.map(_._3), q.toSeq))
-      if (keep.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(keep.map(_._1).max / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      if (buffered.isEmpty && incoming.isEmpty && state.hasTimedOut) {
+        // the idle-TTL timeout fired with nothing pending or processed
+        // this call (a RIPENING timeout always has buffered events, so
+        // it falls through and re-schedules): emissions are final — no
+        // event older than the watermark can arrive — drop the tombstone
+        state.remove()
+      } else {
+        state.update(FunnelState(keep.map(_._1), keep.map(_._2), keep.map(_._3), q.toSeq))
+        if (keep.nonEmpty)
+          // re-enter as soon as the watermark can ripen the buffer
+          state.setTimeoutTimestamp(
+            math.max(keep.map(_._1).max / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+        else
+          // buffer drained: schedule the tombstone's expiry
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idleStateTTLMinutes * 60000L)
+      }
       out.result().iterator
     }
 

@@ -84,6 +84,30 @@ class DriftStreamSpec extends SparkSpec {
     assert(oov.getLong(2) == 2L && !oov.isNullAt(3) && oov.getDouble(3) > 0.0)
   }
 
+  test("jsMonitor: wide reference keeps top-MASS categories, not the first keys") {
+    implicit val sc = spark.sqlContext
+    // 121 categories, maxCategories=100: the dominant one sorts LAST
+    // lexicographically, so a first-keys vocabulary would fold it into
+    // __OTHER__ and score it like a never-seen value
+    val reference = (Seq.fill(500)("zz_dominant") ++
+      (1 to 120).flatMap(i => Seq.fill(5)(f"a$i%03d"))).toDF("k")
+    def windowJs(value: String): Double = {
+      val mem = MemoryStream[(Timestamp, String)]
+      val q = DriftStream.jsMonitor(
+          mem.toDF().toDF("ts", "k"), reference, "k", tsCol = "ts")
+        .writeStream.format("memory").queryName(s"js_wide_$value")
+        .outputMode("complete").start()
+      mem.addData((1 to 10).map(_ => (t("10:05"), value)): _*)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(s"js_wide_$value").collect()(0).getDouble(3)
+    }
+    val familiar = windowJs("zz_dominant") // 45% of the reference mass
+    val novel = windowJs("yy_unseen")      // zero reference mass
+    assert(familiar < novel,
+      s"dominant ref category scored like a novel one: $familiar >= $novel")
+  }
+
   test("psiMonitor: watermark closes windows in append mode") {
     implicit val sc = spark.sqlContext
     val reference = (1 to 100).map(_.toDouble).toDF("v")

@@ -317,6 +317,45 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.table("funnel_out").filter(col("user_id") === 1).count() == 3)
   }
 
+  test("funnelStream: idle state is removed after the TTL, kept before it") {
+    implicit val sc = spark.sqlContext
+    // observable proxy for state size: a removed user re-emits step 1 on
+    // re-appearance (first-reach memory gone); a retained user does not
+    def emissions(ttlMinutes: Long): Seq[(Int, String)] = {
+      val mem = MemoryStream[Ev]
+      val name = s"funnel_ttl_$ttlMinutes"
+      val q = EventsStream.funnelStream(mem.toDF(), watermarkDelayMinutes = 30,
+          idleStateTTLMinutes = ttlMinutes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(Ev(1, t("10:00"), 1, "view", 0))
+      q.processAllAvailable()
+      // each batch advances the watermark (wm = max ts − 30 min at batch
+      // end, visible to timeouts the NEXT batch): 13:00 lifts wm past the
+      // 10:00 view; 16:00's batch ripens it and schedules the tombstone;
+      // 16:30's batch fires the tombstone expiry (wm 15:30 > ripen-time
+      // +1 min TTL) with no user-1 data → removal
+      Seq("13:00", "16:00", "16:30").zipWithIndex.foreach { case (ts, i) =>
+        mem.addData(Ev(10 + i, t(ts), 99, "view", 0))
+        q.processAllAvailable()
+      }
+      // user 1 re-appears; two more watermark pushes ripen the new view
+      mem.addData(Ev(4, t("17:00"), 1, "view", 0))
+      q.processAllAvailable()
+      Seq("20:00", "21:00").zipWithIndex.foreach { case (ts, i) =>
+        mem.addData(Ev(20 + i, t(ts), 99, "view", 0))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).filter(col("user_id") === 1).collect()
+        .map(r => (r.getInt(1), r.getString(2))).toSeq
+    }
+    // 1-minute TTL: tombstone expired before the 17:00 view → step 1 twice
+    assert(emissions(1L) == Seq((1, "view"), (1, "view")))
+    // default-scale TTL: memory retained → exactly one step-1 emission
+    assert(emissions(100000L) == Seq((1, "view")))
+  }
+
   test("retention: cohort day-0 counts every user once, offsets need later days") {
     def d(day: Int, m: String) = Timestamp.valueOf(f"2024-01-$day%02d $m:00")
     val evs = Seq(
