@@ -147,7 +147,69 @@ final class GraftSession(val spark: SparkSession) {
   def reportPdf(path: String, title: String = "SafeData Run",
                 clock: () => Instant = () => Instant.now()): String =
     graft.report.Pdf.writeFromHtml(report(title, clock), path)
+
+  /** The whole reference app flow as ONE invocation (`app.py:104-267`):
+    * upload → risk → protect → utility → compliance → report, driven by a
+    * single [[PipelineConfig]] — what a batch deployment of the reference
+    * actually needs, with the Streamlit reruns replaced by one pass of
+    * lazy plans and bounded fits.
+    *
+    * The returned report is the FULL reference artifact
+    * (`modules/reporting.py:36-49` `save_html_report(summary,
+    * risk_summary, util_stats, comp_df)`): run + risk summaries, stats
+    * BEFORE/AFTER, the drift table, the compliance checklist, and the
+    * bounded previews. Deterministic under a fixed `clock` + config
+    * `seed` — byte-stable across reruns and partitionings (every fit is
+    * exact-decimal / seeded), which is what makes the artifact diffable
+    * in CI.
+    *
+    * @param quasi  explicit quasi-identifiers; empty = V7 suggestions
+    * @param target optional label column for the D4 model-utility check
+    * @param pdfPath also linearize the report as a PDF (S5) when set */
+  def runPipeline(realDf: DataFrame, anonDf: DataFrame,
+                  config: PipelineConfig = PipelineConfig(),
+                  quasi: Seq[String] = Seq.empty,
+                  target: Option[String] = None,
+                  title: String = "SafeData Run",
+                  pdfPath: Option[String] = None,
+                  clock: () => Instant = () => Instant.now()): PipelineRun = {
+    uploadReal(realDf)
+    uploadAnon(anonDf)
+    val risk = assessRisk(quasi)
+    val prot = protect(config)
+    val utility = measureUtility(target)
+    val (checklist, complianceScore) = compliance()
+    val summary = RunSummary(
+      quasiIds = risk.quasi,
+      riskScore = Some(risk.riskScore),
+      rowsBefore = anon.map(_.count()),
+      rowsAfter = Some(prot.count()))
+    val riskJson =
+      s"""{"risk_score": ${risk.riskScore}, "quasi": ${risk.quasi.map(s => "\"" + s + "\"").mkString("[", ", ", "]")}}"""
+    val complianceJson = s"""{"checklist_score": $complianceScore}"""
+    val html = Html.render(title,
+      Seq("run summary" -> summary.toJson,
+        "risk summary" -> riskJson,
+        "compliance" -> complianceJson),
+      Seq("stats BEFORE" -> utility.statsBefore,
+        "stats AFTER" -> utility.statsAfter,
+        "distribution drift" -> utility.drift,
+        "compliance checklist" -> checklist,
+        "anon preview" -> anonDf,
+        "protected preview" -> prot) ++
+        utility.modelUtility.map("model utility" -> _),
+      clock = clock)
+    val pdf = pdfPath.map(p => graft.report.Pdf.writeFromHtml(html, p))
+    PipelineRun(risk, prot, utility, checklist, complianceScore, html, pdf)
+  }
 }
+
+/** Everything [[GraftSession.runPipeline]] produced, including the final
+  * report — the reference app's whole session output as one value. */
+final case class PipelineRun(risk: RiskResult, protectedDf: DataFrame,
+                             utility: UtilityResult, checklist: DataFrame,
+                             complianceScore: Double, reportHtml: String,
+                             pdfPath: Option[String])
 
 /** Reference `app.py:165`: overall score + quasi set. */
 final case class RiskResult(riskScore: Double, quasi: Seq[String])

@@ -53,6 +53,40 @@ class GraftSessionSpec extends SparkSpec {
     assert(html.contains("protected preview"))
   }
 
+  test("runPipeline: one invocation produces the full reference artifact, byte-stable") {
+    val cfg = PipelineConfig(
+      sdcCols = Seq("gender"), generalizeCols = Seq("income"),
+      dpCols = Seq("age"), epsilon = 1.0, seed = 42L)
+    val clock = () => Instant.parse("2026-01-01T00:00:00Z")
+    def run(): PipelineRun = new GraftSession(spark).runPipeline(
+      real, anon, cfg, target = Some("target"),
+      title = "SafeData Run", clock = clock)
+
+    val r1 = run()
+    // every step's output is in the one result
+    assert(r1.risk.riskScore == 1.0)
+    assert(r1.protectedDf.count() == 200)
+    assert(r1.checklist.count() == 12 && r1.complianceScore == 0.0)
+    // the report carries the reference's full artifact surface
+    //  (summary + risk + stats both sides + drift + checklist + previews)
+    for (section <- Seq("run summary", "risk summary", "compliance",
+        "stats BEFORE", "stats AFTER", "distribution drift",
+        "compliance checklist", "anon preview", "protected preview",
+        "model utility"))
+      assert(r1.reportHtml.contains(section), s"report missing: $section")
+    assert(r1.reportHtml.contains("\"risk_score\": 1.0"))
+
+    // fixed clock + seed ⇒ byte-stable across reruns (diffable in CI)
+    val r2 = run()
+    assert(r1.reportHtml == r2.reportHtml, "report must be byte-stable")
+
+    // PDF twin: deterministic bytes for the same report
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val p1 = new GraftSession(spark).runPipeline(real, anon, cfg,
+      target = Some("target"), pdfPath = Some(s"$dir/r1.pdf"), clock = clock)
+    assert(p1.pdfPath.exists(p => new java.io.File(p).length() > 0))
+  }
+
   test("S3 yaml config round-trips") {
     val cfg = PipelineConfig(sdcCols = Seq("gender", "city"), epsilon = 2.5,
       generalizeCols = Seq("income"), synthetic = true, seed = 7L)
