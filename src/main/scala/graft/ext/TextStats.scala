@@ -48,9 +48,17 @@ object TextStats {
   }
 
   /** Language prediction over a text column (shared by [[langId]] and
-    * [[corpusClean]]): marker-hit argmax, (score desc, lang asc) ties,
-    * zero hits → "und". */
-  private[graft] def langPred(textCol: Column): Column = {
+    * [[corpusClean]]): marker-hit argmax, DESC-struct-sort ties (largest
+    * lang code on equal scores — the rule both engines' sorts apply),
+    * zero hits → "und". Native one-pass kernel
+    * ([[graft.functions.LangPred]]); [[langPredHof]] keeps the original
+    * HOF spelling as the spec cross-check. */
+  private[graft] def langPred(textCol: Column): Column =
+    call_function("lang_pred", textCol)
+
+  /** The HOF spelling of [[langPred]] — identical output; retained as
+    * the property-test twin for the native kernel. */
+  private[graft] def langPredHof(textCol: Column): Column = {
     val t = tokens(textCol)
     val scores = LangMarkers.map { case (lang, markers) =>
       val arr = array(markers.map(lit): _*)
@@ -178,7 +186,8 @@ object TextStats {
     * [[tokenHash]] polynomial (never an engine-private hash), so
     * vectors are bit-identical in any engine and any partitioning.
     * ONE stateless codegen scan — the counts array builds in-row via
-    * filter-counts over the token-hash array; no shuffle, no state,
+    * the native single-pass `bucket_counts` kernel
+    * ([[graft.functions.BucketCounts]]); no shuffle, no state,
     * no vocabulary fit. Output rides as CSV for scalar-typed hash
     * gates (array form via [[hashEmbedVec]]). */
   def hashEmbed(df: DataFrame, textCol: String, idCol: String,
@@ -187,12 +196,15 @@ object TextStats {
       .select(col(idCol), array_join(col("v"), ",").as("tf_csv"))
       .orderBy(col(idCol))
 
-  /** The `dim`-length bucket-count ARRAY form of [[hashEmbed]]. */
+  /** The `dim`-length bucket-count ARRAY form of [[hashEmbed]]. One
+    * O(tokens) codegen pass per row — the HOF spelling
+    * (`transform(sequence, b -> size(filter(hs, = b)))`) re-scanned the
+    * token array once per bucket interpreted, which at dim=64 was the
+    * single most expensive query in the suite. */
   def hashEmbedVec(textCol: Column, dim: Int): Column = {
     val hs = transform(regexp_extract_all(lower(textCol), lit(BpeTokenPattern), lit(0)),
       t => pmod(tokenHash(t).cast("long"), lit(dim.toLong)))
-    transform(sequence(lit(0), lit(dim - 1)),
-      b => size(filter(hs, h => h === b.cast("long"))))
+    call_function("bucket_counts", hs, lit(dim))
   }
 
   /** Corpus-fitted bigram log-probability score — the statistical

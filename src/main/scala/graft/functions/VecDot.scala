@@ -107,6 +107,18 @@ object GraftFunctions {
       }
       MinhashSig(es.head, p)
     }),
+    ("lang_pred", classOf[LangPred].getName, es => {
+      require(es.length == 1, s"lang_pred expects 1 argument, got ${es.length}")
+      LangPred(es.head, graft.ext.TextStats.LangMarkers)
+    }),
+    ("bucket_counts", classOf[BucketCounts].getName, es => {
+      require(es.length == 2, s"bucket_counts expects (ids, dim), got ${es.length} args")
+      val d = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"bucket_counts dim must be an int literal, got $other")
+      }
+      BucketCounts(es.head, d)
+    }),
     ("empirical_sample", classOf[EmpiricalSample].getName, es => {
       require(es.length == 3, s"empirical_sample expects 3 arguments, got ${es.length}")
       def arr(e: Expression, what: String): Array[Double] = e match {

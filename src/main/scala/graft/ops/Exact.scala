@@ -57,6 +57,105 @@ object Exact {
     sum(sq).cast(DecimalType(38, 0))
   }
 
+  /** Row-count ceiling for the hi/lo long moment accumulators below:
+    * Σlo grows ≤ n·(2³²−1) and Σ|cents| ≤ n·[[LongSafeCentsAbsMax]], so
+    * both partial sums stay inside long only while n ≤ ~2.1·10⁹ rows;
+    * 2·10⁹ leaves margin. Callers pre-flight a `df.count()` (column-
+    * pruned scan — parquet footer counts, nearly free) and keep the
+    * decimal [[s1]]/[[s2]] forms past the ceiling. Plan-statistics
+    * `sizeInBytes` is NOT a safe proxy: RLE parquet can pack far below
+    * 1 B/row, so a byte ceiling bounds nothing. */
+  val HiLoSafeMaxRows: Long = 2000000000L
+
+  /** ALL-LONG per-row moment accumulators for one column — the hot-path
+    * form of [[s1]]+[[s2]] (identical exact sums, recombined by
+    * [[s1FromParts]]/[[s2FromParts]] AFTER the aggregate).
+    *
+    * Why: `sum(DECIMAL)` above precision 18 keeps a non-compact Decimal
+    * buffer, so the plain [[s2]] pays a BigDecimal add per row — benched
+    * 7–8× slower than long sums on identical values (the corr-matrix
+    * round-4 finding, [[Profile.correlationMatrix]]). Here every
+    * in-domain row (|cents| ≤ [[LongSafeCentsAbsMax]], i.e. every row of
+    * every real money column) updates FIVE long buffers: Σcents, Σhi/Σlo
+    * 32-bit halves of cents² (Σcents² = 2³²·Σhi + Σlo), and nothing
+    * decimal. Rows PAST the domain (big-id columns at large SF) flow
+    * into two decimal side-sums instead — exact DECIMAL(19,0) squares —
+    * so the decimal buffers exist but are touched only by rows that
+    * genuinely need 128-bit products. One pass, no magnitude probe, no
+    * re-run, exact at any magnitude; the only precondition is the
+    * [[HiLoSafeMaxRows]] row-count ceiling on the whole input. */
+  def momentParts(c: Column, p: String): Seq[Column] =
+    momentPartsPre(cents(c), p)
+
+  /** [[momentParts]] over an ALREADY-CONVERTED cents column. Callers
+    * should project `cents(c)` ONCE per column under the aggregate and
+    * pass the projected long here: the double→DECIMAL(18,2) round-trip
+    * is the only expensive per-row step, and referencing `cents(c)`
+    * inside each of the five slots re-runs it per slot per row (the
+    * corr-matrix 50× lesson — aggregate expressions don't reliably get
+    * subexpression elimination). Everything below is long compares,
+    * multiplies and shifts. */
+  def momentPartsPre(v: Column, p: String): Seq[Column] = {
+    val in = abs(v) <= lit(LongSafeCentsAbsMax)
+    val sq = v * v // only referenced under when(in, _): the branch is lazy
+    val vd = v.cast(DecimalType(19, 0))
+    Seq(
+      sum(when(in, v)).as(s"${p}__s1l"),
+      sum(when(!in, vd)).as(s"${p}__s1d"),
+      sum(when(in, shiftright(sq, 32))).as(s"${p}__s2hi"),
+      sum(when(in, sq.bitwiseAND(lit(0xFFFFFFFFL)))).as(s"${p}__s2lo"),
+      sum(when(!in, vd * vd)).as(s"${p}__s2d"))
+  }
+
+  /** [[s1]]/[[s2]] over an already-converted cents column (single cents
+    * evaluation per row — see [[momentPartsPre]]). */
+  def s1Pre(v: Column): Column =
+    sum(v.cast(DecimalType(19, 0))).cast(DecimalType(19, 0))
+
+  def s2Pre(v: Column): Column = {
+    val sq = when(abs(v) <= lit(LongSafeCentsAbsMax), (v * v).cast(DecimalType(38, 0)))
+      .otherwise(v.cast(DecimalType(19, 0)) * v.cast(DecimalType(19, 0)))
+    sum(sq).cast(DecimalType(38, 0))
+  }
+
+  /** Exact S1 from [[momentParts]] slots — null iff no non-null rows,
+    * matching `sum`'s semantics. */
+  def s1FromParts(p: String): Column = {
+    val l = col(s"${p}__s1l")
+    val d = col(s"${p}__s1d")
+    when(l.isNull && d.isNull, lit(null).cast(DecimalType(19, 0)))
+      .otherwise((coalesce(l.cast(DecimalType(19, 0)), lit(0)) +
+        coalesce(d, lit(0))).cast(DecimalType(19, 0)))
+  }
+
+  /** Exact S2 from [[momentParts]] slots (Σcents² = 2³²·Σhi + Σlo + Σdec). */
+  def s2FromParts(p: String): Column = {
+    val h = col(s"${p}__s2hi")
+    val d = col(s"${p}__s2d")
+    when(h.isNull && d.isNull, lit(null).cast(DecimalType(38, 0)))
+      .otherwise((coalesce(h.cast(DecimalType(20, 0)) * lit(4294967296L), lit(0)) +
+        coalesce(col(s"${p}__s2lo").cast(DecimalType(20, 0)), lit(0)) +
+        coalesce(d, lit(0))).cast(DecimalType(38, 0)))
+  }
+
+  /** [[s1]]/[[s2]] aggregate slots with the row-count dispatch applied:
+    * the hi/lo long parts inside the ceiling, the decimal forms past it.
+    * Pair with [[s1Col]]/[[s2Col]] using the same `hiLo` flag. */
+  def momentAggs(c: Column, p: String, hiLo: Boolean): Seq[Column] =
+    if (hiLo) momentParts(c, p)
+    else Seq(s1(c).as(s"${p}__s1"), s2(c).as(s"${p}__s2"))
+
+  /** [[momentAggs]] over an already-converted cents column. */
+  def momentAggsPre(v: Column, p: String, hiLo: Boolean): Seq[Column] =
+    if (hiLo) momentPartsPre(v, p)
+    else Seq(s1Pre(v).as(s"${p}__s1"), s2Pre(v).as(s"${p}__s2"))
+
+  def s1Col(p: String, hiLo: Boolean): Column =
+    if (hiLo) s1FromParts(p) else col(s"${p}__s1")
+
+  def s2Col(p: String, hiLo: Boolean): Column =
+    if (hiLo) s2FromParts(p) else col(s"${p}__s2")
+
   /** mean = S1/100/n with fixed double op order. */
   def meanFromMoments(s1: Column, n: Column): Column =
     s1.cast("double") / 100.0 / n
@@ -301,6 +400,23 @@ object Exact {
     var off = 0
     parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
     out
+  }
+
+  /** Above this row count, driver-side quantile fits (collect + sort)
+    * stop being the cheap path (10⁷ rows × 8 B ≈ 80 MB/column) and
+    * callers switch to an in-plan form — the shared ceiling for
+    * `Profile.profile`, `RowTransforms.winsorize`/`robustScale`. */
+  val DriverFitMaxRows: Long = 10_000_000L
+
+  /** Linear-interpolated quantile of an ALREADY-SORTED array — the same
+    * h = p·(n−1) selection and [[interp]] formula as every other exact
+    * quantile path (== DuckDB `quantile_cont`). NaN on empty input. */
+  def quantileFromSorted(arr: Array[Double], p: Double): Double = {
+    val n = arr.length
+    if (n == 0) return Double.NaN
+    val h = p * (n - 1)
+    val i = math.floor(h).toInt
+    if (h == math.floor(h)) arr(i) else interp(arr(i), arr(i + 1), h - math.floor(h))
   }
 
   /** Exact quantiles by collecting the RAW double column to the driver

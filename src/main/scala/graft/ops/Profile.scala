@@ -54,21 +54,33 @@ object Profile {
     // count_distinct (each one multiplies its Expand factor) only for the
     // rare column the fit can't certify (non-finite / >2-decimals at
     // scale).
+    val nRows = if (numCols.isEmpty) 0L else df.count()
+    // moment accumulators: hi/lo long sums inside the row ceiling (every
+    // in-domain row updates long buffers only — no per-row BigDecimal),
+    // plain decimal sums past it
+    val hiLo = nRows <= Exact.HiLoSafeMaxRows
     val quantiles: Map[String, Exact.QuantFit] =
       if (numCols.isEmpty) Map.empty
-      else if (df.count() <= DriverSortMaxRows)
+      else if (nRows <= DriverSortMaxRows)
         Exact.quantilesViaDriverSortMulti(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
       else
         Exact.quantilesMultiCentsHistogram(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
 
-    // One wide aggregate covering every column's scan-side stats.
+    // One wide aggregate covering every column's scan-side stats. The
+    // cents conversion (the only expensive per-row step — a BigDecimal
+    // round-trip) is projected ONCE per column under the aggregate;
+    // count/min/max still read the original value (NaN counts as
+    // non-null there but cents-converts to null).
+    def centsName(c: String) = s"__cents_$c"
+    val proj = df.select(
+      df.columns.map(col).toSeq ++
+        numCols.map(c => Exact.cents(col(c)).as(centsName(c))): _*)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__n_total")) ++
       numCols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__n")) ++
+        Exact.momentAggsPre(col(centsName(c)), c, hiLo) ++
         Seq(
-          count(col(c)).as(s"${c}__n"),
-          Exact.s1(col(c)).as(s"${c}__s1"),
-          Exact.s2(col(c)).as(s"${c}__s2"),
           min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max")) ++
         (if (quantiles(c).nUnique.isEmpty)
@@ -77,51 +89,74 @@ object Profile {
         (if (quantiles(c).quantiles.isEmpty)
           Seq(expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__q"))
         else Nil)
-      } ++
-      othCols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"${c}__n"),
-          count_distinct(col(c)).as(s"${c}__uniq"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
       }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // String/date/timestamp columns are NOT in the wide agg: a string
+    // min/max buffer is immutable in UnsafeRow, which demotes the WHOLE
+    // aggregate to an un-codegen'd SortAggregate, and their
+    // count_distincts add an Expand multiplying every row — together
+    // that made the interpreted wide agg the entire profile cost (13 s+
+    // at sf0.1). Their stats come from per-column value-count groupBys
+    // below instead — value-domain-sized, fully codegen'd, and shared
+    // with the mode computation via ReuseExchange.
+    val wide = proj.agg(aggs.head, aggs.tail: _*)
 
-    // Re-shape the single wide row into one struct per column, then explode.
+    // Re-shape the single wide row into one struct per NUMERIC column.
     val rowStructs: Seq[Column] =
-      fields.map { f =>
-        val c = f.name
+      numCols.toSeq.map { c =>
         val uniqCol =
-          if (isNum(f.dataType) && quantiles(c).nUnique.isDefined)
-            lit(quantiles(c).nUnique.get)
+          if (quantiles(c).nUnique.isDefined) lit(quantiles(c).nUnique.get)
           else col(s"${c}__uniq")
-        val base = Seq(
+        val q: Int => Column = quantiles(c).quantiles match {
+          case Some(vs) => i =>
+            if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
+          case None => i => col(s"${c}__q").getItem(i)
+        }
+        struct(
           lit(c).as("column"),
-          lit(dtypeName(f.dataType)).as("dtype"),
+          lit(dtypeName(fields.find(_.name == c).get.dataType)).as("dtype"),
           col("__n_total").as("n_total"),
           (col("__n_total") - col(s"${c}__n")).as("n_missing"),
           ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
             .as("missing_pct"),
-          uniqCol.as("n_unique"))
-        val numeric =
-          if (isNum(f.dataType)) {
-            val q: Int => Column = quantiles(c).quantiles match {
-              case Some(vs) => i =>
-                if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
-              case None => i => col(s"${c}__q").getItem(i)
-            }
-            Seq(
-            Exact.meanFromMoments(col(s"${c}__s1"), col(s"${c}__n")).as("mean"),
-            Exact.stdFromMoments(col(s"${c}__s1"), col(s"${c}__s2"), col(s"${c}__n")).as("std"),
-            col(s"${c}__min").as("min_num"),
-            q(0).as("p25"),
-            q(1).as("median"),
-            q(2).as("p75"),
-            col(s"${c}__max").as("max_num"),
-            lit(null).cast("string").as("min_str"),
-            lit(null).cast("string").as("max_str"))
-          }
-          else Seq(
+          uniqCol.as("n_unique"),
+          Exact.meanFromMoments(Exact.s1Col(c, hiLo), col(s"${c}__n")).as("mean"),
+          Exact.stdFromMoments(Exact.s1Col(c, hiLo), Exact.s2Col(c, hiLo), col(s"${c}__n")).as("std"),
+          col(s"${c}__min").as("min_num"),
+          q(0).as("p25"),
+          q(1).as("median"),
+          q(2).as("p75"),
+          col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      }
+    val numRows: Option[DataFrame] =
+      if (numCols.isEmpty) None
+      else Some(wide.select(explode(array(rowStructs: _*)).as("r")).select(col("r.*")))
+
+    // One value-count groupBy per non-numeric column; the stats row and
+    // the mode top-1 both consume it, so the scan + shuffle dedup via
+    // ReuseExchange (identical canonical plans).
+    def valueCountsFor(c: String): DataFrame =
+      df.groupBy(col(c).as("top_value")).agg(count(lit(1)).as("top_freq"))
+
+    val othRows: Option[DataFrame] = othCols.toSeq match {
+      case Nil => None
+      case cs => Some(cs.map { c =>
+        val dt = dtypeName(fields.find(_.name == c).get.dataType)
+        valueCountsFor(c)
+          .agg(
+            coalesce(sum(col("top_freq")), lit(0L)).as("nt"),
+            coalesce(sum(when(col("top_value").isNotNull, col("top_freq"))), lit(0L)).as("nn"),
+            count(col("top_value")).as("uniq"),
+            min(col("top_value")).cast("string").as("mn"),
+            max(col("top_value")).cast("string").as("mx"))
+          .select(
+            lit(c).as("column"),
+            lit(dt).as("dtype"),
+            col("nt").as("n_total"),
+            (col("nt") - col("nn")).as("n_missing"),
+            ((col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
+            col("uniq").as("n_unique"),
             lit(null).cast("double").as("mean"),
             lit(null).cast("double").as("std"),
             lit(null).cast("double").as("min_num"),
@@ -129,13 +164,18 @@ object Profile {
             lit(null).cast("double").as("median"),
             lit(null).cast("double").as("p75"),
             lit(null).cast("double").as("max_num"),
-            col(s"${c}__min").as("min_str"),
-            col(s"${c}__max").as("max_str"))
-        struct(base ++ numeric: _*)
-      }
-    val exploded = wide
-      .select(explode(array(rowStructs: _*)).as("r"))
-      .select(col("r.*"))
+            col("mn").as("min_str"),
+            col("mx").as("max_str"))
+      }.reduce(_ unionByName _))
+    }
+
+    val exploded = (numRows, othRows) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalArgumentException("profile: input has no columns")
+    }
 
     // Mode (top-1 with pandas' smallest-on-tie rule) per string column —
     // small groupBy shuffles, joined back by column name.
@@ -143,8 +183,8 @@ object Profile {
       case Nil => None
       case cs =>
         val tops = cs.map { c =>
-          val vc = df.groupBy(col(c).as("top_value")).agg(count(lit(1)).as("top_freq"))
-          vc.orderBy(col("top_freq").desc, col("top_value").asc)
+          valueCountsFor(c)
+            .orderBy(col("top_freq").desc, col("top_value").asc)
             .limit(1)
             .withColumn("column", lit(c))
             .select(col("column"), col("top_value"), col("top_freq"))
@@ -249,10 +289,12 @@ object Profile {
       .filter(col("cnt") < threshold)
       .orderBy(col("value").asc_nulls_first)
 
-  /** A5 distinct count per column (one wide aggregate, one pass). */
+  /** A5 distinct count per column (one wide aggregate, one pass; widened
+    * — the multi-distinct Expand multiplies every input row by the
+    * column count, so a single-split scan pays it all on one core). */
   def distinctCounts(df: DataFrame): DataFrame = {
     val aggs = df.columns.map(c => count_distinct(col(c)).as(s"${c}__u"))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = Par.widen(df).agg(aggs.head, aggs.tail: _*)
     val structs = df.columns.map(c =>
       struct(lit(c).as("column"), col(s"${c}__u").as("n_unique")))
     wide.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
@@ -269,15 +311,18 @@ object Profile {
     * `or 1.0` fallback (NaN from a single row, 0 from a constant column —
     * both become 1.0; `modules/privacy.py:44`). */
   def muSigma(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val hiLo = df.count() <= Exact.HiLoSafeMaxRows
+    // cents projected once per column under the aggregate (momentPartsPre)
+    val proj = df.select(cols.map(c => col(c)) ++
+      cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__n"),
-          Exact.s1(col(c)).as(s"${c}__s1"),
-          Exact.s2(col(c)).as(s"${c}__s2"))
+      Seq(count(col(c)).as(s"${c}__n")) ++
+        Exact.momentAggsPre(col(s"__cents_$c"), c, hiLo)
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = proj.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
-      val mu = Exact.meanFromMoments(col(s"${c}__s1"), col(s"${c}__n"))
-      val sd = Exact.stdFromMoments(col(s"${c}__s1"), col(s"${c}__s2"), col(s"${c}__n"))
+      val mu = Exact.meanFromMoments(Exact.s1Col(c, hiLo), col(s"${c}__n"))
+      val sd = Exact.stdFromMoments(Exact.s1Col(c, hiLo), Exact.s2Col(c, hiLo), col(s"${c}__n"))
       val sdSafe = when(col(s"${c}__n") < 2, 1.0)
         .when(sd === 0.0, 1.0)
         .otherwise(sd)
@@ -310,28 +355,26 @@ object Profile {
     * non-compact accumulators) benched 7–8× slower on identical values,
     * and multiplying DECIMAL(19,0)s ~100× slower.
     *
-    * Guards — exactness has two domain edges, each with a fallback:
+    * Guards — exactness has two domain edges, neither of which costs a
+    * re-run:
     *  - MAGNITUDE: long products are exact only while every |cents| stays
     *    under ⌊√Long.Max⌋ ≈ 3.04·10⁹ ([[Exact.LongSafeCentsAbsMax]]);
     *    past it an ANSI session aborts mid-job, a non-ANSI one wraps
     *    silently. A per-row CaseWhen gate keeps unsafe rows from ever
-    *    multiplying, and a max-|cents| accumulator RIDING THE SAME
-    *    AGGREGATE detects them: if any group exceeded the bound the
-    *    optimistic result is discarded and the products re-aggregate as
-    *    DECIMAL(19,0) multiplies — slow but exact at any magnitude.
+    *    multiplying in long: they flow into DECIMAL(19,0) side-sums
+    *    RIDING THE SAME AGGREGATE (Σ = long part + decimal part). The
+    *    decimal buffers exist in every group but are touched only by
+    *    rows that genuinely need 128-bit products, so a big-id column
+    *    costs decimal adds for exactly its out-of-domain rows — not a
+    *    discarded pass plus a full decimal re-scan.
     *  - ROW COUNT: the hi/lo partial sums themselves stay inside long
-    *    only while n ≤ ~2·10⁹ rows ([[HiLoSafeMaxRows]]); a pre-flight
-    *    `df.count()` (empty-schema parquet scan, nearly free) routes
-    *    bigger inputs straight to the decimal form.
+    *    only while n ≤ ~2·10⁹ rows ([[Exact.HiLoSafeMaxRows]]); a
+    *    pre-flight `df.count()` (empty-schema parquet scan, nearly free)
+    *    routes bigger inputs straight to the all-decimal form.
     * Every form feeds identical exact sums into the same final double
     * expression, so the dispatch is output-invisible. Both guards are
     * data-based — plan statistics see neither value ranges nor exact
     * row counts. */
-  /** Row-count ceiling for [[correlationMatrix]]'s hi/lo long partial
-    * sums: Σlo grows ≤ n·(2³²−1), so n must stay under
-    * Long.Max/(2³²−1) ≈ 2.15·10⁹; 2·10⁹ leaves margin. Bigger inputs
-    * take the decimal form. */
-  val HiLoSafeMaxRows: Long = 2000000000L
 
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
@@ -345,7 +388,9 @@ object Profile {
     // BigDecimal round-trip ~28× per column per row (50× wall slowdown on
     // the 8-column profile). A double NaN cents-converts to null and so
     // drops from a pair's rows like a null — pandas' missing semantics.
-    val proj = df.select(cols.map(c => Exact.cents(col(c)).as(c)): _*)
+    // widen BEFORE the ×C(k,2) explode: the narrow fan-out+aggregate is
+    // the CPU cost, and a single-split scan would run it on one core
+    val proj = Par.widen(df.select(cols.map(c => Exact.cents(col(c)).as(c)): _*))
     // Shape: explode each row into C(k,2) (pair, x, y) entries and hash-
     // aggregate BY PAIR with six accumulators. The flat one-row form
     // (6·C(k,2) aggregates in one wide agg) generates an update method
@@ -381,11 +426,16 @@ object Profile {
         sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("sxy"),
         sum(when(m, col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))).as("sxx"),
         sum(when(m, col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))).as("syy"))
-    val hiLoRowSafe = df.count() <= HiLoSafeMaxRows
+    val hiLoRowSafe = df.count() <= Exact.HiLoSafeMaxRows
     val g: DataFrame =
       if (!hiLoRowSafe) decimalAgg
       else {
-        val gLong = ex.groupBy("pi").agg(
+        val xd = col("x").cast(DecimalType(19, 0))
+        val yd = col("y").cast(DecimalType(19, 0))
+        // hybrid: in-domain rows update only long buffers; out-of-domain
+        // rows update only the decimal side-sums — one pass, exact at
+        // any magnitude, no probe/re-run
+        val gParts = ex.groupBy("pi").agg(
           count(when(m, lit(1))).as("n"),
           sum(when(m && inDomain, col("x"))).as("sx_l"),
           sum(when(m && inDomain, col("y"))).as("sy_l"),
@@ -395,28 +445,26 @@ object Profile {
           sum(when(m && inDomain, lo(pxx))).as("sxx_lo"),
           sum(when(m && inDomain, hi(pyy))).as("syy_hi"),
           sum(when(m && inDomain, lo(pyy))).as("syy_lo"),
-          greatest(max(abs(col("x"))), max(abs(col("y")))).as("mabs"))
-        // the optimistic result is C(k,2) rows — collect it, check the
-        // magnitude probe, and either keep it as a LocalRelation or
-        // discard and re-run in decimal space (two scans only when the
-        // data actually needs 128-bit products)
-        val optimistic = gLong.collect()
-        val mabsIdx = gLong.schema.fieldIndex("mabs")
-        val longSafe = optimistic.forall(r =>
-          r.isNullAt(mabsIdx) || r.getLong(mabsIdx) <= Exact.LongSafeCentsAbsMax)
-        if (!longSafe) decimalAgg
-        else {
-          def comb(h: String, l: String): Column =
-            col(h).cast(DecimalType(38, 0)) * lit(4294967296L) +
-              col(l).cast(DecimalType(38, 0))
-          spark.createDataFrame(java.util.Arrays.asList(optimistic: _*), gLong.schema)
-            .select(col("pi"), col("n"),
-              col("sx_l").cast(DecimalType(19, 0)).as("sx"),
-              col("sy_l").cast(DecimalType(19, 0)).as("sy"),
-              comb("sxy_hi", "sxy_lo").as("sxy"),
-              comb("sxx_hi", "sxx_lo").as("sxx"),
-              comb("syy_hi", "syy_lo").as("syy"))
-        }
+          sum(when(m && !inDomain, xd)).as("sx_d"),
+          sum(when(m && !inDomain, yd)).as("sy_d"),
+          sum(when(!inDomain, xd * yd)).as("sxy_d"),
+          sum(when(m && !inDomain, xd * xd)).as("sxx_d"),
+          sum(when(m && !inDomain, yd * yd)).as("syy_d"))
+        def combS1(l: String, d: String): Column =
+          when(col(l).isNull && col(d).isNull, lit(null).cast(DecimalType(19, 0)))
+            .otherwise((coalesce(col(l).cast(DecimalType(19, 0)), lit(0)) +
+              coalesce(col(d), lit(0))).cast(DecimalType(19, 0)))
+        def combS2(h: String, l: String, d: String): Column =
+          when(col(h).isNull && col(d).isNull, lit(null).cast(DecimalType(38, 0)))
+            .otherwise((coalesce(col(h).cast(DecimalType(20, 0)) * lit(4294967296L), lit(0)) +
+              coalesce(col(l).cast(DecimalType(20, 0)), lit(0)) +
+              coalesce(col(d), lit(0))).cast(DecimalType(38, 0)))
+        gParts.select(col("pi"), col("n"),
+          combS1("sx_l", "sx_d").as("sx"),
+          combS1("sy_l", "sy_d").as("sy"),
+          combS2("sxy_hi", "sxy_lo", "sxy_d").as("sxy"),
+          combS2("sxx_hi", "sxx_lo", "sxx_d").as("sxx"),
+          combS2("syy_hi", "syy_lo", "syy_d").as("syy"))
       }
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
@@ -512,16 +560,25 @@ object Profile {
     * merged statistics are BIT-IDENTICAL to a from-scratch pass — the
     * property that makes a 100 TB rolling profile trustworthy. One
     * exploded map-side-combined aggregate per call. */
-  def momentState(df: DataFrame, cols: Seq[String]): DataFrame =
+  def momentState(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // hi/lo long accumulators inside the row ceiling (per-group n is
+    // bounded by the input count), decimal sums past it — same exact
+    // integers, same output schema either way
+    val hiLo = df.count() <= Exact.HiLoSafeMaxRows
+    val aggs = Seq(count(col("v")).as("n")) ++
+      Exact.momentAggsPre(col("cv"), "v", hiLo) ++
+      Seq(min(col("v")).as("mn"), max(col("v")).as("mx"))
     df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("column"), col(c).cast("double").as("v"))
       }: _*)).as("e"))
-      .select(col("e.column").as("column"), col("e.v").as("v"))
+      .select(col("e.column").as("column"), col("e.v").as("v"),
+        Exact.cents(col("e.v")).as("cv"))
       .groupBy("column")
-      .agg(count(col("v")).as("n"),
-        Exact.s1(col("v")).as("s1"),
-        Exact.s2(col("v")).as("s2"),
-        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("column"), col("n"),
+        Exact.s1Col("v", hiLo).as("s1"), Exact.s2Col("v", hiLo).as("s2"),
+        col("mn"), col("mx"))
+  }
 
   /** Combine any number of [[momentState]] frames: decimal sums add,
     * counts add, bounds min/max — a state-domain aggregate (rows =

@@ -52,11 +52,19 @@ object RowTransforms {
     * of the reference). Constant columns (σ=0) pass through unscaled with
     * σ treated as 1, matching sklearn's `scale_ = 1` rule. */
   def standardize(df: DataFrame, fit: DataFrame, cols: Seq[String]): DataFrame = {
+    // hi/lo long accumulators inside the row ceiling (see Exact.momentParts);
+    // recombined below so the collected row keeps the (s1, s2, n) layout
+    val hiLo = fit.count() <= Exact.HiLoSafeMaxRows
+    val proj = fit.select(cols.map(c => col(c)) ++
+      cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
     val aggs = cols.flatMap { c =>
-      Seq(Exact.s1(col(c)).as(s"${c}__s1"), Exact.s2(col(c)).as(s"${c}__s2"),
-          count(col(c)).as(s"${c}__n"))
+      Exact.momentAggsPre(col(s"__cents_$c"), c, hiLo) :+ count(col(c)).as(s"${c}__n")
     }
-    val row = fit.agg(aggs.head, aggs.tail: _*).head()
+    val row = proj.agg(aggs.head, aggs.tail: _*)
+      .select(cols.flatMap { c =>
+        Seq(Exact.s1Col(c, hiLo).as(s"${c}__s1"),
+          Exact.s2Col(c, hiLo).as(s"${c}__s2"), col(s"${c}__n"))
+      }: _*).head()
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val s1 = row.getDecimal(3 * i)
       val n = row.getLong(3 * i + 2)
@@ -77,12 +85,32 @@ object RowTransforms {
     * one shuffle-free pass, the generalizeNumeric skeleton. */
   def winsorize(df: DataFrame, c: String,
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
-    val fit = df.agg(expr(s"percentile($c, array(${pLo}D, ${pHi}D))").as("q"))
-      .select(col("q")(0).as("__lo"), col("q")(1).as("__hi"))
-    df.crossJoin(broadcast(fit))
-      .withColumn(s"${c}_w",
-        least(greatest(col(c).cast("double"), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+    // Fit auto-dispatch (the Profile.profile idiom): below the row
+    // ceiling, ONE narrow collect + driver sort replaces the in-agg
+    // `percentile` whose per-value buffer map was ~5× the cost; above
+    // it — or when non-finite values make the collected array unfaithful
+    // — the original in-agg broadcast fit runs. Both produce the same
+    // quantile_cont interpolation, applied as literals vs broadcast row.
+    val driverFit: Option[Exact.QuantFit] =
+      if (df.count() <= Exact.DriverFitMaxRows)
+        Some(Exact.quantilesViaDriverSortMulti(df, Seq(c), Seq(pLo, pHi))(c))
+      else None
+    driverFit.flatMap(_.quantiles) match {
+      case Some(qs) =>
+        val (lo, hi) =
+          if (qs(0).isNaN) // all-null column: percentile yields null → passthrough
+            (lit(null).cast("double"), lit(null).cast("double"))
+          else (lit(qs(0)), lit(qs(1)))
+        df.withColumn(s"${c}_w",
+          least(greatest(col(c).cast("double"), lo), hi))
+      case None =>
+        val fit = df.agg(expr(s"percentile($c, array(${pLo}D, ${pHi}D))").as("q"))
+          .select(col("q")(0).as("__lo"), col("q")(1).as("__hi"))
+        df.crossJoin(broadcast(fit))
+          .withColumn(s"${c}_w",
+            least(greatest(col(c).cast("double"), col("__lo")), col("__hi")))
+          .drop("__lo", "__hi")
+    }
   }
 
   /** Robust scaling by median/MAD — the outlier-insensitive sibling of
@@ -94,15 +122,39 @@ object RowTransforms {
     * each an exact `percentile` aggregate broadcast onto the next pass;
     * the transform itself is stateless codegen. */
   def robustScale(df: DataFrame, c: String): DataFrame = {
-    val med = df.agg(expr(s"percentile($c, 0.5D)").as("__med"))
-    val fit = df.crossJoin(broadcast(med))
-      .agg(expr(s"percentile(abs(CAST($c AS DOUBLE) - __med), 0.5D)").as("__mad"),
-        min("__med").as("__med"))
-    df.crossJoin(broadcast(fit))
-      .withColumn(s"${c}_r",
-        (col(c).cast("double") - col("__med")) /
-          when(col("__mad") > 0.0, col("__mad")).otherwise(lit(1.0)))
-      .drop("__med", "__mad")
+    // Fit auto-dispatch — see winsorize. The driver path is especially
+    // right here: median AND MAD both derive from ONE collected array
+    // (two driver sorts), where the in-plan form needs two chained
+    // percentile fit jobs because MAD depends on the median.
+    val driverFit: Option[(Double, Double)] =
+      if (df.count() > Exact.DriverFitMaxRows) None
+      else {
+        val (arr, dropped) = Exact.collectColumnsDoubles(df, Seq(c))(c)
+        if (dropped > 0 || arr.isEmpty) None // non-finite / all-null: in-plan form
+        else {
+          java.util.Arrays.sort(arr)
+          val med = Exact.quantileFromSorted(arr, 0.5)
+          val dev = arr.map(v => math.abs(v - med))
+          java.util.Arrays.sort(dev)
+          Some((med, Exact.quantileFromSorted(dev, 0.5)))
+        }
+      }
+    driverFit match {
+      case Some((med, mad)) =>
+        df.withColumn(s"${c}_r",
+          (col(c).cast("double") - lit(med)) /
+            lit(if (mad > 0.0) mad else 1.0))
+      case None =>
+        val med = df.agg(expr(s"percentile($c, 0.5D)").as("__med"))
+        val fit = df.crossJoin(broadcast(med))
+          .agg(expr(s"percentile(abs(CAST($c AS DOUBLE) - __med), 0.5D)").as("__mad"),
+            min("__med").as("__med"))
+        df.crossJoin(broadcast(fit))
+          .withColumn(s"${c}_r",
+            (col(c).cast("double") - col("__med")) /
+              when(col("__mad") > 0.0, col("__mad")).otherwise(lit(1.0)))
+          .drop("__med", "__mad")
+    }
   }
 
   /** P9 one-hot encoding with explicit category columns fitted on `fit`

@@ -91,8 +91,10 @@ object Linkage {
     }.toMap
     // Deterministic anon row ids: order by the quasi values themselves —
     // identical rows are interchangeable, so tie order is irrelevant.
-    val anonF = anonStd.withColumn("__aid",
-      row_number().over(Window.orderBy(quasi.map(col): _*)))
+    // widen the stream side: the broadcast-nested-loop distance scan is
+    // the O(n·m) CPU cost, and a single-split anon scan runs it 1-core
+    val anonF = graft.ops.Par.widen(anonStd.withColumn("__aid",
+      row_number().over(Window.orderBy(quasi.map(col): _*))))
     def inFit(side: String, c: String): Column =
       if (fitted(c).isEmpty) lit(0.0)
       else coalesce(col(s"$side.$c").isin(fitted(c): _*).cast("double"), lit(0.0))
@@ -116,24 +118,57 @@ object Linkage {
 
   /** Scale path: LSH approximate neighbor join. Anon rows with no real
     * candidate within `threshold` get d₀ = threshold (score ≈ 0, matching
-    * the exact form's treatment of far rows). */
+    * the exact form's treatment of far rows).
+    *
+    * Implemented as an explicit bucketed-random-projection join in plain
+    * DataFrame ops — the textbook BRP-LSH construction (bucket =
+    * ⌊v·r/bucketLength⌋ per seeded unit gaussian r, one per hash table;
+    * a pair is a candidate iff it shares ANY table's bucket), the same
+    * scheme as Spark MLlib's `BucketedRandomProjectionLSH`. The MLlib
+    * operator itself was 10× slower here: Vector-UDT rows exclude the
+    * whole join from codegen and every candidate pays a per-pair
+    * distance UDF. In this form buckets, the equi-join, and the
+    * euclidean distance are all codegen'd column arithmetic — and no
+    * candidate-pair dedup is needed because the consumer is min(dist)
+    * per anon row, which duplicate candidates cannot change.
+    *
+    * Scale shape: candidates come from equi-joins on (table, bucket) —
+    * shuffle-bounded by real collisions, never O(n·m); widened inputs
+    * keep the narrow bucket/distance math parallel on few-split scans. */
   def linkageRiskLSH(anon: DataFrame, real: DataFrame, quasi: Seq[String],
                      threshold: Double = 2.0, bucketLength: Double = 1.0,
                      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, VectorAssembler}
     val (anonF0, featCols) = features(anon, anon, quasi)
     val (realF0, _) = features(real, anon, quasi)
-    val anonF = anonF0.withColumn("__aid",
-      row_number().over(Window.orderBy(quasi.map(col): _*)))
-    val assembler = new VectorAssembler().setInputCols(featCols.toArray).setOutputCol("fv")
-    val aV = assembler.transform(anonF)
-    val rV = assembler.transform(realF0)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("fv").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(aV)
-    val joined = model.approxSimilarityJoin(aV, rV, threshold, "dist")
-      .select(col("datasetA.__aid").as("aid"), col("dist"))
+    require(featCols.nonEmpty, "linkageRiskLSH needs at least one quasi-ID feature")
+    val anonF = graft.ops.Par.widen(anonF0.withColumn("__aid",
+      row_number().over(Window.orderBy(quasi.map(col): _*))))
+    val realF = graft.ops.Par.widen(realF0)
+    // seeded unit gaussian per hash table — deterministic for (seed, dim)
+    val rng = new scala.util.Random(seed)
+    val projs: Seq[Array[Double]] = Seq.fill(numHashTables) {
+      val v = Array.fill(featCols.length)(rng.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    def buckets: Column = array(projs.map { r =>
+      val dot = featCols.zipWithIndex
+        .map { case (f, j) => col(f) * lit(r(j)) }.reduce(_ + _)
+      floor(dot / lit(bucketLength)).cast("long")
+    }: _*)
+    val aExp = anonF.select(
+      col("__aid") +: featCols.map(f => col(f).as(s"a_$f")) :+
+        posexplode(buckets).as(Seq("__i", "__b")): _*)
+    val rExp = realF.select(
+      featCols.map(f => col(f).as(s"r_$f")) :+
+        posexplode(buckets).as(Seq("__ri", "__rb")): _*)
+    val d2 = featCols.map { f =>
+      (col(s"a_$f") - col(s"r_$f")) * (col(s"a_$f") - col(s"r_$f"))
+    }.reduce(_ + _)
+    val joined = aExp
+      .join(rExp, col("__i") === col("__ri") && col("__b") === col("__rb"))
+      .select(col("__aid").as("aid"), sqrt(d2).as("dist"))
+      .filter(col("dist") < lit(threshold))
       .groupBy("aid").agg(min("dist").as("d0"))
     val withAll = anonF.select(col("__aid").as("aid"))
       .join(joined, Seq("aid"), "left")

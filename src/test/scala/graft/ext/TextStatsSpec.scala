@@ -29,6 +29,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("langPred native kernel matches the HOF spelling, incl. ties and empties") {
+    val texts = Seq(
+      "the fast query", "der hund und die katze", "xyzzy qwerty",
+      "de de le le",            // es/zh/fr tie territory
+      "la la",                  // es vs fr tie → DESC rule
+      "", "   ", "the  a",      // empty-token edge cases (split limit -1)
+      "le shi bu wo de la que und nicht")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+      TextStats.langPred(col("text")).as("native"),
+      TextStats.langPredHof(col("text")).as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: native=${r.getString(1)} hof=${r.getString(2)}")
+    }
+  }
+
   test("fingerprint: equal for equal text, different for different") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fps = TextStats.fingerprint(df, "text", "doc_id").collect()
