@@ -87,7 +87,7 @@ object Bench {
     val scaleupJson =
       if (!runScaleup) ""
       else try {
-        val copies = 4
+        val copies = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_COPIES", "4").toInt
         val dst = ScaleUp.ensure(spark, sfDir, copies)
         // base-scale headline times come from the timed pass above (same
         // session, same warmth) — only the Nx pass runs fresh

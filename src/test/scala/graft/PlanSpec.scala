@@ -241,10 +241,20 @@ class PlanSpec extends SparkSpec {
       s"shard assignment is a pure projection + aggregate:\n$plan")
   }
 
-  test("winsorize transform is a broadcast of the tiny fit, not a data shuffle") {
+  test("winsorize transform folds or broadcasts the tiny fit, never shuffles data") {
     val plan = simplePlan("p_winsorize")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"the 1-row fit must broadcast onto the scan:\n$plan")
+    // two acceptable shapes: the driver-fit path literal-folds the clip
+    // bounds into the projection (no join at all — `least(greatest(c, lo),
+    // hi)` over the scan), the distributed path broadcasts the 1-row fit
+    val literalFolded = !plan.contains("Join") &&
+      plan.contains("least(greatest(")
+    val broadcastFit = plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin")
+    assert(literalFolded || broadcastFit,
+      s"the fit must fold to literals or broadcast onto the scan:\n$plan")
+    // either way the DATA side must not shuffle before the clip projection
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"winsorize must not hash-shuffle the data side:\n$plan")
   }
 
   test("mutual info windows run over the grouped cell frame, post-aggregate") {
