@@ -260,10 +260,20 @@ object Dedup {
     val inc = incoming.select(col(idCol).as("batch_id"),
         sort_array(shingleHashArray(incoming, textCol, n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Lossless prefix filter (AllPairs pigeonhole, see ngramJaccardPairs):
+    // under the shared ascending-hash order the smallest common shingle of
+    // any qualifying pair sits within each side's first |S|−⌈t·|S|⌉+1
+    // elements, so indexing only that prefix of the ALREADY-SORTED array
+    // (a codegen `slice`, no df join or window — the bipartite join can't
+    // reuse the self-join's rarity order without an extra corpus-wide agg)
+    // drops candidate volume to ~(1−t)² of the full index join. +1e-9
+    // guards the ⌈⌉ boundary downward (longer prefix = still lossless).
+    def prefixLen(sz: Column): Column =
+      (sz.cast("double") * (1.0 - threshold) + 1e-9).cast("int") + 1
     val exIdx = ex.select(col("corpus_id"), size(col("sh")).as("szc"),
-      explode(col("sh")).as("s"))
+      explode(slice(col("sh"), lit(1), prefixLen(size(col("sh"))))).as("s"))
     val incIdx0 = inc.select(col("batch_id"), size(col("sh")).as("szb"),
-      explode(col("sh")).as("s"))
+      explode(slice(col("sh"), lit(1), prefixLen(size(col("sh"))))).as("s"))
     val batchSmall = incoming.queryExecution.optimizedPlan.stats.sizeInBytes <=
       DfreqBroadcastMaxInputBytes
     val incIdx = if (batchSmall) broadcast(incIdx0) else incIdx0

@@ -210,7 +210,7 @@ object Profile {
     * Expand blow-up, no mode sub-jobs (top_value/top_freq are null).
     * Approximate by declaration (rows-only check; ProfileSpec pins the
     * error envelope against [[profile]]). */
-  def profileApprox(df: DataFrame, accuracy: Int = 10000): DataFrame = {
+  def profileApprox(df: DataFrame, accuracy: Int = 2000): DataFrame = {
     val fields = df.schema.fields
     def dtypeName(dt: DataType): String = dt.sql.toLowerCase
     val aggs: Seq[Column] =
@@ -231,7 +231,10 @@ object Profile {
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"))
       }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // the sketch updates (HLL + quantile summaries per column) are the
+    // per-row hot path; behind a few-split scan they'd run 1-core, so
+    // spread them (no-op when the scan already has real splits)
+    val wide = Par.widen(df).agg(aggs.head, aggs.tail: _*)
     val rowStructs: Seq[Column] = fields.map { f =>
       val c = f.name
       val base = Seq(
