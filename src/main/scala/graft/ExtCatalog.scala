@@ -64,6 +64,15 @@ object ExtCatalog {
       // output-identical to the driver union-find, same oracle
       Dedup.dedupClustersDistributed(
         Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+    "x_leakage_split" -> ((s, d) => {
+      // cluster-aware 80/10/10 split: near-dup clusters co-assign (gate
+      // on the dedup survivor), so no eval split ever holds a near-copy
+      // of a training document
+      val docs = Tables.documents(s, d)
+      ext.Sampling.leakageSafeSplit(docs,
+        Dedup.nearDupPairsAuto(docs, "text", "doc_id", 3, 0.6),
+        "doc_id", 800, 100)
+    }),
     "t_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d), "text", "doc_id")),
     "t_entropy" -> ((s, d) =>
@@ -347,6 +356,35 @@ object ExtCatalog {
        |          FROM reach JOIN edges e ON reach.node = e.a)
        |SELECT node AS doc_id, MIN(r) AS survivor_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Same transitive closure as [[clustersSql]], then every document is
+    * gated by its cluster representative (itself when unclustered) —
+    * the oracle twin of `Sampling.leakageSafeSplit`. */
+  private def leakageSplitSql: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |jpairs AS (SELECT ida, idb FROM jp
+       |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
+       |edges AS (SELECT ida AS a, idb AS b FROM jpairs
+       |          UNION SELECT idb, ida FROM jpairs),
+       |reach AS (SELECT n AS node, n AS r FROM nodes
+       |          UNION
+       |          SELECT e.b AS node, reach.r AS r
+       |          FROM reach JOIN edges e ON reach.node = e.a),
+       |surv AS (SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY 1),
+       |dr AS (SELECT dd.doc_id AS doc_id, COALESCE(surv.rep, dd.doc_id) AS rep
+       |       FROM documents dd LEFT JOIN surv ON dd.doc_id = surv.doc_id),
+       |gg AS (SELECT doc_id, rep, ${ext.Sampling.gateSql("rep")} % 1000 AS g FROM dr)
+       |SELECT CASE WHEN g < 800 THEN 'train' WHEN g < 900 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |FROM gg GROUP BY 1 ORDER BY split""".stripMargin
 
   private def jaccardSql: String =
     s"""WITH $shingleCtes,
@@ -639,6 +677,7 @@ object ExtCatalog {
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_dedup_clusters" -> clustersSql,
     "x_dedup_clusters_dist" -> clustersSql,
+    "x_leakage_split" -> leakageSplitSql,
     "t_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths

@@ -316,4 +316,35 @@ object Sampling {
       .when(g < trainPerMille + validPerMille, "valid")
       .otherwise("test")
   }
+
+  /** Leakage-safe train/valid/test split: every near-dup CLUSTER lands
+    * whole on one side. A plain per-doc hash split puts two near-copies
+    * of the same document in train and test ~2·p·(1−p) of the time —
+    * eval contamination that inflates benchmark scores at exactly the
+    * rate dedup was meant to prevent. Here each document is gated by its
+    * cluster REPRESENTATIVE (the dedup survivor; itself when unclustered),
+    * so co-assignment is structural, not probabilistic. Output: per-split
+    * (n_docs, n_groups = distinct representatives, n_dup_docs = docs
+    * riding a representative other than themselves).
+    *
+    * Scale shape: `pairs` is a near-dup detector's OUTPUT (orders of
+    * magnitude smaller than the corpus), so the doc→representative map
+    * from the union-find is a BROADCAST join onto the one corpus scan;
+    * the gate itself stays a pure codegen projection. Nothing here adds
+    * a corpus-sized shuffle beyond the final 3-row aggregate. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       trainPerMille: Int, validPerMille: Int): DataFrame = {
+    val reps = Dedup.dedupClusters(pairs)
+      .select(col("doc_id"), col("survivor_id").as("rep"))
+    val withRep = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(reps), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+    withRep
+      .withColumn("split", splitColumn(col("rep"), trainPerMille, validPerMille))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("rep")).as("n_groups"),
+        sum(when(col("rep") =!= col("doc_id"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy("split")
+  }
 }

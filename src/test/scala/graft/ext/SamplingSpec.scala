@@ -181,4 +181,31 @@ class SamplingSpec extends SparkSpec {
     val fair = docs.count().toDouble / 8
     assert(rows.forall(_.getLong(1) < fair * 3), "gate should spread docs")
   }
+
+  test("leakage-safe split gates every doc by its cluster representative") {
+    val docs = (0L until 200L).toDF("doc_id")
+    // two clusters: {1,5,9} (rep 1, transitively) and {20,150} (rep 20)
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 150L)).toDF("ida", "idb")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id", 800, 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent scalar oracle: replicate the documented gate arithmetic
+    val rep = Map(5L -> 1L, 9L -> 1L, 150L -> 20L).withDefault(identity[Long])
+    def splitOf(id: Long): String = {
+      val g = ((id % 2147483647L) * 2654435761L) % 1000000007L % 1000L
+      if (g < 800) "train" else if (g < 900) "valid" else "test"
+    }
+    val expected = (0L until 200L).groupBy(d => splitOf(rep(d))).map {
+      case (s, ds) => s -> (
+        ds.size.toLong,
+        ds.map(rep).distinct.size.toLong,
+        ds.count(d => rep(d) != d).toLong)
+    }
+    assert(out == expected, s"got $out expected $expected")
+    // mass checks: every doc exactly once; each dup member folds into
+    // its representative's group
+    assert(out.values.map(_._1).sum == 200L)
+    assert(out.values.map(_._3).sum == 3L)
+    assert(out.values.map(_._2).sum == 197L)
+  }
 }
