@@ -64,6 +64,21 @@ object ExtCatalog {
       // output-identical to the driver union-find, same oracle
       Dedup.dedupClustersDistributed(
         Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+    "x_soft_dedup" -> ((s, d) => {
+      // duplicate-aware weighting: every doc kept at 1/cluster_size
+      val docs = Tables.documents(s, d)
+      Dedup.softDedupWeights(docs,
+        Dedup.nearDupPairsAuto(docs, "text", "doc_id", 3, 0.6), "doc_id")
+    }),
+    "x_novelty_yield" -> ((s, d) => {
+      // same corpus/batch split as the delta-dedup family: how much of
+      // each incoming doc's shingle mass is genuinely new?
+      val docs = Tables.documents(s, d)
+      Dedup.noveltyYield(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id")
+    }),
     "x_leakage_split" -> ((s, d) => {
       // cluster-aware 80/10/10 split: near-dup clusters co-assign (gate
       // on the dedup survivor), so no eval split ever holds a near-copy
@@ -386,6 +401,34 @@ object ExtCatalog {
        |  CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
        |FROM gg GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Transitive closure again, then per-cluster sizes spread back over
+    * every document — the oracle twin of `Dedup.softDedupWeights`. */
+  private def softDedupSql: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |jpairs AS (SELECT ida, idb FROM jp
+       |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
+       |edges AS (SELECT ida AS a, idb AS b FROM jpairs
+       |          UNION SELECT idb, ida FROM jpairs),
+       |reach AS (SELECT n AS node, n AS r FROM nodes
+       |          UNION
+       |          SELECT e.b AS node, reach.r AS r
+       |          FROM reach JOIN edges e ON reach.node = e.a),
+       |surv AS (SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY 1),
+       |csz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |        FROM surv GROUP BY 1)
+       |SELECT dd.doc_id,
+       |  COALESCE(csz.cluster_size, 1) AS cluster_size,
+       |  CAST(1.0 AS DOUBLE) / COALESCE(csz.cluster_size, 1) AS weight
+       |FROM documents dd
+       |LEFT JOIN surv ON dd.doc_id = surv.doc_id
+       |LEFT JOIN csz ON surv.rep = csz.rep
+       |ORDER BY dd.doc_id""".stripMargin
+
   private def jaccardSql: String =
     s"""WITH $shingleCtes,
        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
@@ -678,6 +721,21 @@ object ExtCatalog {
     "x_dedup_clusters" -> clustersSql,
     "x_dedup_clusters_dist" -> clustersSql,
     "x_leakage_split" -> leakageSplitSql,
+    "x_soft_dedup" -> softDedupSql,
+    "x_novelty_yield" ->
+      s"""WITH $shingleCtes,
+         |b AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |      FROM sh WHERE doc_id % 3 <> 0 GROUP BY 1),
+         |u AS (SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+         |      FROM sh i
+         |      WHERE i.doc_id % 3 <> 0
+         |        AND i.s IN (SELECT s FROM sh WHERE doc_id % 3 = 0)
+         |      GROUP BY 1)
+         |SELECT b.doc_id, n_shingles,
+         |  n_shingles - COALESCE(n_seen, 0) AS n_new,
+         |  CAST(n_shingles - COALESCE(n_seen, 0) AS DOUBLE) / n_shingles AS novelty
+         |FROM b LEFT JOIN u ON b.doc_id = u.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "t_repetition" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths

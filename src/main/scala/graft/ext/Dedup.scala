@@ -294,6 +294,40 @@ object Dedup {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** Novelty yield of an incoming batch against the curated corpus —
+    * the "is this crawl worth ingesting" metric: per incoming document,
+    * how many of its distinct n-gram shingles the corpus has never seen.
+    * A crawl whose docs average ~0 novelty is pure re-crawl; a source
+    * whose novelty stays high keeps earning its ingestion budget.
+    * Output: (doc_id, n_shingles, n_new, novelty = n_new/n_shingles).
+    *
+    * Scale shape: the corpus's DISTINCT shingle set and the batch index
+    * meet in one left-semi equi-join keyed on the 64-bit shingle hash —
+    * both sides shuffle co-partitioned on that key (the 100 TB shape;
+    * no arrays cross the wire, and the semi-join emits at most one hit
+    * per batch posting). The per-doc rollup then shuffles batch-doc
+    * keys only. For a cheap pre-screen at extreme corpus sizes the
+    * bloom form ([[bloomContamination]]) bounds the probe structure to
+    * a constant-size bitmap; this exact form is the auditable metric. */
+  def noveltyYield(existing: DataFrame, incoming: DataFrame,
+                   textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val corpusSh = existing
+      .select(explode(shingleHashArray(existing, textCol, n)).as("s"))
+      .distinct()
+    val inc = incoming.select(col(idCol).as("doc_id"),
+        shingleHashArray(incoming, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val seen = inc.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(corpusSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    inc.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(seen, Seq("doc_id"), "left")
+      .withColumn("n_new", col("n_shingles") - coalesce(col("n_seen"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_new"),
+        (col("n_new").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Sub-document (passage-level) exact dedup — the "deduplicate inside
     * documents" pass of a training-data pipeline (boilerplate headers,
     * quoted replies, license blocks): each document splits into
@@ -416,6 +450,33 @@ object Dedup {
     }
     parent.keys.toSeq.map(d => (d, find(d))).sorted
       .toDF("doc_id", "survivor_id")
+  }
+
+  /** Soft dedup — duplicate-aware WEIGHTING instead of dropping: every
+    * document survives carrying weight 1/|its near-dup cluster|, so a
+    * passage repeated k times contributes one document's worth of
+    * training mass in total while the corpus keeps each copy's unique
+    * context (title, surrounding boilerplate, formatting). The
+    * hard-dedup form (keep the survivor) is the k→∞ limit; weighting is
+    * what a loss-weighted or epoch-sampling training setup consumes.
+    * Output: (doc_id, cluster_size, weight) for EVERY input document
+    * (singletons at weight 1.0).
+    *
+    * Scale shape: cluster membership is the detector's small edge
+    * output run through the union-find, so the doc→(size) map is a
+    * BROADCAST join onto the one corpus scan — same shape as
+    * [[graft.ext.Sampling.leakageSafeSplit]]. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
+    val reps = dedupClusters(pairs)
+      .select(col("doc_id"), col("survivor_id").as("rep"))
+    val sizes = reps.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    val repSized = reps.join(sizes, Seq("rep")).select("doc_id", "cluster_size")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(repSized), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** Distributed twin of [[dedupClusters]]: iterative MIN-LABEL

@@ -294,4 +294,30 @@ class DedupSpec extends SparkSpec {
     // at these near-dup similarities the 8×4 banding recalls nearly all
     assert(banded.size >= exact.size * 7 / 10, s"${banded.size} of ${exact.size}")
   }
+
+  test("softDedupWeights: every doc kept, cluster mass sums to one doc each") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6)
+    val out = Dedup.softDedupWeights(docs, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "all docs survive")
+    // docs 0/1/3 cluster together; 2 and 4 are singletons
+    assert(out(0L)._1 == 3 && out(1L)._1 == 3 && out(3L)._1 == 3)
+    assert(out(2L) == (1L, 1.0) && out(4L) == (1L, 1.0))
+    // total weight = number of distinct clusters (3): each cluster
+    // contributes exactly one document's worth of training mass
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-12)
+  }
+
+  test("noveltyYield: exact copy scores 0, disjoint content scores 1") {
+    val corpus = docs.filter($"doc_id" <= 1)   // docs 0 and 1
+    val batch = docs.filter($"doc_id" >= 2)    // 2 (new), 3 (copy of 0), 4 (new)
+    val out = Dedup.noveltyYield(corpus, batch, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L))
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0, "exact re-crawl has zero novelty")
+    assert(out(2L)._3 == 1.0 && out(4L)._3 == 1.0, "unseen content is fully novel")
+    out.values.foreach { case (nSh, nNew, nov) =>
+      assert(nNew >= 0 && nNew <= nSh && nov >= 0.0 && nov <= 1.0)
+    }
+  }
 }
