@@ -257,6 +257,30 @@ class PlanSpec extends SparkSpec {
       s"winsorize must not hash-shuffle the data side:\n$plan")
   }
 
+  test("approx profile spreads its sketch aggregate past a narrow scan") {
+    val plan = simplePlan("a1_profile_approx")
+    // behind a few-split scan the per-row HLL/quantile updates would run
+    // 1-core; Par.widen must interpose a round-robin exchange (it no-ops
+    // once the scan has real splits, so this guards the narrow case only)
+    assert(plan.contains("RoundRobinPartitioning") ||
+      !plan.contains("ObjectHashAggregate"),
+      s"narrow scan must widen before the sketch aggregate:\n$plan")
+  }
+
+  test("delta near-dup indexes only the sorted-prefix slice of each doc") {
+    val plan = simplePlan("x_neardup_delta")
+    assert(plan.contains("slice("),
+      s"candidate generation must explode the AllPairs prefix, not every shingle:\n$plan")
+  }
+
+  test("leakage-safe split broadcasts the representative map onto one scan") {
+    val plan = simplePlan("x_leakage_split")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small rep map must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the split path:\n$plan")
+  }
+
   test("mutual info windows run over the grouped cell frame, post-aggregate") {
     val plan = simplePlan("a_mutual_info")
     // the count aggregate must partial-combine BEFORE any window sees rows
