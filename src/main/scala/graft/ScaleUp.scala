@@ -22,7 +22,10 @@ object ScaleUp {
     "d_psi", "x_vocab_topk", "x_snapshot_diff", "x_embed_centroid",
     "x_distinct_sketch", "q_salted_agg",
     // late-r4: the moment matrix, fused drift, pair counting, funnel
-    "a_corr_matrix", "d_drift_extended", "x_bpe_pairs", "s_funnel")
+    "a_corr_matrix", "d_drift_extended", "x_bpe_pairs", "s_funnel",
+    // r5: cluster-consuming split (exercises the detector auto-dispatch
+    // at N×) and the prefix-filtered bipartite delta
+    "x_leakage_split", "x_neardup_delta")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
