@@ -25,6 +25,12 @@ object ExtCatalog {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)),
     "x_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id", 3, 32, 8, 0.6)),
+    "x_minhash_capped" -> ((s, d) =>
+      // the crawl-scale operating point: coarser banding (16 bands × 2
+      // rows — higher recall, bigger buckets) held safe by the bucket
+      // cap; a mega-bucket drops before the self-join ever sees it
+      Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        3, 32, 16, 0.6, bucketCap = 4)),
     "x_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)),
     "x_embed_topk" -> ((s, d) => {
@@ -259,6 +265,16 @@ object ExtCatalog {
     "x_keyword_search" -> ((s, d) =>
       TextStats.keywordSearch(Tables.documents(s, d), "text", "doc_id",
         KeywordTerms, 20)),
+    "x_bm25_search" -> ((s, d) =>
+      // same query terms through the BM25 relevance model: tf
+      // saturation + length normalization + rational Robertson idf
+      TextStats.bm25Search(Tables.documents(s, d), "text", "doc_id",
+        KeywordTerms, 20)),
+    "x_zorder_stats" -> ((s, d) =>
+      // z-order layout audit: 16 z-slices of lineitem clustered on
+      // (l_orderkey, l_partkey) with each slice's bounding rectangle
+      graft.io.ZOrder.zorderStats(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", 8, 16)),
     "x_source_best" -> ((s, d) =>
       // each domain's 5 best pages by quality — bounded aggregate
       ext.Sampling.perSourceBest(Tables.documents(s, d), "text", "doc_id",
@@ -440,10 +456,22 @@ object ExtCatalog {
        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6
        |ORDER BY ida, idb""".stripMargin
 
-  private def minhashSql: String = {
+  private def minhashSql: String = minhashSqlAt(bands = 8, cap = 0)
+
+  /** Shared minhash-banding oracle, parameterized on the banding
+    * operating point and the bucket cap so x_minhash_lsh and
+    * x_minhash_capped derive from ONE formula source. */
+  private def minhashSqlAt(bands: Int, cap: Int): String = {
+    val r = 32 / bands
     val perms = Dedup.minhashPerms(32)
       .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
       .mkString("[", ", ", "]")
+    val bandSrc =
+      if (cap <= 0) "banded"
+      else s"""(SELECT bd.* FROM banded bd JOIN (
+              |   SELECT band, bsig FROM banded GROUP BY 1, 2
+              |   HAVING COUNT(*) <= $cap AND COUNT(*) >= 2) kb
+              | ON bd.band = kb.band AND bd.bsig = kb.bsig)""".stripMargin
     s"""WITH $shingleCtes,
        |hs AS (SELECT doc_id, list(s) AS hl FROM sh GROUP BY 1),
        |sig AS (SELECT doc_id,
@@ -451,10 +479,10 @@ object ExtCatalog {
        |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg
        |  FROM hs),
        |banded AS (SELECT doc_id, j AS band,
-       |  array_to_string(sg[j * 4 + 1 : j * 4 + 4], '-') AS bsig
-       |  FROM sig, UNNEST(range(0, 8)) AS t(j)),
+       |  array_to_string(sg[j * $r + 1 : j * $r + $r], '-') AS bsig
+       |  FROM sig, UNNEST(range(0, $bands)) AS t(j)),
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |  FROM banded a JOIN banded b
+       |  FROM $bandSrc a JOIN $bandSrc b
        |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |shared AS (SELECT c.ida, c.idb, COUNT(*) AS shared
        |  FROM cand c JOIN sh x ON x.doc_id = c.ida
@@ -465,6 +493,58 @@ object ExtCatalog {
        |JOIN sizes sb ON s.idb = sb.doc_id
        |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= 0.6
        |ORDER BY s.ida, s.idb""".stripMargin
+  }
+
+  /** BM25 oracle — the exact operand-order mirror of
+    * [[TextStats.bm25Search]]: integer tf/dl/df/N/Σdl aggregates, the
+    * pre-folded 2.2/0.3/0.9 literals, and left-associated folds, so the
+    * double score hash-matches (see the Spark-side scaladoc). */
+  private def bm25Sql: String = {
+    val tfs = KeywordTerms.indices.map(i =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b${KeywordTerms(i)}\\b')) AS DOUBLE) AS tf_$i")
+    val dfs = KeywordTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+    val contribs = KeywordTerms.indices.map { i =>
+      s"""(1.0 + ((CAST((nd - df_$i) AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))) *
+         | ((tf_$i * 2.2) / (tf_$i + 0.3 + (0.9 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+    }
+    val hits = KeywordTerms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |  ${tfs.mkString(",\n  ")}
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS nd,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |  ${dfs.mkString(",\n  ")}
+       |  FROM base),
+       |scored AS (SELECT doc_id,
+       |  ${contribs.mkString(" +\n  ")} AS score,
+       |  CAST($hits AS INTEGER) AS n_terms_hit
+       |  FROM base CROSS JOIN stats)
+       |SELECT doc_id, score, n_terms_hit FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Z-order stats oracle — integer bucket/interleave arithmetic
+    * mirroring [[graft.io.ZOrder.zorderStats]] at bits=8, parts=16. */
+  private def zorderSql: String = {
+    val interleave = (0 until 8).map(i =>
+      s"(((b1 >> $i) & 1) << ${2 * i}) | (((b2 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""WITH ext AS (SELECT
+       |  CAST(MIN(l_orderkey) AS BIGINT) AS min1, CAST(MAX(l_orderkey) AS BIGINT) AS max1,
+       |  CAST(MIN(l_partkey) AS BIGINT) AS min2, CAST(MAX(l_partkey) AS BIGINT) AS max2
+       |  FROM lineitem),
+       |b AS (SELECT l_orderkey, l_partkey,
+       |  CAST(FLOOR((CAST(l_orderkey AS BIGINT) - min1) * 256 / (max1 - min1 + 1)) AS BIGINT) AS b1,
+       |  CAST(FLOOR((CAST(l_partkey AS BIGINT) - min2) * 256 / (max2 - min2 + 1)) AS BIGINT) AS b2
+       |  FROM lineitem CROSS JOIN ext),
+       |z AS (SELECT l_orderkey, l_partkey, ($interleave) AS zval FROM b)
+       |SELECT (zval >> 12) AS slice, COUNT(*) AS n_rows,
+       |  CAST(MIN(l_orderkey) AS BIGINT) AS min_k1, CAST(MAX(l_orderkey) AS BIGINT) AS max_k1,
+       |  CAST(MIN(l_partkey) AS BIGINT) AS min_k2, CAST(MAX(l_partkey) AS BIGINT) AS max_k2
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private def simhashSql: String = {
@@ -612,6 +692,9 @@ object ExtCatalog {
         |ORDER BY keep_id""".stripMargin,
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
+    "x_minhash_capped" -> minhashSqlAt(bands = 16, cap = 4),
+    "x_bm25_search" -> bm25Sql,
+    "x_zorder_stats" -> zorderSql,
     "x_simhash_pairs" -> simhashSql,
     "t_entropy" ->
       """WITH u AS (

@@ -582,10 +582,24 @@ object Dedup {
     * candidate bucket-join and the verification joins; no perms join, no
     * signature re-assembly aggregates. Empty docs (< n tokens) drop
     * before banding, matching the aggregate form that produced no rows
-    * for them. */
+    * for them.
+    *
+    * `bucketCap` (0 = off) is the web-scale SKEW GUARD: a band bucket
+    * holding m documents emits m(m-1)/2 candidate pairs, so one
+    * boilerplate mega-cluster (a license header repeated 10⁶ times)
+    * alone would emit 5·10¹¹ candidates — the one superlinear term left
+    * in the banded path. With a cap, buckets larger than `bucketCap`
+    * drop BEFORE the self-join, bounding per-bucket work at cap²; the
+    * same documents keep colliding in their other `bands-1` buckets, so
+    * a pair is lost only when EVERY one of its shared buckets is mega —
+    * an exact-dup-grade cluster the upstream exact/normalized dedup
+    * pass already collapsed. The cap is part of the operator's
+    * deterministic semantics (the oracle mirrors it), not a sampling
+    * heuristic; production crawl-scale LSH dedup ships exactly this
+    * guard. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6, bucketCap: Int = 0): DataFrame = {
     require(numPerms % bands == 0)
     val r = numPerms / bands
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
@@ -595,13 +609,25 @@ object Dedup {
     val withSig = withSh.withColumn("sig",
       call_function("minhash_sig", col("sh"), lit(numPerms)))
     val hs = withSh.select(col("id"), col("sh"))
-    val banded = withSig.select(col("id"), explode(
+    val bandedAll = withSig.select(col("id"), explode(
       array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
             x => x.cast("string"))).as("bsig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.bsig"))
+    // The cap filter is a map-side-combinable (band, bsig) count joined
+    // back on the SAME key the self-join shuffles on — co-partitioned
+    // with the candidate join, no extra exchange of the banded frame.
+    // `bn >= 2` also drops singleton buckets, which could never pair.
+    val banded =
+      if (bucketCap <= 0) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy("band", "bsig")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= bucketCap && col("bn") >= 2)
+          .select(col("band"), col("bsig")),
+        Seq("band", "bsig"))
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))

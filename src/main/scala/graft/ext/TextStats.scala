@@ -415,4 +415,67 @@ object TextStats {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BM25 ranked retrieval over a fixed query-term list — the relevance
+    * upgrade of [[keywordSearch]]: term-frequency SATURATION (a term's
+    * 10th occurrence adds less than its 1st; k1 = 1.2 controls the
+    * knee) and document-LENGTH normalization (b = 0.75: long documents
+    * stop winning just by containing more words). The idf is the
+    * RATIONAL Robertson form `1 + (N - df + 0.5)/(df + 0.5)` rather
+    * than its logarithm, for the same reason [[tfidfTopK]] avoids log:
+    * +, ×, ÷ are IEEE-correctly-rounded in every engine while log's
+    * last bit is library-dependent, so this score column hash-matches
+    * any engine at the cost of weighting rare terms more sharply than
+    * log-BM25 (a documented, monotone-per-term recalibration). All
+    * inputs to the float arithmetic are exact integers (tf, dl, df, N,
+    * Σdl) and the fold order is pinned (terms left-to-right), so the
+    * score is a pure function of the data — not of partitioning.
+    *
+    * k1/b enter as the pre-folded decimal literals 2.2 (= k1+1),
+    * 0.3 (= k1·(1-b)), 0.9 (= k1·b) so both engines parse the SAME
+    * doubles instead of each computing 1.2+1 in their own order.
+    *
+    * Scale shape: one corpus-stats aggregate (N, Σdl, per-term df —
+    * all map-side-combinable longs, ONE row out) broadcast onto one
+    * scoring scan; the top-k is a `Limit` over a sort = per-partition
+    * partial top-k + a k-row merge. Nothing corpus-sized shuffles at
+    * any scale. */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be lowercase alphanumeric words")
+    require(k > 0, "k must be positive")
+    val lowered = lower(col(textCol))
+    val tfCols = terms.indices.map { i =>
+      size(regexp_extract_all(lowered, lit("\\b" + terms(i) + "\\b"), lit(0)))
+        .cast("double").as(s"tf_$i")
+    }
+    val base = df.select(
+      (col(idCol).as("doc_id") +:
+        size(tokens(col(textCol))).cast("long").as("dl") +:
+        tfCols): _*)
+    val statAggs =
+      count(lit(1)).as("nd") +:
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val lenNorm = col("dl").cast("double") / col("avgdl")
+    val contribs = terms.indices.map { i =>
+      val idf = lit(1.0) +
+        (((col("nd") - col(s"df_$i")).cast("double") + lit(0.5)) /
+          (col(s"df_$i").cast("double") + lit(0.5)))
+      idf * ((col(s"tf_$i") * lit(2.2)) /
+        (col(s"tf_$i") + lit(0.3) + (lit(0.9) * lenNorm)))
+    }
+    val hits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    scored
+      .select(col("doc_id"), contribs.reduce(_ + _).as("score"),
+        hits.cast("int").as("n_terms_hit"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -350,4 +350,37 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 2, s"chained q windows must share the (user, ts) sort " +
       s"(one in-exchange sort + at most the final output order), saw $sorts:\n$plan")
   }
+
+  test("bm25: one broadcast stats row, partial top-k, no corpus shuffle") {
+    val plan = simplePlan("x_bm25_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be partial per-partition + k-row merge:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the 1-row corpus-stats aggregate must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"nothing corpus-sized may shuffle in bm25:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"corpus stats must combine map-side:\n$plan")
+  }
+
+  test("zorder stats: broadcast extremes, map-side slice combine") {
+    val plan = simplePlan("x_zorder_stats")
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"slice rollup must partial-combine before the exchange:\n$plan")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"one slice-keyed exchange only, saw $hashEx:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"key extremes must broadcast onto the scan:\n$plan")
+  }
+
+  test("capped minhash: cap filter rides the (band,bsig) key, no cross join") {
+    val plan = simplePlan("x_minhash_capped")
+    assert(!plan.contains("CartesianProduct"),
+      s"bucket joins must stay keyed:\n$plan")
+    val bandEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning(band"))
+    assert(bandEx <= 2, s"the cap adds at most ONE extra (band,bsig) exchange " +
+      s"of the banded frame, saw $bandEx:\n$plan")
+  }
 }

@@ -320,4 +320,36 @@ class DedupSpec extends SparkSpec {
       assert(nNew >= 0 && nNew <= nSh && nov >= 0.0 && nov <= 1.0)
     }
   }
+
+  test("minhash bucketCap: mega-bucket pairs drop, small-bucket pairs survive") {
+    import spark.implicits._
+    val mega = "alpha beta gamma delta epsilon zeta eta theta"
+    val near1 = "one two three four five six seven eight nine ten"
+    val near2 = "one two three four five six seven eight nine eleven"
+    val docs = ((100L to 107L).map(i => (i, mega)) ++
+      Seq((1L, near1), (2L, near2), (3L, "totally unrelated words entirely distinct")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 16, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 16, 0.6,
+      bucketCap = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 identical docs: every band bucket has size 8 > cap → all 28
+    // pairs drop; the (1,2) near-dup sits in 2-doc buckets and survives
+    assert(uncapped.contains((1L, 2L)) && capped.contains((1L, 2L)))
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 28)
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L },
+      s"mega-cluster pairs must be capped away, got $capped")
+  }
+
+  test("minhash bucketCap: recall holds on the fixture via band redundancy") {
+    // sf0.001 corpus at the 16-band operating point: capping drops the
+    // oversized buckets yet every verified pair is recalled through its
+    // other, smaller buckets — the production trade the cap encodes
+    val docs = graft.Tables.documents(spark, Sf)
+    val un = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 16, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cp = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 16, 0.6,
+      bucketCap = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp.subsetOf(un), "cap can only remove candidates, never add")
+  }
 }

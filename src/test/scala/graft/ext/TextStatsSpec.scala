@@ -220,4 +220,35 @@ class TextStatsSpec extends SparkSpec {
       .agg(sum("m")).collect()(0).getLong(0)
     assert(total == expected)
   }
+
+  test("bm25: tf raises, saturates, and length normalizes; rare term outweighs common") {
+    val df = Seq(
+      (1L, "spark spark spark spark spark spark filler filler"),  // high tf
+      (2L, "spark filler filler filler filler filler filler x"),  // tf=1, same dl
+      (3L, "spark " + Seq.fill(60)("pad").mkString(" ")),         // tf=1, long doc
+      (4L, "join filler filler filler filler filler filler xx"),  // rare term (df=1)
+      (5L, "no terms here at all just words"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bm25Search(df, "text", "doc_id",
+        Seq("spark", "join"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(5L), "zero-hit docs drop")
+    assert(out(1L) > out(2L), "higher tf scores higher")
+    assert(out(1L) < out(2L) * 6, "tf saturation: 6x tf is far less than 6x score")
+    assert(out(2L) > out(3L), "longer doc is penalized at equal tf")
+    // 'join' appears in 1 of 5 docs, 'spark' in 3 of 5 → rare-term idf
+    // dominates at equal tf and comparable length
+    assert(out(4L) > out(2L), "rarer term outweighs common term")
+  }
+
+  test("bm25: n_terms_hit counts distinct matched terms; ranking deterministic") {
+    val df = Seq(
+      (1L, "spark join query"),
+      (2L, "spark spark spark")).toDF("doc_id", "text")
+    val rows = TextStats.bm25Search(df, "text", "doc_id",
+      Seq("spark", "query", "join"), 10).collect()
+    val hits = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(hits(1L) == 3 && hits(2L) == 1)
+    assert(rows.head.getLong(0) == 1L, "three distinct terms outrank repeated one")
+  }
 }
