@@ -191,6 +191,18 @@ object ExtCatalog {
       // sub-document exact dedup: corpus-wide first occurrence of each
       // 8-token passage wins; docs reassemble from surviving passages
       Dedup.passageDedup(Tables.documents(s, d), "text", "doc_id", 8)),
+    "x_contamination_attr" -> ((s, d) => {
+      // same probe/corpus split as x_contamination; the auditor view —
+      // which eval shingles leaked, ranked by corpus spread
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationAttribution(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 3, 20)
+    }),
+    "s_trending" -> ((s, d) =>
+      // hour-over-hour top-3 movers by add-one count lift, dense spine
+      Events.trending(Tables.events(s, d), 3)),
     "x_bloom_contamination" -> ((s, d) => {
       // same probe/corpus split as x_contamination, through the k=1
       // bloom bitmap prefilter (broadcast side bounded by `bits`)
@@ -845,6 +857,14 @@ object ExtCatalog {
          |FROM pairs JOIN sizes ON probe_id = sizes.doc_id
          |WHERE CAST(shared AS DOUBLE) / sz >= 0.6
          |ORDER BY probe_id, corpus_id""".stripMargin,
+    "x_contamination_attr" ->
+      s"""WITH $shingleCtes,
+         |cs AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+         |ps AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+         |hits AS (SELECT cs.s, COUNT(*) AS n_corpus_docs
+         |         FROM cs JOIN ps ON cs.s = ps.s GROUP BY 1)
+         |SELECT s, n_corpus_docs FROM hits
+         |ORDER BY n_corpus_docs DESC, s LIMIT 20""".stripMargin,
     "x_neardup_delta" ->
       s"""WITH $shingleCtes,
          |e AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 3 = 0),
@@ -1223,6 +1243,28 @@ object ExtCatalog {
         |FROM spine s CROSS JOIN t
         |LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+    "s_trending" ->
+      // the gap-fill dense spine, then per-type hour lag and per-hour
+      // top-3 by add-one lift (n+1)/(prev+1) — exact double of two ints
+      """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  event_type FROM events),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM b),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |c AS (SELECT h, event_type, COUNT(*) AS n FROM h GROUP BY 1, 2),
+        |dense AS (SELECT s.h, t.event_type, COALESCE(c.n, 0) AS n
+        |  FROM spine s CROSS JOIN t
+        |  LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type),
+        |wp AS (SELECT h, event_type, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n FROM dense),
+        |l AS (SELECT h AS hour_start, event_type, n, prev_n,
+        |  CAST(n + 1 AS DOUBLE) / CAST(prev_n + 1 AS DOUBLE) AS lift
+        |  FROM wp WHERE prev_n IS NOT NULL),
+        |r AS (SELECT hour_start, CAST(ROW_NUMBER() OVER (PARTITION BY hour_start
+        |    ORDER BY lift DESC, event_type) AS INTEGER) AS rk,
+        |  event_type, n, prev_n, lift FROM l)
+        |SELECT hour_start, rk, event_type, n, prev_n, lift FROM r
+        |WHERE rk <= 3 ORDER BY hour_start, rk""".stripMargin,
     "s_anomaly" ->
       // the gap-fill spine CTE + integer-exact (H·x − S)² > 4(H·Q − S²):
       // the 2σ test with every term a count product, no float μ/σ

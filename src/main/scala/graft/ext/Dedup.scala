@@ -379,6 +379,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination ATTRIBUTION — the auditor view behind
+    * [[crossContainment]]: not "which documents overlap the eval set"
+    * but "which eval-set n-grams leaked, and how widely". For each
+    * probe shingle found anywhere in the corpus, the number of DISTINCT
+    * corpus documents containing it, top `k` by spread — the ranked
+    * worklist for cleaning a benchmark leak (the widest-spread shingle
+    * is boilerplate; the 1-doc shingle is a verbatim copy).
+    *
+    * Scale shape: per-doc-distinct corpus postings meet the probe's
+    * distinct shingle set in ONE equi-join co-partitioned on the 64-bit
+    * shingle key (the same key the aggregate then reduces on — no
+    * second shuffle of the hit set), and the top-k is a
+    * `TakeOrderedAndProject` partial. Per-probe-doc identity is
+    * deliberately discarded before the join, so the probe side is
+    * bounded by its distinct-shingle DOMAIN, not probe rows. */
+  def contaminationAttribution(corpus: DataFrame, probe: DataFrame,
+                               textCol: String, idCol: String,
+                               n: Int = 3, k: Int = 20): DataFrame = {
+    val cSh = corpus.select(col(idCol).as("cid"),
+        explode(shingleHashArray(corpus, textCol, n)).as("s"))
+      .distinct()
+    val pSh = probe.select(explode(shingleHashArray(probe, textCol, n)).as("s"))
+      .distinct()
+    cSh.join(pSh, Seq("s"), "left_semi")
+      .groupBy("s").agg(count(lit(1)).as("n_corpus_docs"))
+      .orderBy(col("n_corpus_docs").desc, col("s"))
+      .limit(k)
+  }
+
   /** Bloom-prefilter contamination — the 100 TB-scale front of
     * [[crossContainment]]: probe shingles compress to the DISTINCT bit
     * positions of a k=1 Bloom filter (`hash · KNUTH mod bits`), so the

@@ -75,15 +75,76 @@ object ZOrder {
       .orderBy("slice")
   }
 
-  /** Write `df` z-order-clustered: range-partition by `zval` into
-    * `parts` files, sort within each, drop the helper column. Parquet
-    * then records per-file min/max for BOTH keys over a bounded
-    * rectangle — the data-skipping layout `zorderStats` audits. */
+  /** Write `df` z-order-clustered into `parts` files, each covering a
+    * CELL-ALIGNED contiguous z-range, sorted within, helper columns
+    * dropped. Parquet then records per-file min/max for BOTH keys over a
+    * bounded rectangle — the data-skipping layout `zorderStats` audits.
+    *
+    * File boundaries are NOT sampled `repartitionByRange(zval)` quantiles:
+    * the range partitioner's sampled split points land mid-cell, and a
+    * file that takes even a sliver of the next z-octant inherits that
+    * octant's corner coordinates in its footer min/max — the straddle
+    * that un-prunes band queries. Instead the z-range splits into
+    * `parts`·`cellsPerFile` prefix cells, ONE tiny exact count aggregate
+    * (driver-bounded by the cell count, not the data) feeds a greedy
+    * balanced cut of contiguous cell RUNS into `parts` groups, and the
+    * monotone group id becomes the range-partition key — every file is a
+    * whole number of z-cells, count-balanced under skew. */
   def zorderWrite(df: DataFrame, k1: String, k2: String, path: String,
-                  bits: Int = 8, parts: Int = 16): Unit =
-    withZValue(df, k1, k2, bits)
-      .repartitionByRange(parts, col("zval"))
-      .sortWithinPartitions("zval")
-      .drop("zval")
+                  bits: Int = 8, parts: Int = 16,
+                  cellsPerFile: Int = 16): Unit = {
+    require(parts > 0 && cellsPerFile > 0, "parts/cellsPerFile must be positive")
+    val cellBits = math.min(2 * bits,
+      64 - java.lang.Long.numberOfLeadingZeros(parts.toLong * cellsPerFile - 1))
+    val shift = 2 * bits - cellBits.toInt
+    val z = withZValue(df, k1, k2, bits)
+      .withColumn("zcell", shiftright(col("zval"), shift))
+    // Exact per-cell counts: ≤ parts·cellsPerFile rows regardless of data
+    // volume — the documented driver-bounded fit of this operator.
+    val cells = z.groupBy("zcell").agg(count(lit(1)).as("n"))
+      .orderBy("zcell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = cells.map(_._2).sum.toDouble
+    // Greedy balanced cut: close a group once its mass reaches the ideal
+    // share, but never let trailing groups starve (leave ≥1 cell each).
+    val upper = Array.newBuilder[Long] // inclusive zcell upper bound per cut
+    var acc = 0L; var cut = 1
+    cells.zipWithIndex.foreach { case ((c, n), i) =>
+      acc += n
+      val remainingCells = cells.length - i - 1
+      val remainingCuts = parts - cut
+      if (cut < parts && remainingCuts <= remainingCells &&
+          acc >= total * cut / parts) {
+        upper += c; cut += 1
+      }
+    }
+    val bounds = upper.result()
+    // Monotone file id: number of cut bounds strictly below this cell —
+    // a short codegen'd comparison chain, no join, no driver lookup.
+    val fid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("zcell") > lit(b), 1).otherwise(0)
+    }
+    val withFid = z.withColumn("fid", fid)
+    // Exact placement: partition i holds EXACTLY file-id i. The
+    // declarative spelling (`repartitionByRange(parts, fid)`) re-derives
+    // boundaries by SAMPLING and can merge two ids into one partition
+    // (an empty file, a doubled rectangle) whenever a group's mass slips
+    // between sample points. Placement-by-computed-id is the one spot
+    // where the engine genuinely needs an identity partitioner, so this
+    // drops to the RDD layer for the final exchange+sort only.
+    val schema = withFid.schema
+    val fidIdx = schema.fieldIndex("fid")
+    val zvalIdx = schema.fieldIndex("zval")
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = parts
+      def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+    }
+    val placed = withFid.rdd
+      .map(r => ((r.getInt(fidIdx), r.getLong(zvalIdx)), r))
+      .repartitionAndSortWithinPartitions(partitioner)
+      .values
+    df.sparkSession.createDataFrame(placed, schema)
+      .drop("zval", "zcell", "fid")
       .write.mode("overwrite").parquet(path)
+  }
 }

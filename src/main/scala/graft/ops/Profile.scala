@@ -429,9 +429,93 @@ object Profile {
         sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).as("sxy"),
         sum(when(m, col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))).as("sxx"),
         sum(when(m, col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))).as("syy"))
-    val hiLoRowSafe = df.count() <= Exact.HiLoSafeMaxRows
+    // Pre-flight: ONE tiny codegen aggregate over the RAW doubles (no
+    // cents conversion, so it costs a vectorized scan of just these
+    // columns) — row count + per-column max|value|. max|v|·100+100
+    // conservatively bounds |cents|, so "bound < LongSafeCentsAbsMax"
+    // PROVES every row of every column multiplies exactly in native
+    // long — and the fast path can then drop the per-row domain gates
+    // AND the decimal side-buffers entirely. Decimal accumulators are
+    // the real cost of the hybrid form: precision-19 sums evict the
+    // compact all-long aggregation buffer (~7-10x on the full matrix),
+    // which is too high a price when the data is provably in-domain
+    // (it virtually always is — the guard exists for key-like columns).
+    // NaN/null maxes conservatively fail into the gated hybrid.
+    val preAggs = count(lit(1)).as("__n") +:
+      (cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c")) ++
+        cols.map(c => count(col(c)).as(s"__c_$c")))
+    val pre = df.agg(preAggs.head, preAggs.tail: _*).collect()(0)
+    val nRowsPre = pre.getLong(0)
+    val hiLoRowSafe = nRowsPre <= Exact.HiLoSafeMaxRows
+    val domainProvablySafe = cols.indices.forall { i =>
+      pre.isNullAt(i + 1) || {
+        val v = pre.getDouble(i + 1)
+        !v.isNaN && v * 100.0 + 100.0 < Exact.LongSafeCentsAbsMax.toDouble
+      }
+    }
+    // No nulls anywhere (NaN already failed the domain bound above, so
+    // "raw count == rows" really does mean every cents value lands) ⇒
+    // pairwise-complete degenerates to all-rows and the per-PAIR n/Σx
+    // equal the per-COLUMN ones — the matrix then needs no explode at
+    // all: ONE flat all-long aggregate (k·3 column accumulators +
+    // C(k,2)·2 product accumulators, no keys, no branches, no decimals)
+    // and the 28× row fan-out disappears. 81 plain long sums codegen
+    // comfortably under janino's 64 KB method limit — it was the 168
+    // gated DECIMAL aggregates of the naive flat form that did not.
+    val noNulls = cols.indices.forall(i =>
+      pre.getLong(1 + cols.length + i) == nRowsPre)
     val g: DataFrame =
       if (!hiLoRowSafe) decimalAgg
+      else if (domainProvablySafe && noNulls && nRowsPre > 0) {
+        def hiF(c: Column): Column = shiftright(c, 32)
+        def loF(c: Column): Column = c.bitwiseAND(lit(0xFFFFFFFFL))
+        val colAggs = cols.flatMap { c =>
+          Seq(sum(col(c)).as(s"sx__$c"),
+            sum(hiF(col(c) * col(c))).as(s"sxxh__$c"),
+            sum(loF(col(c) * col(c))).as(s"sxxl__$c"))
+        }
+        val pairAggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq(sum(hiF(col(a) * col(b))).as(s"sxyh__$i"),
+            sum(loF(col(a) * col(b))).as(s"sxyl__$i"))
+        }
+        val allAggs = count(lit(1)).as("n") +: (colAggs ++ pairAggs)
+        val flat = proj.agg(allAggs.head, allAggs.tail: _*)
+        def recombF(h: String, l: String): Column =
+          (col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
+            col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0))
+        flat.select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+            struct(lit(i).as("pi"), col("n").as("n"),
+              col(s"sx__$a").cast(DecimalType(19, 0)).as("sx"),
+              col(s"sx__$b").cast(DecimalType(19, 0)).as("sy"),
+              recombF(s"sxyh__$i", s"sxyl__$i").as("sxy"),
+              recombF(s"sxxh__$a", s"sxxl__$a").as("sxx"),
+              recombF(s"sxxh__$b", s"sxxl__$b").as("syy"))
+          }: _*)).as("e"))
+          .select(col("e.*"))
+      }
+      else if (domainProvablySafe) {
+        // fast path: ungated all-long hi/lo buffers, fully codegen
+        val gPure = ex.groupBy("pi").agg(
+          count(when(m, lit(1))).as("n"),
+          sum(when(m, col("x"))).as("sx_l"),
+          sum(when(m, col("y"))).as("sy_l"),
+          sum(hi(pxy)).as("sxy_hi"),
+          sum(lo(pxy)).as("sxy_lo"),
+          sum(when(m, hi(pxx))).as("sxx_hi"),
+          sum(when(m, lo(pxx))).as("sxx_lo"),
+          sum(when(m, hi(pyy))).as("syy_hi"),
+          sum(when(m, lo(pyy))).as("syy_lo"))
+        def recomb(h: String, l: String): Column =
+          when(col(h).isNull, lit(null).cast(DecimalType(38, 0)))
+            .otherwise((col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
+              col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0)))
+        gPure.select(col("pi"), col("n"),
+          col("sx_l").cast(DecimalType(19, 0)).as("sx"),
+          col("sy_l").cast(DecimalType(19, 0)).as("sy"),
+          recomb("sxy_hi", "sxy_lo").as("sxy"),
+          recomb("sxx_hi", "sxx_lo").as("sxx"),
+          recomb("syy_hi", "syy_lo").as("syy"))
+      }
       else {
         val xd = col("x").cast(DecimalType(19, 0))
         val yd = col("y").cast(DecimalType(19, 0))

@@ -55,6 +55,36 @@ object Events {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Hour-over-hour trending movers — the "what just took off" monitor:
+    * per hour, the top `k` event types by count lift vs their OWN
+    * previous hour. Built over the DENSE [[gapFill]] spine so a type
+    * silent last hour (prev = 0) registers as a real spike, not a
+    * missing row; the lift is the add-one rational (n+1)/(prev+1) —
+    * exact in doubles (two small ints), defined at zero, and
+    * cross-engine deterministic where a log-ratio would not be.
+    *
+    * Scale shape: events reduce to the hours×types count frame in ONE
+    * map-side-combined aggregate; every window after that (per-type lag,
+    * per-hour top-k) runs on the dense spine — bounded by hours×types
+    * regardless of event volume. Nothing event-sized ever sorts. */
+  def trending(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dense = gapFill(events)
+    val lagW = Window.partitionBy("event_type").orderBy("hour_start")
+    val withPrev = dense
+      .withColumn("prev_n", lag(col("n"), 1).over(lagW))
+      .filter(col("prev_n").isNotNull) // first hour has no baseline
+      .withColumn("lift",
+        (col("n") + lit(1)).cast("double") / (col("prev_n") + lit(1)).cast("double"))
+    val rankW = Window.partitionBy("hour_start")
+      .orderBy(col("lift").desc, col("event_type"))
+    withPrev.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("hour_start"), col("rk"), col("event_type"),
+        col("n"), col("prev_n"), col("lift"))
+      .orderBy(col("hour_start"), col("rk"))
+  }
+
   /** Hourly volume anomaly flags per event type — the monitoring twin of
     * [[gapFill]]: over the DENSE hour spine (missing hours are real
     * zero-count observations, not absent rows), an hour is anomalous when

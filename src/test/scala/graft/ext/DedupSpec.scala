@@ -321,6 +321,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination attribution: leaked shingles ranked by corpus spread") {
+    import spark.implicits._
+    // probe doc 0 shares "a b c" with corpus docs 1,2,3 and "x y z"
+    // with corpus doc 4 only; shingle "q r s" never leaks
+    val corpus = Seq(
+      (1L, "a b c one"), (2L, "two a b c"), (3L, "a b c three"),
+      (4L, "x y z four"), (5L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c x y z q r s")).toDF("doc_id", "text")
+    val out = Dedup.contaminationAttribution(corpus, probe, "text", "doc_id", 3, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty && out.head._2 == 3L,
+      s"widest-spread leaked shingle first (a b c in 3 docs): ${out.toSeq}")
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted(Ordering[Long].reverse).toSeq,
+      "spread-descending order")
+    // every reported shingle occurs in ≥1 corpus doc, and the probe's
+    // unleaked shingles are absent: counts are 3 (abc) then 1s
+    assert(out.map(_._2).count(_ == 3L) >= 1 && out.forall(_._2 >= 1L))
+  }
+
   test("minhash bucketCap: mega-bucket pairs drop, small-bucket pairs survive") {
     import spark.implicits._
     val mega = "alpha beta gamma delta epsilon zeta eta theta"

@@ -271,6 +271,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(out(("2024-01-01 13:00:00.0", "view")) == 0L)
   }
 
+  test("trending ranks hour-over-hour movers by add-one lift on the dense spine") {
+    // hour 10: 1 click, 1 view; hour 11: 4 clicks, 0 views, 1 signup.
+    // Lifts at hour 11: click (4+1)/(1+1)=2.5, signup (1+1)/(0+1)=2.0
+    // (spine zero-fill makes silent-hour types real baselines),
+    // view (0+1)/(1+1)=0.5 — order: click, signup, view.
+    val events = (
+      Seq(Ev(1, t("10:05"), 1, "click", 0), Ev(2, t("10:15"), 1, "view", 0)) ++
+      (0 until 4).map(i => Ev(10 + i, t(s"11:0$i"), 1, "click", 0)) ++
+      Seq(Ev(20, t("11:30"), 1, "signup", 0))
+    ).toDF()
+    val out = Events.trending(events, 3).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // only hour 11 has a baseline (hour 10 is the spine start)
+    assert(out.keySet.forall(_._1 == "2024-01-01 11:00:00.0"))
+    assert(out(("2024-01-01 11:00:00.0", 1)) == (("click", 4L, 1L, 2.5)))
+    assert(out(("2024-01-01 11:00:00.0", 2)) == (("signup", 1L, 0L, 2.0)))
+    assert(out(("2024-01-01 11:00:00.0", 3)) == (("view", 0L, 1L, 0.5)))
+  }
+
   test("anomaly flags exactly the hours beyond 2σ of the dense spine") {
     // clicks: 10 quiet hours of 1 event + one 12-event burst hour.
     // H=11, S=22, Q=154: burst (11·12−22)²=12100 > 4(11·154−22²)=4840 ✓;
