@@ -25,7 +25,10 @@ object ScaleUp {
     "a_corr_matrix", "d_drift_extended", "x_bpe_pairs", "s_funnel",
     // r5: cluster-consuming split (exercises the detector auto-dispatch
     // at N×) and the prefix-filtered bipartite delta
-    "x_leakage_split", "x_neardup_delta")
+    "x_leakage_split", "x_neardup_delta",
+    // r7: the restored events pipeline — the band-join's candidate growth
+    // is the untested scale risk now that the NTZ regression is fixed
+    "q_nearest_event", "s_attribution")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
@@ -33,7 +36,7 @@ object ScaleUp {
   def ensure(spark: SparkSession, src: String, copies: Int): String = {
     val dst = s"/tmp/graft_scaleup_x$copies"
     val marker = java.nio.file.Paths.get(s"$dst/_DONE")
-    val key = s"$src x$copies docmark-v2" // bump on fixture-shape changes
+    val key = s"$src x$copies docmark-v3" // bump on fixture-shape changes
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker)) == key)
       return dst
@@ -61,7 +64,14 @@ object ScaleUp {
       "text" -> (i => regexp_replace(col("text"),
         lit("((\\S+ ){5}\\S+) "), concat(lit("$1 v"), lit(i), lit(" "))))))
     replicate("embeddings", Map("vec_id" -> (i => col("vec_id") + lit(i * big))))
-    replicate("events", Map("event_id" -> (i => col("event_id") + lit(i * big))))
+    // user_id offsets too: copies must be DISJOINT user populations, or
+    // every per-user operator (sessionize, funnel, attribution, nearest-
+    // event) sees 16 coincident clones of each event and its per-user
+    // join/window candidate set grows copies² — a pathological workload,
+    // not the plan's curvature. Offset users keep per-user density fixed.
+    replicate("events", Map(
+      "event_id" -> (i => col("event_id") + lit(i * big)),
+      "user_id" -> (i => col("user_id") + lit(i * big))))
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

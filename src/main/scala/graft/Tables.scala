@@ -38,14 +38,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = eventsRaw(s, d)
-    // TIMESTAMP(NANOS) files arrive as long (nanosAsLong) and floor-divide
-    // to micros; files already written with standard timestamps pass through.
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    // Normalize every encoding the driver has shipped `ts` as to TimestampType:
+    //  - TIMESTAMP(NANOS) arrives as long (nanosAsLong) → floor-divide to micros;
+    //  - timestamp[us] without isAdjustedToUTC arrives as TIMESTAMP_NTZ, which
+    //    unix_micros() rejects at analysis — cast to TimestampType (session tz
+    //    is UTC, so epoch semantics match DuckDB's epoch_us exactly);
+    //  - UTC-adjusted timestamps pass through.
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -115,8 +115,7 @@ object Privacy {
   def generalizeNumericAuto(df: DataFrame, c: String, bins: Int = 10): DataFrame =
     generalizeNumeric(df, c, bins,
       if (!Exact.centsEligible(df, c)) QuantileStrategy.SortPercentile
-      else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= DriverFitMaxBytes)
-        QuantileStrategy.DriverSort
+      else if (driverFits(df, nCols = 1)) QuantileStrategy.DriverSort
       else QuantileStrategy.CentsHistogram)
 
   /** C-printf-compatible "%.2f": round the EXACT binary value of the
@@ -195,7 +194,7 @@ object Privacy {
     * the shared fitting collector behind [[syntheticSample]]'s driver
     * path and [[protectFit]]. Primitive batches, no encoder; practical
     * while the projected columns fit driver memory (documented ceiling
-    * [[DriverFitMaxBytes]]). */
+    * [[DriverFitMaxCells]]). */
   private def collectRawState(df: DataFrame, numNames: Seq[String], catNames: Seq[String])
       : (Long, Map[String, Array[Double]], Map[String, Map[String, Long]]) = {
     val kN = numNames.length
@@ -307,21 +306,33 @@ object Privacy {
       hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray, mu, sigma)
   }
 
-  /** Auto driver-fit ceiling for [[syntheticSample]]: below this
-    * optimizer scan-size estimate collecting the raw numeric columns
-    * beats any shuffle; above it the fused domain-shuffling histogram
-    * job takes over. Free to evaluate — plan statistics, no job.
+  /** Row-based driver-fit dispatch for [[syntheticSample]] /
+    * [[generalizeNumericAuto]] (round 7 — replaces the earlier 16 MiB
+    * plan-stats byte ceiling). The byte estimate is compression-skewed
+    * for parquet sources — snappy routinely packs 5-8× on these tables,
+    * so a byte ceiling lets inputs with millions of rows slip into the
+    * driver path, whose cost (single-threaded collect bandwidth +
+    * O(n log n) sort) grows with ROWS × collected COLUMNS, not with
+    * compressed bytes. Decision: exact row count (metadata-only on a
+    * parquet scan — no data pages are decoded for a count) against a
+    * CELL ceiling. A plan whose byte estimate already exceeds 1 GiB
+    * can't fit any plausible ceiling, so at true scale the count job is
+    * skipped entirely and nothing is added to the 100 TB path.
     *
-    * The ceiling is deliberately LOW (≈10⁶ rows of a typical fact
-    * table, far under what the driver could physically hold): the
-    * driver path's cost is a single-threaded O(n log n) sort plus
-    * collect bandwidth, so its wall time grows superlinearly long
-    * before memory is at risk, while the distributed fit is a flat
-    * map-side-combined aggregate whose shuffle is only value-DOMAIN
-    * sized. The crossover in practice sits near this estimate — an
-    * earlier 8 GiB ceiling kept the driver path in a region where a 4×
-    * input cost ~10× the wall time. */
-  private val DriverFitMaxBytes = BigInt(16L) << 20
+    * The ceiling is deliberately LOW (a few 10⁶ cells, far under what
+    * the driver could physically hold): driver-path wall time grows
+    * superlinearly long before memory is at risk, while the distributed
+    * fit is a flat map-side-combined aggregate whose shuffle is only
+    * value-DOMAIN sized — an earlier 8 GiB ceiling kept the driver path
+    * in a region where a 4× input cost ~10× the wall time. */
+  private val DriverFitMaxCells = 4L << 20
+
+  private def driverFits(df: DataFrame, nCols: Int): Boolean = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    if (stats.sizeInBytes > (BigInt(1) << 30)) return false
+    val rows = stats.rowCount.map(_.toLong).getOrElse(df.count())
+    rows * math.max(1, nCols) <= DriverFitMaxCells
+  }
 
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
                       seed: Long = 42L, driverFit: Option[Boolean] = None): DataFrame = {
@@ -341,12 +352,12 @@ object Privacy {
     //    precision columns bootstrap on exact values), every categorical
     //    PMF (vocabulary-sized hash maps), and the row count.
     //  - distributed fit (the 100 TB path, the default beyond
-    //    [[DriverFitMaxBytes]]): every row explodes into a counter entry
-    //    plus one (colIdx, cents-bin | category) entry per column; a
-    //    single map-side-combinable aggregate yields the row count, every
-    //    cents histogram, and every PMF. Only the value DOMAIN shuffles.
-    val useDriverFit = driverFit.getOrElse(
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= DriverFitMaxBytes)
+    //    [[DriverFitMaxCells]] rows×columns — see [[driverFits]]): every
+    //    row explodes into a counter entry plus one (colIdx, cents-bin |
+    //    category) entry per column; a single map-side-combinable
+    //    aggregate yields the row count, every cents histogram, and every
+    //    PMF. Only the value DOMAIN shuffles.
+    val useDriverFit = driverFit.getOrElse(driverFits(df, fields.length))
 
     val (sourceRows, numFits, catCounts): (Long, Map[Int, NumFit], Map[Int, Seq[(String, Long)]]) =
       if (useDriverFit) {
@@ -640,7 +651,7 @@ object Privacy {
     * own fit because it must observe the TRANSFORMED frame (generalized
     * columns are labels by the time synthesis runs).
     *
-    * Driver-fit regime only (ceiling [[DriverFitMaxBytes]], same
+    * Driver-fit regime only (ceiling [[DriverFitMaxCells]], same
     * auto-dispatch contract as [[syntheticSample]]) — beyond it,
     * [[GraftSession.protect]]'s per-operator distributed fits are each
     * scale-safe on their own and remain the 100 TB path. */

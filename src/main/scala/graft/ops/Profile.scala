@@ -292,15 +292,38 @@ object Profile {
       .filter(col("cnt") < threshold)
       .orderBy(col("value").asc_nulls_first)
 
-  /** A5 distinct count per column (one wide aggregate, one pass; widened
-    * — the multi-distinct Expand multiplies every input row by the
-    * column count, so a single-split scan pays it all on one core). */
+  /** A5 exact distinct count per column, fused into ONE narrow two-level
+    * aggregate.
+    *
+    * The obvious `agg(count_distinct(c1), …, count_distinct(cN))` plans as
+    * an Expand that multiplies every input row by N at FULL row width (all
+    * N agg columns ride along, nulled except one), then hash-aggregates the
+    * wide rows — 5.8 s at sf0.1. Instead each row explodes into N narrow
+    * (column-name, typed-value) entries — one value slot per distinct
+    * column TYPE, so values stay native (no lossy/injectivity-risky string
+    * casts; NaN/-0.0 normalization matches count_distinct's grouping
+    * semantics exactly) — then a map-side-combinable `.distinct()` dedups
+    * pairs before the only shuffle, and a column-keyed count yields the
+    * answer. Shuffle volume is the distinct-pair domain, not the row count;
+    * at 100 TB that is the same asymptotic shape as the Expand plan with a
+    * fraction of the constant factor. Null source values keep their entry
+    * (flagged by the key itself) so an all-null column still reports 0,
+    * but are excluded from the count — COUNT(DISTINCT) semantics. */
   def distinctCounts(df: DataFrame): DataFrame = {
-    val aggs = df.columns.map(c => count_distinct(col(c)).as(s"${c}__u"))
-    val wide = Par.widen(df).agg(aggs.head, aggs.tail: _*)
-    val structs = df.columns.map(c =>
-      struct(lit(c).as("column"), col(s"${c}__u").as("n_unique")))
-    wide.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+    val types = df.schema.fields.map(_.dataType).distinct.toSeq
+    val entries = df.schema.fields.toSeq.map { f =>
+      val vs = types.zipWithIndex.map { case (t, i) =>
+        (if (f.dataType == t) col(f.name) else lit(null).cast(t)).as(s"v$i")
+      }
+      struct(lit(f.name).as("column") +: vs: _*)
+    }
+    val vCols = types.indices.map(i => col(s"v$i"))
+    val nonNull = vCols.map(_.isNotNull).reduce(_ || _)
+    Par.widen(df)
+      .select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+      .distinct()
+      .groupBy(col("column"))
+      .agg(sum(when(nonNull, 1L).otherwise(0L)).as("n_unique"))
       .orderBy(col("column"))
   }
 
