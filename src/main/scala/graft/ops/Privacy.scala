@@ -284,7 +284,38 @@ object Privacy {
     }
     val sdRaw = if (nn < 2) Double.NaN else math.sqrt(s2 / (nn - 1))
     val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN || sdRaw.isInfinite) 1.0 else sdRaw
-    NumFit(vs.result(), cm.result(), mu, sigma)
+    val (cv, cc) = capCdf(vs.result(), cm.result())
+    NumFit(cv, cc, mu, sigma)
+  }
+
+  /** Cap an inverse-CDF support table to ≤ [[MaxCdfKnots]] knots by
+    * subsampling at evenly spaced cumulative-probability targets (every
+    * kept knot is an exact (value, cum) point of the empirical CDF; the
+    * final knot always carries cum = 1.0, so the sampler's binary search
+    * domain is unchanged). A near-unique money column otherwise embeds
+    * ~n distinct doubles TWICE as plan literals — megabytes of codegen
+    * constants per column, which dominated v4's wall time and grew
+    * linearly with input. V4's declared match mode is seeded/
+    * distributional (moments/PMF within tolerance), and the quantile
+    * subsample moves each bootstrap draw by less than one inter-knot
+    * quantile step — orders of magnitude inside those tolerances. */
+  private val MaxCdfKnots = 4096
+
+  private def capCdf(values: Array[Double], cum: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = values.length
+    if (n <= MaxCdfKnots) return (values, cum)
+    val vs = new Array[Double](MaxCdfKnots)
+    val cs = new Array[Double](MaxCdfKnots)
+    var j = 0
+    var i = 0
+    while (j < MaxCdfKnots) {
+      val target = (j + 1).toDouble / MaxCdfKnots
+      while (i < n - 1 && cum(i) < target) i += 1
+      vs(j) = values(i)
+      cs(j) = cum(i)
+      j += 1
+    }
+    (vs, cs)
   }
 
   /** Fit from a sorted (bin, count) histogram (distributed path). μ/σ are
@@ -302,8 +333,9 @@ object Privacy {
     val mu = Exact.meanDouble(s1, nn)
     val sdRaw = Exact.stdDouble(s1, s2, nn)
     val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
-    NumFit(hist.map(_._1 / 100.0).toArray,
-      hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray, mu, sigma)
+    val (cv, cc) = capCdf(hist.map(_._1 / 100.0).toArray,
+      hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray)
+    NumFit(cv, cc, mu, sigma)
   }
 
   /** Row-based driver-fit dispatch for [[syntheticSample]] /

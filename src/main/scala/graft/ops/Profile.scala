@@ -24,10 +24,14 @@ object Profile {
 
   private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
 
-  /** Above this the quantile fit stops collecting raw columns to the
-    * driver (10⁷ rows × 8 B ≈ 80 MB/column) and switches to the
-    * domain-shuffling histogram path. */
-  private val DriverSortMaxRows = 10_000_000L
+  /** Above this many collected CELLS (rows × numeric columns — the unit
+    * driver-fit cost actually grows in; a row ceiling alone let a 7-column
+    * profile collect ~540 MB at 10⁷ rows) the quantile fit stops
+    * collecting raw columns to the driver and switches to the
+    * domain-shuffling histogram path. 8M cells ≈ 64 MB collect + ~1 s of
+    * single-threaded driver sorts — near the measured crossover vs the
+    * bucketed histogram job. */
+  private val DriverSortMaxCells = 8_000_000L
 
   /** A1 `basic_stats`: one row per input column. Numeric moments use the
     * exact-cents policy in [[Exact]]; quantiles route through the fused
@@ -61,7 +65,7 @@ object Profile {
     val hiLo = nRows <= Exact.HiLoSafeMaxRows
     val quantiles: Map[String, Exact.QuantFit] =
       if (numCols.isEmpty) Map.empty
-      else if (nRows <= DriverSortMaxRows)
+      else if (nRows * numCols.length <= DriverSortMaxCells)
         Exact.quantilesViaDriverSortMulti(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
       else
         Exact.quantilesMultiCentsHistogram(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
@@ -424,11 +428,17 @@ object Profile {
     // interpreted Decimal evaluation, 10–40× slower; six aggregates over
     // a 28-key groupBy stay fully codegen'd, and the map-side combine
     // reduces each partition to C(k,2) rows before the (tiny) shuffle.
-    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("pi"), col(a).as("x"), col(b).as("y"))
+    // Exploded frame for a SUBSET of pairs (original pair indices kept):
+    // since round 7 the magnitude dispatch is per-PAIR, so the decimal
+    // regimes explode only the pairs that need them.
+    def explodedFor(ps: Seq[((String, String), Int)]): DataFrame = {
+      val entries = ps.map { case ((a, b), i) =>
+        struct(lit(i).as("pi"), col(a).as("x"), col(b).as("y"))
+      }
+      proj.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.pi").as("pi"), col("e.x").as("x"), col("e.y").as("y"))
     }
-    val ex = proj.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.pi").as("pi"), col("e.x").as("x"), col("e.y").as("y"))
+    val allIdx = pairs.zipWithIndex
     val m = col("x").isNotNull && col("y").isNotNull
     // per-row gate: CaseWhen branches evaluate lazily, so rows past the
     // long-product domain never multiply (an ungated ANSI multiply would
@@ -444,7 +454,7 @@ object Profile {
     val pxx = col("x") * col("x")
     val pyy = col("y") * col("y")
     // exact at any magnitude (DECIMAL(19,0) multiplies), any row count
-    def decimalAgg: DataFrame =
+    def decimalAgg(ex: DataFrame): DataFrame =
       ex.groupBy("pi").agg(
         count(when(m, lit(1))).as("n"),
         sum(when(m, col("x")).cast(DecimalType(19, 0))).as("sx"),
@@ -470,12 +480,20 @@ object Profile {
     val pre = df.agg(preAggs.head, preAggs.tail: _*).collect()(0)
     val nRowsPre = pre.getLong(0)
     val hiLoRowSafe = nRowsPre <= Exact.HiLoSafeMaxRows
-    val domainProvablySafe = cols.indices.forall { i =>
-      pre.isNullAt(i + 1) || {
+    // Per-COLUMN safety (round 7): the all-or-nothing form meant ONE
+    // key-like column (e.g. a scale-up-offset orderkey whose cents top
+    // 3·10⁹) demoted every pair of the matrix to the gated decimal-buffer
+    // aggregate — 16× wall at 4× data. Only the pairs that touch an
+    // unsafe column need decimal side-sums; the rest keep the compact
+    // all-long buffers. An all-null column is "safe": it contributes no
+    // products at all.
+    val colSafe: Map[String, Boolean] = cols.zipWithIndex.map { case (c, i) =>
+      c -> (pre.isNullAt(i + 1) || {
         val v = pre.getDouble(i + 1)
         !v.isNaN && v * 100.0 + 100.0 < Exact.LongSafeCentsAbsMax.toDouble
-      }
-    }
+      })
+    }.toMap
+    val domainProvablySafe = cols.forall(colSafe)
     // No nulls anywhere (NaN already failed the domain bound above, so
     // "raw count == rows" really does mean every cents value lands) ⇒
     // pairwise-complete degenerates to all-rows and the per-PAIR n/Σx
@@ -487,8 +505,69 @@ object Profile {
     // gated DECIMAL aggregates of the naive flat form that did not.
     val noNulls = cols.indices.forall(i =>
       pre.getLong(1 + cols.length + i) == nRowsPre)
+    // fast path over a pair subset: ungated all-long hi/lo buffers,
+    // fully codegen
+    def gPureFor(ex: DataFrame): DataFrame = {
+      val gPure = ex.groupBy("pi").agg(
+        count(when(m, lit(1))).as("n"),
+        sum(when(m, col("x"))).as("sx_l"),
+        sum(when(m, col("y"))).as("sy_l"),
+        sum(hi(pxy)).as("sxy_hi"),
+        sum(lo(pxy)).as("sxy_lo"),
+        sum(when(m, hi(pxx))).as("sxx_hi"),
+        sum(when(m, lo(pxx))).as("sxx_lo"),
+        sum(when(m, hi(pyy))).as("syy_hi"),
+        sum(when(m, lo(pyy))).as("syy_lo"))
+      def recomb(h: String, l: String): Column =
+        when(col(h).isNull, lit(null).cast(DecimalType(38, 0)))
+          .otherwise((col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
+            col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0)))
+      gPure.select(col("pi"), col("n"),
+        col("sx_l").cast(DecimalType(19, 0)).as("sx"),
+        col("sy_l").cast(DecimalType(19, 0)).as("sy"),
+        recomb("sxy_hi", "sxy_lo").as("sxy"),
+        recomb("sxx_hi", "sxx_lo").as("sxx"),
+        recomb("syy_hi", "syy_lo").as("syy"))
+    }
+    // hybrid over a pair subset: in-domain rows update only long
+    // buffers; out-of-domain rows update only the decimal side-sums —
+    // one pass, exact at any magnitude, no probe/re-run
+    def hybridFor(ex: DataFrame): DataFrame = {
+      val xd = col("x").cast(DecimalType(19, 0))
+      val yd = col("y").cast(DecimalType(19, 0))
+      val gParts = ex.groupBy("pi").agg(
+        count(when(m, lit(1))).as("n"),
+        sum(when(m && inDomain, col("x"))).as("sx_l"),
+        sum(when(m && inDomain, col("y"))).as("sy_l"),
+        sum(when(inDomain, hi(pxy))).as("sxy_hi"),
+        sum(when(inDomain, lo(pxy))).as("sxy_lo"),
+        sum(when(m && inDomain, hi(pxx))).as("sxx_hi"),
+        sum(when(m && inDomain, lo(pxx))).as("sxx_lo"),
+        sum(when(m && inDomain, hi(pyy))).as("syy_hi"),
+        sum(when(m && inDomain, lo(pyy))).as("syy_lo"),
+        sum(when(m && !inDomain, xd)).as("sx_d"),
+        sum(when(m && !inDomain, yd)).as("sy_d"),
+        sum(when(!inDomain, xd * yd)).as("sxy_d"),
+        sum(when(m && !inDomain, xd * xd)).as("sxx_d"),
+        sum(when(m && !inDomain, yd * yd)).as("syy_d"))
+      def combS1(l: String, d: String): Column =
+        when(col(l).isNull && col(d).isNull, lit(null).cast(DecimalType(19, 0)))
+          .otherwise((coalesce(col(l).cast(DecimalType(19, 0)), lit(0)) +
+            coalesce(col(d), lit(0))).cast(DecimalType(19, 0)))
+      def combS2(h: String, l: String, d: String): Column =
+        when(col(h).isNull && col(d).isNull, lit(null).cast(DecimalType(38, 0)))
+          .otherwise((coalesce(col(h).cast(DecimalType(20, 0)) * lit(4294967296L), lit(0)) +
+            coalesce(col(l).cast(DecimalType(20, 0)), lit(0)) +
+            coalesce(col(d), lit(0))).cast(DecimalType(38, 0)))
+      gParts.select(col("pi"), col("n"),
+        combS1("sx_l", "sx_d").as("sx"),
+        combS1("sy_l", "sy_d").as("sy"),
+        combS2("sxy_hi", "sxy_lo", "sxy_d").as("sxy"),
+        combS2("sxx_hi", "sxx_lo", "sxx_d").as("sxx"),
+        combS2("syy_hi", "syy_lo", "syy_d").as("syy"))
+    }
     val g: DataFrame =
-      if (!hiLoRowSafe) decimalAgg
+      if (!hiLoRowSafe) decimalAgg(explodedFor(allIdx))
       else if (domainProvablySafe && noNulls && nRowsPre > 0) {
         def hiF(c: Column): Column = shiftright(c, 32)
         def loF(c: Column): Column = c.bitwiseAND(lit(0xFFFFFFFFL))
@@ -516,65 +595,20 @@ object Profile {
           }: _*)).as("e"))
           .select(col("e.*"))
       }
-      else if (domainProvablySafe) {
-        // fast path: ungated all-long hi/lo buffers, fully codegen
-        val gPure = ex.groupBy("pi").agg(
-          count(when(m, lit(1))).as("n"),
-          sum(when(m, col("x"))).as("sx_l"),
-          sum(when(m, col("y"))).as("sy_l"),
-          sum(hi(pxy)).as("sxy_hi"),
-          sum(lo(pxy)).as("sxy_lo"),
-          sum(when(m, hi(pxx))).as("sxx_hi"),
-          sum(when(m, lo(pxx))).as("sxx_lo"),
-          sum(when(m, hi(pyy))).as("syy_hi"),
-          sum(when(m, lo(pyy))).as("syy_lo"))
-        def recomb(h: String, l: String): Column =
-          when(col(h).isNull, lit(null).cast(DecimalType(38, 0)))
-            .otherwise((col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
-              col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0)))
-        gPure.select(col("pi"), col("n"),
-          col("sx_l").cast(DecimalType(19, 0)).as("sx"),
-          col("sy_l").cast(DecimalType(19, 0)).as("sy"),
-          recomb("sxy_hi", "sxy_lo").as("sxy"),
-          recomb("sxx_hi", "sxx_lo").as("sxx"),
-          recomb("syy_hi", "syy_lo").as("syy"))
-      }
+      else if (domainProvablySafe) gPureFor(explodedFor(allIdx))
       else {
-        val xd = col("x").cast(DecimalType(19, 0))
-        val yd = col("y").cast(DecimalType(19, 0))
-        // hybrid: in-domain rows update only long buffers; out-of-domain
-        // rows update only the decimal side-sums — one pass, exact at
-        // any magnitude, no probe/re-run
-        val gParts = ex.groupBy("pi").agg(
-          count(when(m, lit(1))).as("n"),
-          sum(when(m && inDomain, col("x"))).as("sx_l"),
-          sum(when(m && inDomain, col("y"))).as("sy_l"),
-          sum(when(inDomain, hi(pxy))).as("sxy_hi"),
-          sum(when(inDomain, lo(pxy))).as("sxy_lo"),
-          sum(when(m && inDomain, hi(pxx))).as("sxx_hi"),
-          sum(when(m && inDomain, lo(pxx))).as("sxx_lo"),
-          sum(when(m && inDomain, hi(pyy))).as("syy_hi"),
-          sum(when(m && inDomain, lo(pyy))).as("syy_lo"),
-          sum(when(m && !inDomain, xd)).as("sx_d"),
-          sum(when(m && !inDomain, yd)).as("sy_d"),
-          sum(when(!inDomain, xd * yd)).as("sxy_d"),
-          sum(when(m && !inDomain, xd * xd)).as("sxx_d"),
-          sum(when(m && !inDomain, yd * yd)).as("syy_d"))
-        def combS1(l: String, d: String): Column =
-          when(col(l).isNull && col(d).isNull, lit(null).cast(DecimalType(19, 0)))
-            .otherwise((coalesce(col(l).cast(DecimalType(19, 0)), lit(0)) +
-              coalesce(col(d), lit(0))).cast(DecimalType(19, 0)))
-        def combS2(h: String, l: String, d: String): Column =
-          when(col(h).isNull && col(d).isNull, lit(null).cast(DecimalType(38, 0)))
-            .otherwise((coalesce(col(h).cast(DecimalType(20, 0)) * lit(4294967296L), lit(0)) +
-              coalesce(col(l).cast(DecimalType(20, 0)), lit(0)) +
-              coalesce(col(d), lit(0))).cast(DecimalType(38, 0)))
-        gParts.select(col("pi"), col("n"),
-          combS1("sx_l", "sx_d").as("sx"),
-          combS1("sy_l", "sy_d").as("sy"),
-          combS2("sxy_hi", "sxy_lo", "sxy_d").as("sxy"),
-          combS2("sxx_hi", "sxx_lo", "sxx_d").as("sxx"),
-          combS2("syy_hi", "syy_lo", "syy_d").as("syy"))
+        // mixed regime (round 7): pairs whose BOTH columns pass the
+        // magnitude bound keep the compact all-long aggregate; only the
+        // pairs touching an unsafe column carry decimal side-buffers.
+        // Both halves consume the same `proj` exchange (ReuseExchange
+        // dedups it inside the union plan), so the scan still runs once.
+        val (safeP, unsafeP) = allIdx.partition { case ((a, b), _) =>
+          colSafe(a) && colSafe(b)
+        }
+        val parts =
+          (if (safeP.nonEmpty) Seq(gPureFor(explodedFor(safeP))) else Nil) ++
+            (if (unsafeP.nonEmpty) Seq(hybridFor(explodedFor(unsafeP))) else Nil)
+        parts.reduce(_ unionByName _)
       }
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")

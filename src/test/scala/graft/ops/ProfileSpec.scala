@@ -134,6 +134,28 @@ class ProfileSpec extends SparkSpec {
     assert(rm.getDouble(3) == 1.0)
   }
 
+  test("correlationMatrix: per-pair split — one oversized column must not demote safe pairs") {
+    // k=3 with exactly one column past the cents bound exercises the
+    // round-7 mixed regime: (x,y) rides the all-long fast aggregate,
+    // (x,big)/(y,big) ride the gated hybrid, and the union must carry
+    // original pair indices so labels line up. Values chosen so every
+    // pair has an exact closed-form corr; a null row checks that
+    // pairwise-complete counting survives the split.
+    val df = Seq(
+      (Some(1.0), Some(3.0), Some(2.0e9)),
+      (Some(2.0), Some(2.0), Some(4.0e9)),
+      (Some(3.0), Some(1.0), Some(6.0e9)),
+      (Some(4.0), None, Some(8.0e9)))
+      .toDF("x", "y", "big")
+    val rows = Profile.correlationMatrix(df, Seq("x", "y", "big")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows.size == 3)
+    assert(rows(("x", "y")) == (3L, Some(-1.0)))   // safe pair, 3 complete rows
+    assert(rows(("x", "big")) == (4L, Some(1.0)))  // unsafe pair, exact in decimal
+    assert(rows(("y", "big")) == (3L, Some(-1.0)))
+  }
+
   test("categoryEntropy: constant → 0, uniform → ln k, nulls bucket as NA") {
     val df = Seq(
       (Some("c"), "a"), (Some("c"), "b"), (Some("c"), "c"), (None, "d"))
