@@ -137,13 +137,77 @@ object Profile {
       if (numCols.isEmpty) None
       else Some(wide.select(explode(array(rowStructs: _*)).as("r")).select(col("r.*")))
 
-    // One value-count groupBy per non-numeric column; the stats row and
-    // the mode top-1 both consume it, so the scan + shuffle dedup via
-    // ReuseExchange (identical canonical plans).
+    // Non-numeric columns, FUSED (round 7): one exploded narrow pass
+    // replaces a value-count groupBy per column (k extra scans + k
+    // shuffles — ~40% of the profile's wall at sf0.1). Every row becomes
+    // one (colIdx, value-as-string) entry; the first map-side-combinable
+    // aggregate counts distinct (colIdx, value) pairs, and a second,
+    // column-keyed aggregate derives totals, missing, exact distinct,
+    // min/max, AND the string mode — highest count then smallest value
+    // (nulls first), pandas' tie-break — via min(struct(-cnt, value)),
+    // so the mode costs no window and no extra shuffle. The string cast
+    // is order-preserving for every type admitted below (ISO date/
+    // timestamp strings compare exactly like their native values;
+    // fraction digits only extend the fixed-width seconds field), which
+    // is what makes min/max-over-strings equal min/max-then-cast. Any
+    // column OUTSIDE that list routes through the legacy per-column
+    // aggregates — correctness first, fusion where proven.
+    def fusable(dt: DataType): Boolean = dt match {
+      case StringType | DateType | BooleanType => true
+      case _: TimestampType => true
+      case _: TimestampNTZType => true
+      case _ => false
+    }
+    val (fusedCols, loopCols) =
+      othCols.toSeq.partition(c => fusable(fields.find(_.name == c).get.dataType))
+
+    val fusedRows: Option[DataFrame] = fusedCols match {
+      case Nil => None
+      case cs =>
+        val entries = cs.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("ci"), col(c).cast("string").as("v"))
+        }
+        val counts = df
+          .select(explode(array(entries: _*)).as("e"))
+          .select(col("e.ci").as("ci"), col("e.v").as("v"))
+          .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+        val isStr = cs.map(c => fields.find(_.name == c).get.dataType == StringType)
+        val lvl2 = counts.groupBy("ci").agg(
+          sum(col("cnt")).as("nt"),
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L)).as("nn"),
+          count(col("v")).as("uniq"),
+          min(col("v")).as("mn"),
+          max(col("v")).as("mx"),
+          min(struct((-col("cnt")).as("nc"), col("v"))).as("top"))
+        val nameArr = array(cs.map(lit): _*)
+        val dtypeArr = array(cs.map(c =>
+          lit(dtypeName(fields.find(_.name == c).get.dataType))): _*)
+        val strArr = array(isStr.map(lit): _*)
+        Some(lvl2.select(
+          element_at(nameArr, col("ci") + 1).as("column"),
+          element_at(dtypeArr, col("ci") + 1).as("dtype"),
+          col("nt").as("n_total"),
+          (col("nt") - col("nn")).as("n_missing"),
+          ((col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
+          col("uniq").as("n_unique"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("std"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("p25"),
+          lit(null).cast("double").as("median"),
+          lit(null).cast("double").as("p75"),
+          lit(null).cast("double").as("max_num"),
+          col("mn").as("min_str"),
+          col("mx").as("max_str"),
+          when(element_at(strArr, col("ci") + 1), col("top.v")).as("top_value"),
+          when(element_at(strArr, col("ci") + 1), -col("top.nc")).as("top_freq")))
+    }
+
+    // legacy per-column path for exotic non-numeric types only
     def valueCountsFor(c: String): DataFrame =
       df.groupBy(col(c).as("top_value")).agg(count(lit(1)).as("top_freq"))
 
-    val othRows: Option[DataFrame] = othCols.toSeq match {
+    val othRows: Option[DataFrame] = loopCols match {
       case Nil => None
       case cs => Some(cs.map { c =>
         val dt = dtypeName(fields.find(_.name == c).get.dataType)
@@ -173,17 +237,10 @@ object Profile {
       }.reduce(_ unionByName _))
     }
 
-    val exploded = (numRows, othRows) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        throw new IllegalArgumentException("profile: input has no columns")
-    }
-
-    // Mode (top-1 with pandas' smallest-on-tie rule) per string column —
-    // small groupBy shuffles, joined back by column name.
-    val topOne: Option[DataFrame] = strCols.toSeq match {
+    // Mode (top-1 with pandas' smallest-on-tie rule) for any string
+    // column on the LEGACY path only (fused columns already carry their
+    // mode from the counts aggregate).
+    val topOne: Option[DataFrame] = strCols.toSeq.filter(loopCols.contains) match {
       case Nil => None
       case cs =>
         val tops = cs.map { c =>
@@ -196,14 +253,20 @@ object Profile {
         Some(tops.reduce(_ union _))
     }
 
-    val withTop = topOne match {
-      case Some(t) => exploded.join(t, Seq("column"), "left")
-      case None =>
-        exploded
-          .withColumn("top_value", lit(null).cast("string"))
-          .withColumn("top_freq", lit(null).cast("long"))
+    val base = Seq(numRows, othRows).flatten.reduceOption(_ unionByName _)
+    val baseWithTop = base.map { b =>
+      topOne match {
+        case Some(t) => b.join(t, Seq("column"), "left")
+        case None =>
+          b.withColumn("top_value", lit(null).cast("string"))
+            .withColumn("top_freq", lit(null).cast("long"))
+      }
     }
-    withTop.orderBy(col("column"))
+    (Seq(baseWithTop, fusedRows).flatten.reduceOption(_ unionByName _) match {
+      case Some(all) => all
+      case None =>
+        throw new IllegalArgumentException("profile: input has no columns")
+    }).orderBy(col("column"))
   }
 
   /** Sketch-based profile — the single-scan 100 TB sibling of [[profile]]:
