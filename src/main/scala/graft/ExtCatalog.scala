@@ -170,6 +170,16 @@ object ExtCatalog {
         docs.filter(col("doc_id") % 3 =!= 0),
         "text", "doc_id")
     }),
+    "x_neardup_delta_auto" -> ((s, d) => {
+      // the dispatch-closed form (r7): below the batch byte ceiling this
+      // IS neardupDelta (same rows, same oracle); above it the banded
+      // prefilter takes over — the x16 rehearsal exercises that side
+      val docs = Tables.documents(s, d)
+      Dedup.neardupDeltaAuto(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id")
+    }),
     "x_minhash_delta" -> ((s, d) => {
       // same corpus/batch split; the banded-signature incremental path
       val docs = Tables.documents(s, d)
@@ -1369,4 +1379,11 @@ object ExtCatalog {
         |  FROM events) t
         |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
   )
+
+  /** [[oracleSql]] plus alias rows whose query is definitionally
+    * identical at oracle-checked scale: the auto near-dup delta takes
+    * the exact path below its batch byte ceiling, which every
+    * oracle-checked SF sits under — same rows, same SQL. */
+  val oracleSqlWithAliases: Map[String, String] =
+    oracleSql + ("x_neardup_delta_auto" -> oracleSql("x_neardup_delta"))
 }

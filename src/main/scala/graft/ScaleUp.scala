@@ -27,8 +27,9 @@ object ScaleUp {
     // at N×) and the prefix-filtered bipartite delta
     "x_leakage_split", "x_neardup_delta",
     // r7: the restored events pipeline — the band-join's candidate growth
-    // is the untested scale risk now that the NTZ regression is fixed
-    "q_nearest_event", "s_attribution")
+    // is the untested scale risk now that the NTZ regression is fixed —
+    // plus the dispatch-closed near-dup delta (banded side engages at Nx)
+    "q_nearest_event", "s_attribution", "x_neardup_delta_auto")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

@@ -47,7 +47,7 @@ object SparkEntry {
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    QueryCatalog.oracleSql ++ ExtCatalog.oracleSql ++ Map(
+    QueryCatalog.oracleSql ++ ExtCatalog.oracleSqlWithAliases ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

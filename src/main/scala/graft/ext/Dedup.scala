@@ -294,6 +294,64 @@ object Dedup {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** [[neardupDelta]] with its scale trap closed — the bipartite twin of
+    * [[nearDupPairsAuto]]'s r5 dispatch. The exact prefix-filtered index
+    * join is the small-batch tool: its candidate volume grows with
+    * batch×corpus shingle collisions, and the x16 rehearsal measured
+    * ratio ~11 when the "delta" itself was scaled 16× (SCALE_r7). Above
+    * the byte ceiling on the INCOMING side, banded-minhash candidates
+    * take over with the SAME all-matches output schema and the same
+    * exact-Jaccard verification; banding misses are the documented LSH
+    * recall tradeoff at the chosen (perms, bands) operating point. */
+  def neardupDeltaAuto(existing: DataFrame, incoming: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       numPerms: Int = 32, bands: Int = 8,
+                       maxExactBatchBytes: Long = AllPairsExactMaxInputBytes): DataFrame =
+    if (incoming.queryExecution.optimizedPlan.stats.sizeInBytes <= maxExactBatchBytes)
+      neardupDelta(existing, incoming, textCol, idCol, n, threshold)
+    else
+      neardupDeltaBanded(existing, incoming, textCol, idCol, n, numPerms, bands, threshold)
+
+  /** Banded-candidate form of [[neardupDelta]]: candidates come from
+    * (band, band-signature) equality — constant work per document
+    * regardless of batch size — then the exact verify and output match
+    * [[neardupDelta]] row for row on every recalled pair. */
+  def neardupDeltaBanded(existing: DataFrame, incoming: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.6): DataFrame = {
+    require(numPerms % bands == 0)
+    val r = numPerms / bands
+    graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
+    def prep(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), shingleHashArray(df, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(df: DataFrame, idName: String) = df
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numPerms)))
+      .select(col(idName), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
+            x => x.cast("string"))).as("bsig"))
+      }: _*)).as("bs"))
+      .select(col(idName), col("bs.band"), col("bs.bsig"))
+    val ex = prep(existing, "corpus_id")
+    val inc = prep(incoming, "batch_id")
+    val candidates = bandsOf(inc, "batch_id")
+      .join(bandsOf(ex, "corpus_id"), Seq("band", "bsig"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(inc.select(col("batch_id"), col("sh").as("shb")), "batch_id")
+      .join(ex.select(col("corpus_id"), col("sh").as("shc")), "corpus_id")
+      .withColumn("shared", size(array_intersect(col("shb"), col("shc"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("shb")) + size(col("shc")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** Novelty yield of an incoming batch against the curated corpus —
     * the "is this crawl worth ingesting" metric: per incoming document,
     * how many of its distinct n-gram shingles the corpus has never seen.

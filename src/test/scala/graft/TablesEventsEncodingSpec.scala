@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The events loader must normalize every `ts` encoding the driver has
+  * shipped (or could ship) to TimestampType with identical epoch
+  * semantics — the round-5/6 regression was a fixture flip from
+  * TIMESTAMP(NANOS) to TIMESTAMP_NTZ that broke four queries for two
+  * rounds. Each case writes a real parquet fixture and reads it back
+  * through `Tables.events`, asserting type AND epoch value.
+  */
+class TablesEventsEncodingSpec extends SparkSpec {
+
+  private val epochUs = 1700000000123456L // 2023-11-14 22:13:20.123456 UTC
+
+  private def roundTrip(dir: String): (DataType, Long) = {
+    val df = Tables.events(spark, dir)
+    val dt = df.schema("ts").dataType
+    val us = df.select(unix_micros(col("ts"))).head().getLong(0)
+    (dt, us)
+  }
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_events_$name")
+    d.toString
+  }
+
+  test("UTC-adjusted timestamp[us] passes through") {
+    val dir = tmp("utc")
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(epochUs)).as("ts"),
+      lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (dt, us) = roundTrip(dir)
+    assert(dt == TimestampType)
+    assert(us == epochUs)
+  }
+
+  test("TIMESTAMP_NTZ (non-UTC-adjusted timestamp[us]) is cast, epoch preserved") {
+    val dir = tmp("ntz")
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(epochUs)).cast(TimestampNTZType).as("ts"),
+      lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      "fixture must really carry NTZ for this test to mean anything")
+    val (dt, us) = roundTrip(dir)
+    assert(dt == TimestampType)
+    // session tz is UTC, so NTZ wall-clock == UTC instant
+    assert(us == epochUs)
+  }
+
+  test("TIMESTAMP(NANOS) read as long (nanosAsLong) is floor-divided to micros") {
+    val dir = tmp("nanos")
+    // nanosAsLong surfaces nanos as a plain long column named ts; emulate
+    // by writing the long directly — the loader dispatches on LongType.
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      lit(epochUs * 1000L + 789L).as("ts"), // +789ns floors away
+      lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (dt, us) = roundTrip(dir)
+    assert(dt == TimestampType)
+    assert(us == epochUs)
+  }
+}

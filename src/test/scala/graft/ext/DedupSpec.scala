@@ -295,6 +295,32 @@ class DedupSpec extends SparkSpec {
     assert(banded.size >= exact.size * 7 / 10, s"${banded.size} of ${exact.size}")
   }
 
+  test("neardupDeltaBanded ⊆ neardupDelta, identical pairs+scores; auto dispatches on batch size") {
+    val docs = graft.Tables.documents(spark, Sf)
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val exact = Dedup.neardupDelta(corpus, batch, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Dedup.neardupDeltaBanded(corpus, batch, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // band candidates can only MISS pairs, never invent them; every
+    // recalled pair carries the identical exact-verified jaccard
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"banded-only pairs: ${banded.keySet.diff(exact.keySet)}")
+    banded.foreach { case (k, j) => assert(exact(k) == j, s"pair $k: $j vs ${exact(k)}") }
+    assert(banded.size >= exact.size * 7 / 10, s"${banded.size} of ${exact.size}")
+    // auto: a small batch takes the exact path verbatim...
+    val auto = Dedup.neardupDeltaAuto(corpus, batch, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(auto == exact)
+    // ...and a zero byte ceiling forces the banded path
+    val forced = Dedup.neardupDeltaAuto(corpus, batch, "text", "doc_id",
+        maxExactBatchBytes = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(forced == banded)
+  }
+
   test("softDedupWeights: every doc kept, cluster mass sums to one doc each") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6)
     val out = Dedup.softDedupWeights(docs, pairs, "doc_id").collect()
