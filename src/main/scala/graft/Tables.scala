@@ -43,8 +43,17 @@ object Tables {
     // Normalize every encoding the driver has shipped `ts` as to TimestampType:
     //  - TIMESTAMP(NANOS) arrives as long (nanosAsLong) → floor-divide to micros;
     //  - timestamp[us] without isAdjustedToUTC arrives as TIMESTAMP_NTZ, which
-    //    unix_micros() rejects at analysis — cast to TimestampType (session tz
-    //    is UTC, so epoch semantics match DuckDB's epoch_us exactly);
+    //    unix_micros() rejects at analysis — interpret the naive wall-clock as
+    //    UTC (DuckDB's epoch_us convention for naive timestamps) regardless of
+    //    the session timezone: render the UTC instant's wall-clock in the
+    //    session zone first, so the NTZ→TIMESTAMP cast (which interprets the
+    //    wall-clock in the SESSION zone) lands on the exact instant. With a
+    //    UTC session (graft.Sessions.local) convert_timezone is the identity;
+    //    a self-built session on machine-local time gets the same epochs
+    //    instead of a silent hours-sized shift. (Residual edge: with a
+    //    non-UTC session, instants whose session-zone rendering falls in
+    //    the one ambiguous DST fall-back hour per year resolve to that
+    //    zone's default offset; a UTC session has no such hour.)
     //  - UTC-adjusted timestamps pass through.
     raw.schema("ts").dataType match {
       case LongType =>
@@ -52,8 +61,10 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _: TimestampNTZType =>
+        import org.apache.spark.sql.functions.{col, convert_timezone, lit}
+        val sessionTz = s.conf.get("spark.sql.session.timeZone")
         raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
       case _ => raw
     }
   }

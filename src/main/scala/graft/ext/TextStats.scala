@@ -42,9 +42,13 @@ object TextStats {
     val stopArr = array(Stopwords.map(lit): _*)
     val nStop = size(filter(t, x => array_contains(stopArr, x)))
     val nDigits = nChars - length(regexp_replace(textCol, "[0-9]", ""))
+    // nTok ≥ 1 always (split("") = [""]), but nChars = 0 for an EMPTY text:
+    // an unguarded 0/0 aborts the whole scan under ANSI (Spark 4 default).
+    // DuckDB division-by-zero yields NULL, so null-on-empty is also the
+    // oracle's semantics; the guard is a no-op for any non-empty text.
     (nStop.cast("double") / nTok) * 0.3 +
       least(lit(1.0), nTok.cast("double") / 50.0) * 0.5 +
-      (lit(1.0) - nDigits.cast("double") / nChars) * 0.2
+      (lit(1.0) - when(nChars > 0, nDigits.cast("double") / nChars)) * 0.2
   }
 
   /** Language prediction over a text column (shared by [[langId]] and

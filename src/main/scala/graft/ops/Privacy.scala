@@ -345,11 +345,14 @@ object Privacy {
     * so a byte ceiling lets inputs with millions of rows slip into the
     * driver path, whose cost (single-threaded collect bandwidth +
     * O(n log n) sort) grows with ROWS × collected COLUMNS, not with
-    * compressed bytes. Decision: exact row count (metadata-only on a
-    * parquet scan — no data pages are decoded for a count) against a
-    * CELL ceiling. A plan whose byte estimate already exceeds 1 GiB
-    * can't fit any plausible ceiling, so at true scale the count job is
-    * skipped entirely and nothing is added to the 100 TB path.
+    * compressed bytes. Decision: the CBO row count when available,
+    * else a LIMIT-bounded row probe (every task stops after cap+1
+    * narrow rows, so the probe costs at most the ceiling — it never
+    * executes an unbounded upstream plan just to decide dispatch)
+    * against a CELL ceiling. A plan whose byte estimate already
+    * exceeds 1 GiB can't fit any plausible ceiling, so at true scale
+    * the probe is skipped entirely and nothing is added to the 100 TB
+    * path.
     *
     * The ceiling is deliberately LOW (a few 10⁶ cells, far under what
     * the driver could physically hold): driver-path wall time grows
@@ -362,8 +365,18 @@ object Privacy {
   private def driverFits(df: DataFrame, nCols: Int): Boolean = {
     val stats = df.queryExecution.optimizedPlan.stats
     if (stats.sizeInBytes > (BigInt(1) << 30)) return false
-    val rows = stats.rowCount.map(_.toLong).getOrElse(df.count())
-    rows * math.max(1, nCols) <= DriverFitMaxCells
+    val cap = DriverFitMaxCells / math.max(1, nCols)
+    stats.rowCount.map(_.toLong) match {
+      case Some(rows) => rows <= cap
+      case None =>
+        // No CBO row estimate: probe with a LIMIT-bounded count instead of
+        // a full count(). On a derived plan (filters/joins upstream) a bare
+        // count() executes the whole subtree just to decide dispatch; the
+        // LocalLimit lets every task stop after cap+1 narrow rows, so the
+        // probe's cost is bounded by the ceiling itself, not by the input.
+        // (On a bare parquet scan both forms are metadata-cheap.)
+        df.select(lit(1).as("__probe")).limit((cap + 1).toInt).count() <= cap
+    }
   }
 
   def syntheticSample(df: DataFrame, cols: Seq[String], n: Long = -1L,
@@ -375,7 +388,8 @@ object Privacy {
 
     // Fitting strategy — auto-selected from the optimizer's size estimate
     // (mirrors generalizeNumericAuto's shape dispatch) unless forced.
-    // EITHER WAY the fit is exactly ONE Spark job:
+    // The auto decision may add one LIMIT-bounded probe job (see
+    // [[driverFits]]); the fit itself is then exactly ONE Spark job:
     //  - driver fit (small side; right while the columns fit driver
     //    memory): one fused scan over the internal rows collects every
     //    numeric column's RAW doubles (primitive batches, no encoder,

@@ -120,7 +120,9 @@ object Profile {
           lit(dtypeName(fields.find(_.name == c).get.dataType)).as("dtype"),
           col("__n_total").as("n_total"),
           (col("__n_total") - col(s"${c}__n")).as("n_missing"),
-          ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
+          // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
+          when(col("__n_total") > 0,
+            (col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
             .as("missing_pct"),
           uniqCol.as("n_unique"),
           Exact.meanFromMoments(Exact.s1Col(c, hiLo), col(s"${c}__n")).as("mean"),
@@ -179,16 +181,29 @@ object Profile {
           min(col("v")).as("mn"),
           max(col("v")).as("mx"),
           min(struct((-col("cnt")).as("nc"), col("v"))).as("top"))
+        // An EMPTY input explodes to zero entries, so lvl2 would drop the
+        // column outright (the legacy global-agg form always emitted a
+        // row with n_total=0). Left-join against the static column-index
+        // set — both sides are ≤ k rows, so the join is free — and
+        // zero-fill the counts.
+        val baseIdx = df.sparkSession.range(cs.length.toLong)
+          .select(col("id").cast("int").as("ci"))
+        val lvl2All = baseIdx.join(lvl2, Seq("ci"), "left")
+          .withColumn("nt", coalesce(col("nt"), lit(0L)))
+          .withColumn("nn", coalesce(col("nn"), lit(0L)))
+          .withColumn("uniq", coalesce(col("uniq"), lit(0L)))
         val nameArr = array(cs.map(lit): _*)
         val dtypeArr = array(cs.map(c =>
           lit(dtypeName(fields.find(_.name == c).get.dataType))): _*)
         val strArr = array(isStr.map(lit): _*)
-        Some(lvl2.select(
+        Some(lvl2All.select(
           element_at(nameArr, col("ci") + 1).as("column"),
           element_at(dtypeArr, col("ci") + 1).as("dtype"),
           col("nt").as("n_total"),
           (col("nt") - col("nn")).as("n_missing"),
-          ((col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
+          // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
+          when(col("nt") > 0,
+            (col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
           col("uniq").as("n_unique"),
           lit(null).cast("double").as("mean"),
           lit(null).cast("double").as("std"),
@@ -223,7 +238,9 @@ object Profile {
             lit(dt).as("dtype"),
             col("nt").as("n_total"),
             (col("nt") - col("nn")).as("n_missing"),
-            ((col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
+            // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
+            when(col("nt") > 0,
+              (col("nt") - col("nn")).cast("double") / col("nt") * 100.0).as("missing_pct"),
             col("uniq").as("n_unique"),
             lit(null).cast("double").as("mean"),
             lit(null).cast("double").as("std"),
@@ -309,7 +326,9 @@ object Profile {
         lit(dtypeName(f.dataType)).as("dtype"),
         col("__n_total").as("n_total"),
         (col("__n_total") - col(s"${c}__n")).as("n_missing"),
-        ((col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
+        // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
+        when(col("__n_total") > 0,
+          (col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
           .as("missing_pct"),
         col(s"${c}__uniq").as("n_unique"))
       val numeric =
@@ -386,11 +405,20 @@ object Profile {
     }
     val vCols = types.indices.map(i => col(s"v$i"))
     val nonNull = vCols.map(_.isNotNull).reduce(_ || _)
-    Par.widen(df)
+    val counted = Par.widen(df)
       .select(explode(array(entries: _*)).as("e")).select(col("e.*"))
       .distinct()
       .groupBy(col("column"))
       .agg(sum(when(nonNull, 1L).otherwise(0L)).as("n_unique"))
+    // An EMPTY input explodes to zero entries; the pre-fusion wide agg
+    // (a global aggregate) always returned one row per column with
+    // n_unique=0. Left-join the static column list back in — `counted`
+    // is ≤ k rows, so this costs nothing.
+    val names = df.schema.fields.map(_.name).toSeq
+    val baseNames = df.sparkSession.range(names.length.toLong)
+      .select(element_at(array(names.map(lit): _*), (col("id") + 1).cast("int")).as("column"))
+    baseNames.join(counted, Seq("column"), "left")
+      .select(col("column"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .orderBy(col("column"))
   }
 
@@ -663,8 +691,13 @@ object Profile {
         // mixed regime (round 7): pairs whose BOTH columns pass the
         // magnitude bound keep the compact all-long aggregate; only the
         // pairs touching an unsafe column carry decimal side-buffers.
-        // Both halves consume the same `proj` exchange (ReuseExchange
-        // dedups it inside the union plan), so the scan still runs once.
+        // The two aggregate subtrees each scan `proj` (when Par.widen is
+        // a no-op there is no Exchange for ReuseExchange to dedup, and
+        // column pruning narrows each scan to its own pairs' columns) —
+        // a deliberate trade: two narrow columnar scans cost far less
+        // than decimal buffers on every group (the pre-split all-or-
+        // nothing form was 16× wall at 4× data; this one measured 7.0 s
+        // vs 43.5 s at x4, sublinear 8.3 at x16).
         val (safeP, unsafeP) = allIdx.partition { case ((a, b), _) =>
           colSafe(a) && colSafe(b)
         }

@@ -14,7 +14,13 @@ class CatalogAnalyzableSpec extends SparkSpec {
   test("every SparkEntry.queries entry analyzes against sf0.001") {
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, Sf).queryExecution.analyzed; None }
-      catch { case e: Exception => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+      catch { case e: Exception =>
+        // getMessage may be null (bare NPE) or empty — never let the
+        // reporter itself throw, or the sweep loses the query name.
+        val msg = Option(e.getMessage).iterator
+          .flatMap(_.linesIterator).find(_.trim.nonEmpty).getOrElse(e.toString)
+        Some(s"$name: ${e.getClass.getSimpleName}: $msg")
+      }
     }
     assert(broken.isEmpty, s"\n${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
   }

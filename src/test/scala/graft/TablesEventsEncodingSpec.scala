@@ -54,6 +54,26 @@ class TablesEventsEncodingSpec extends SparkSpec {
     assert(us == epochUs)
   }
 
+  test("TIMESTAMP_NTZ epoch is session-timezone-independent") {
+    // The naive wall-clock must be interpreted as UTC (DuckDB's epoch_us
+    // convention) even when the session runs on machine-local time — a
+    // plain NTZ→TIMESTAMP cast would shift every epoch by the tz offset.
+    val dir = tmp("ntztz")
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(epochUs)).cast(TimestampNTZType).as("ts"),
+      lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val us = Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).head().getLong(0)
+      assert(us == epochUs)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("TIMESTAMP(NANOS) read as long (nanosAsLong) is floor-divided to micros") {
     val dir = tmp("nanos")
     // nanosAsLong surfaces nanos as a plain long column named ts; emulate

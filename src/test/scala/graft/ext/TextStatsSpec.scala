@@ -17,6 +17,21 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("textStats: EMPTY text must not abort the scan (ANSI 0/0) — quality null like the oracle") {
+    // n_chars=0 made the digit-ratio term divide 0/0, which under ANSI
+    // (Spark 4 default) kills the whole job for one bad document. DuckDB
+    // division by zero yields NULL, so null quality is also oracle parity.
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the cat"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextStats.textStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(6), "empty text → null quality")
+    assert(rows(4L).isNullAt(6), "null text → null quality")
+    assert(!rows(3L).isNullAt(6), "real text keeps its score")
+    // whitespace-only: split("   ") has tokens, n_chars=3 > 0 → defined
+    assert(!rows(2L).isNullAt(6))
+  }
+
   test("langId: marker hits pick the language; no hits → und") {
     val df = Seq(
       (1L, "the fast query"),

@@ -219,4 +219,25 @@ class ProfileSpec extends SparkSpec {
     val ms = Profile.muSigma(single, Seq("y")).collect()(0)
     assert(ms.getDouble(2) == 1.0) // n<2 → 1.0
   }
+
+  test("profile: EMPTY input still emits one row per column (n_total=0)") {
+    // The fused non-numeric pass explodes rows, so an empty frame used to
+    // drop string/date/bool columns from the output entirely while the
+    // numeric global agg kept its rows — a consumer keying on column name
+    // saw the column vanish. Every column must survive an empty input.
+    val empty = Seq(("a", 1.0, true)).toDF("s", "n", "b").filter(lit(false))
+    val p = Profile.profile(empty).collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("s", "n", "b"))
+    Seq("s", "n", "b").foreach { c =>
+      assert(p(c).getLong(2) == 0L, s"$c n_total")   // n_total
+      assert(p(c).getLong(5) == 0L, s"$c n_unique")  // n_unique
+    }
+  }
+
+  test("distinctCounts: EMPTY input emits one row per column with n_unique=0") {
+    val empty = Seq(("a", 1.0)).toDF("s", "n").filter(lit(false))
+    val d = Profile.distinctCounts(empty).collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("n", "s"))
+    assert(d.forall(_.getLong(1) == 0L))
+  }
 }
