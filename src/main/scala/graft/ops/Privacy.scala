@@ -369,13 +369,17 @@ object Privacy {
     stats.rowCount.map(_.toLong) match {
       case Some(rows) => rows <= cap
       case None =>
-        // No CBO row estimate: probe with a LIMIT-bounded count instead of
-        // a full count(). On a derived plan (filters/joins upstream) a bare
-        // count() executes the whole subtree just to decide dispatch; the
-        // LocalLimit lets every task stop after cap+1 narrow rows, so the
-        // probe's cost is bounded by the ceiling itself, not by the input.
-        // (On a bare parquet scan both forms are metadata-cheap.)
-        df.select(lit(1).as("__probe")).limit((cap + 1).toInt).count() <= cap
+        // No CBO row estimate: probe with a LIMIT-bounded collect instead
+        // of a full count(). On a derived plan (filters/joins upstream) a
+        // bare count() executes the whole subtree just to decide dispatch.
+        // limit(n).collect() plans CollectLimitExec — partitions evaluate
+        // INCREMENTALLY (1, then 4×, …) and stop as soon as n narrow rows
+        // exist, with no shuffle; a limit(n).count() would instead run
+        // LocalLimit(n) on EVERY partition and shuffle up to n×partitions
+        // rows to a single task. Probe payload is unit rows, ≤ ~4 MB at
+        // the ceiling.
+        df.select(lit(1).as("__probe")).limit((cap + 1).toInt)
+          .collect().length.toLong <= cap
     }
   }
 
