@@ -36,8 +36,40 @@ object SimSearch {
   def norm2(a: Column, dim: Int = -1): Column =
     if (dim > 0) dot(a, a, dim) else call_function("vec_dot", a, a)
 
-  def cosine(a: Column, b: Column, dim: Int = -1): Column =
-    dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
+  /** Cosine similarity; NULL when either vector has zero norm (an
+    * all-zero embedding — failed encoder rows exist in any real corpus).
+    * The unguarded division would abort the whole job under ANSI
+    * (Spark 4 default); null instead drops the pair from every
+    * threshold filter and top-k downstream, which is the only sensible
+    * semantics for an undefined angle. */
+  def cosine(a: Column, b: Column, dim: Int = -1): Column = {
+    val den = sqrt(norm2(a, dim)) * sqrt(norm2(b, dim))
+    when(den > 0, dot(a, b, dim) / den)
+  }
+
+  /** Unit-normalize an embedding into an MLlib dense vector (zero-norm
+    * → zero vector) — the ONE normalization every MLlib-backed path
+    * (LSH, IVF, clustering) must share: two drifting copies of this UDF
+    * would silently diverge bucket/assignment semantics. */
+  private lazy val toUnitVec = {
+    import org.apache.spark.ml.linalg.Vectors
+    udf { (arr: Seq[Float]) =>
+      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
+    }
+  }
+
+  /** Sign-bit hyperplane code over the first `bits` dimensions — the
+    * shared bucket function of [[semDedup]] / [[semDedupDelta]].
+    * Dimensions beyond the vector's actual length contribute bit 0 (the
+    * size guard short-circuits, so a `bits` larger than the embedding
+    * width degrades to fewer distinct buckets instead of an ANSI
+    * out-of-bounds abort). */
+  private def signBitCode(vecCol: String, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0)) { (acc, j) =>
+      acc + when(size(col(vecCol)) > j && element_at(col(vecCol), j + 1) > 0f,
+        lit(1 << j)).otherwise(lit(0))
+    }
 
   /** Bounded top-k by (score DESC, id ASC) as an exploded (qid, rk, cid,
     * score) frame — the shared tail of every ANN path. A
@@ -49,7 +81,10 @@ object SimSearch {
   private def topKExplode(scored: DataFrame, k: Int,
                           scoreName: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(k))
-    scored.groupBy("qid")
+    // null scores (zero-norm vectors, see [[cosine]]) must not reach the
+    // typed aggregate — its (Double, Long) input encoder is non-nullable
+    scored.filter(col("__score").isNotNull)
+      .groupBy("qid")
       .agg(topk(col("__score"), col("cid")).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).as("rk"),
@@ -71,7 +106,8 @@ object SimSearch {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("__score"))
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("__score"))
     topKExplode(scored, k, "cos")
   }
 
@@ -110,16 +146,14 @@ object SimSearch {
               bucketLength: Double = 2.0, numHashTables: Int = 3,
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    import org.apache.spark.sql.Row
 
-    val spark = queries.sparkSession
-    val toVec = udf { (arr: Seq[Float]) =>
-      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
-      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
-    }
-    val q = queries.select(col(idCol).as("qid"), toVec(col(vecCol)).as("fv"))
-    val c = corpus.select(col(idCol).as("cid"), toVec(col(vecCol)).as("fv"))
+    val q = queries.select(col(idCol).as("qid"), toUnitVec(col(vecCol)).as("fv"))
+    val c = corpus.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    // MLlib's fit reads head() for the input dim and aborts on an empty
+    // corpus; an empty candidate set is the correct result instead
+    if (c.isEmpty)
+      return topKExplode(q.crossJoin(c)
+        .select(col("qid"), col("cid"), lit(0.0).as("__score")), k, "cos_approx")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("fv").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
@@ -148,16 +182,16 @@ object SimSearch {
               idCol: String = "vec_id", vecCol: String = "embedding",
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import org.apache.spark.ml.linalg.Vector
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
 
-    val toUnitVec = udf { (arr: Seq[Float]) =>
-      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
-      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
-    }
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       toUnitVec(col(vecCol)).as("fv"),
       sqrt(norm2(col(vecCol))).as("cn"))
+    // KMeans.fit aborts on an empty corpus; empty candidates are correct
+    if (c.isEmpty)
+      return topKExplode(queries.select(col(idCol).as("qid")).crossJoin(c)
+        .select(col("qid"), col("cid"), lit(0.0).as("__score")), k, "cos")
     // k-means|| init + 10 iterations: cheaper quantizers (random init,
     // fewer passes) measurably cost recall on weakly-clustered embeddings
     // (IvfSpec's recall@5 floor caught that), and the fit is a one-off
@@ -186,7 +220,8 @@ object SimSearch {
     val scored = broadcast(q).join(assigned, "list_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("__score"))
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("__score"))
     // a query probing multiple lists can meet the same candidate once per
     // list only if assignment were multi-list; it is not (one list per
     // corpus vector), so no distinct is needed before the bounded top-k
@@ -228,10 +263,8 @@ object SimSearch {
   def semDedup(df: DataFrame, threshold: Double, bits: Int = 8,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val code = (0 until bits).foldLeft(lit(0)) { (acc, j) =>
-      acc + when(element_at(col(vecCol), j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
-    }
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), code.as("bucket"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBitCode(vecCol, bits).as("bucket"))
     val a = v.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
     val b = v.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
     val dups = a.join(b, Seq("bucket"))
@@ -257,12 +290,9 @@ object SimSearch {
                     bits: Int = 8, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    def code(df: DataFrame) = (0 until bits).foldLeft(lit(0)) { (acc, j) =>
-      acc + when(element_at(col(vecCol), j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
-    }
-    val c = corpus.select(code(corpus).as("bucket"),
+    val c = corpus.select(signBitCode(vecCol, bits).as("bucket"),
       col(idCol).as("cid"), col(vecCol).as("cv"))
-    val b = batch.select(code(batch).as("bucket"),
+    val b = batch.select(signBitCode(vecCol, bits).as("bucket"),
       col(idCol).as("batch_id"), col(vecCol).as("bv"))
     b.join(c, Seq("bucket"))
       .select(col("batch_id"), col("cid"),
@@ -286,12 +316,12 @@ object SimSearch {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val toUnitVec = udf { (arr: Seq[Float]) =>
-      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
-      Vectors.dense(arr.map(x => if (n == 0) 0.0 else x / n).toArray)
-    }
+    import org.apache.spark.ml.linalg.Vector
     val c = df.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    // KMeans.fit aborts on an empty input; an empty summary is correct
+    if (c.isEmpty)
+      return c.select(lit(0).as("cluster_id"), lit(0L).as("n_members"),
+        lit(0.0).as("avg_cos_to_centroid"))
     val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster_id")
     val model = km.fit(c)
@@ -325,8 +355,17 @@ object SimSearch {
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val toVec = udf { (arr: Seq[Float]) => Vectors.dense(arr.map(_.toDouble).toArray) }
     val c = df.select(col(idCol).as("vec_id"), toVec(col(vecCol)).as("fv"))
+    // PCA.fit aborts on an empty input; an empty projection is correct
+    if (c.isEmpty)
+      return c.select(col("vec_id"), lit(null).cast("string").as("pc_csv"))
     val model = new PCA().setK(k).setInputCol("fv").setOutputCol("pc").fit(c)
-    val csv = udf { (v: Vector) => v.toArray.map(x => f"$x%.6f").mkString(",") }
+    // Locale.ROOT: the f"" interpolator formats via the JVM default
+    // locale — a comma-decimal default (de_DE, fr_FR) would corrupt the
+    // comma-joined CSV into ambiguous fields
+    val csv = udf { (v: Vector) =>
+      v.toArray.map(x => String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(x))).mkString(",")
+    }
     model.transform(c)
       .select(col("vec_id"), csv(col("pc")).as("pc_csv"))
       .orderBy(col("vec_id"))
@@ -356,8 +395,13 @@ object SimSearch {
         count(lit(1))).as(out))
     val wCum = Window.orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dimMeans(a, "ma").join(dimMeans(b, "mb"), Seq("pos"))
-      .withColumn("diff", col("ma") - col("mb"))
+    // FULL OUTER on pos: an encoder width change (768 → 1024) is exactly
+    // the event this monitor watches for — an inner join would silently
+    // restrict the shift to the shared prefix and underreport it. A
+    // dimension absent on one side contributes its full |mean| (missing
+    // ≡ zero mean), and n_dims reports the union width.
+    dimMeans(a, "ma").join(dimMeans(b, "mb"), Seq("pos"), "full_outer")
+      .withColumn("diff", coalesce(col("ma"), lit(0.0)) - coalesce(col("mb"), lit(0.0)))
       .withColumn("cum", sum(col("diff") * col("diff")).over(wCum))
       .agg(count(lit(1)).as("n_dims"),
         round(sqrt(max("cum")), roundTo).as("l2_shift"),

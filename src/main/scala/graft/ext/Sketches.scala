@@ -49,7 +49,12 @@ object Sketches {
     * sketches — never from rescanning the data. That union step is the
     * point: partition/day/source-level sketches roll up to any coarser
     * grain for free, which is how a 100 TB profile stays incremental.
-    * Output (group, n_distinct_est) with the union row last. */
+    * Output (group, n_distinct_est, is_total): the merged row carries
+    * group = "__ALL__" AND is_total = true — the flag, not the label,
+    * is the contract (a real group VALUE spelled "__ALL__" stays
+    * distinguishable), and the (is_total, group) sort GUARANTEES the
+    * union row last (a bare union after orderBy only happens to
+    * concatenate that way). */
   def distinctSketchMerge(df: DataFrame, keyCol: String, groupCol: String,
                           lgK: Int = 12): DataFrame = {
     val perGroup = df
@@ -58,9 +63,12 @@ object Sketches {
     val union = perGroup
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
       .select(lit("__ALL__").as("group"), col("sk"))
-    perGroup.select(col("group"), round(hll_sketch_estimate(col("sk"))).cast("long").as("n_distinct_est"))
-      .orderBy("group")
+    perGroup.select(col("group"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("n_distinct_est"),
+        lit(false).as("is_total"))
       .unionAll(union.select(col("group"),
-        round(hll_sketch_estimate(col("sk"))).cast("long").as("n_distinct_est")))
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("n_distinct_est"),
+        lit(true).as("is_total")))
+      .orderBy("is_total", "group")
   }
 }

@@ -29,9 +29,13 @@ object Pdf {
     * unescaped, each inter-tag text chunk becomes one line. */
   private[report] def htmlToText(html: String): Seq[String] = {
     val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
+    // &amp; must unescape LAST: Html.escape turns a literal "&lt;" into
+    // "&amp;lt;", and unescaping &amp; first would double-unescape it to
+    // "<" — corrupting round-tripped cell values.
     val chunks = noScript.split("<[^>]*>").toSeq
-      .map(_.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-        .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " "))
+      .map(_.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+        .replace("&amp;", "&"))
       .map(_.trim)
       .filter(_.nonEmpty)
     if (chunks.isEmpty) Seq("SafeData Report (text fallback).") else chunks
@@ -47,6 +51,14 @@ object Pdf {
       case _ => "?"
     }.mkString
 
+  /** Locale-fixed formatting: PDF number syntax requires '.' decimals
+    * and ASCII digits, but the f"" interpolator formats via the JVM
+    * default locale — a comma-decimal default (de_DE, fr_FR) would emit
+    * "40,0 801,890 Td" and produce an invalid file. */
+  private def fr(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   /** Render `lines` to PDF bytes: one text object per page, Helvetica 12
     * (reportlab's canvas default font). */
   def renderLines(lines: Seq[String]): Array[Byte] = {
@@ -54,7 +66,6 @@ object Pdf {
     val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(linesPerPage).toSeq
 
     // object ids: 1 Catalog, 2 Pages, 3 Font, then (Page, Contents) pairs
-    val nPageObjs = pages.length * 2
     val kids = pages.indices.map(i => s"${4 + i * 2} 0 R").mkString(" ")
 
     val objs = scala.collection.mutable.ArrayBuffer[String]()
@@ -66,12 +77,12 @@ object Pdf {
       val contentId = pageId + 1
       val y0 = PageH - Margin
       val body = new StringBuilder
-      body.append(f"BT\n/F1 12 Tf\n$Leading%.1f TL\n$Margin%.1f $y0%.3f Td\n")
+      body.append(fr("BT\n/F1 12 Tf\n%.1f TL\n%.1f %.3f Td\n", Leading, Margin, y0))
       pageLines.foreach { l => body.append(s"(${pdfEscape(l)}) Tj\nT*\n") }
       body.append("ET\n")
       val stream = body.toString
       objs += s"$pageId 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        f"/MediaBox [0 0 $PageW%.3f $PageH%.3f] " +
+        fr("/MediaBox [0 0 %.3f %.3f] ", PageW, PageH) +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentId 0 R >>\nendobj\n"
       objs += s"$contentId 0 obj\n<< /Length ${stream.getBytes(StandardCharsets.ISO_8859_1).length} >>\n" +
         s"stream\n$stream\nendstream\nendobj\n"
@@ -85,7 +96,7 @@ object Pdf {
     val n = objs.length + 1
     w(s"xref\n0 $n\n")
     w("0000000000 65535 f \n")
-    offsets.foreach(off => w(f"$off%010d 00000 n \n"))
+    offsets.foreach(off => w(fr("%010d 00000 n \n", off)))
     w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

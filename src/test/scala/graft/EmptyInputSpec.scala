@@ -23,6 +23,10 @@ class EmptyInputSpec extends SparkSpec {
     Tables.documents(spark, Sf).filter(lit(false))
   private def someLineitem: DataFrame =
     Tables.lineitem(spark, Sf).limit(100)
+  private def emptyEmb: DataFrame =
+    Tables.embeddings(spark, Sf).filter(lit(false))
+  private def someEmb: DataFrame =
+    Tables.embeddings(spark, Sf).limit(50)
 
   private val numCols = Seq("l_quantity", "l_extendedprice")
 
@@ -60,7 +64,22 @@ class EmptyInputSpec extends SparkSpec {
       "tCloseness" -> (() => ops.Privacy.tCloseness(emptyLineitem, Seq("l_returnflag"), "l_linestatus").collect()),
       "textStats" -> (() => ext.TextStats.textStats(emptyDocs, "text", "doc_id").collect()),
       "langId" -> (() => ext.TextStats.langId(emptyDocs, "text", "doc_id").collect()),
-      "dedupExact" -> (() => ext.Dedup.exact(emptyDocs, "text", "doc_id").collect())
+      "dedupExact" -> (() => ext.Dedup.exact(emptyDocs, "text", "doc_id").collect()),
+      // ANN / embedding ops: the MLlib fits (LSH, KMeans, PCA) abort on
+      // empty input unless guarded — an empty delta batch or a corpus
+      // filter matching nothing must yield an empty result, not a crash
+      "cosineTopK empty-corpus" -> (() => ext.SimSearch.cosineTopK(someEmb, emptyEmb, 5).collect()),
+      "lshTopK empty-corpus" -> (() => ext.SimSearch.lshTopK(someEmb, emptyEmb, 5).collect()),
+      "ivfTopK empty-corpus" -> (() => ext.SimSearch.ivfTopK(someEmb, emptyEmb, 5).collect()),
+      "clusterSummary" -> (() => ext.SimSearch.clusterSummary(emptyEmb).collect()),
+      "pcaProject" -> (() => ext.SimSearch.pcaProject(emptyEmb, 4).collect()),
+      "semDedup" -> (() => ext.SimSearch.semDedup(emptyEmb, 0.9).collect()),
+      "semDedupDelta empty-corpus" -> (() =>
+        ext.SimSearch.semDedupDelta(emptyEmb, someEmb, 0.9).collect()),
+      "centroidShift empty-after" -> (() =>
+        ext.SimSearch.centroidShift(someEmb, emptyEmb).collect()),
+      "distinctSketchMerge" -> (() =>
+        ext.Sketches.distinctSketchMerge(emptyDocs, "text", "source").collect())
     )
     val failures = cases.flatMap { case (name, run) =>
       try { run(); None }

@@ -63,6 +63,35 @@ class SimSearchSpec extends SparkSpec {
     assert(r4 >= 2, s"IVF top-1 recall $r4/10")
   }
 
+  test("zero-norm embeddings: null cosine, excluded everywhere, no ANSI abort") {
+    // An all-zero vector (failed-encoder row) has no defined angle: the
+    // unguarded division killed the whole job under ANSI. It must simply
+    // drop out of every pair/top-k instead.
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = SimSearch.cosineTopK(df, df, 2).collect()
+    assert(top.nonEmpty)
+    assert(!top.exists(r => r.getLong(0) == 2L || r.getLong(2) == 2L),
+      "zero-norm vector must appear neither as query nor as neighbor")
+    val pairs = SimSearch.cosineNearDupPairs(df, 0.0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+    assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+  }
+
+  test("signBitCode: bits wider than the vector degrade to fewer buckets, no abort") {
+    // bits=8 over 2-dim vectors: dims 3..8 contribute bit 0 instead of an
+    // ANSI INVALID_ARRAY_INDEX abort; same-sign prefixes share a bucket.
+    val df = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(-1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimSearch.semDedup(df, threshold = 0.99, bits = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == out(2L).getInt(1), "identical vectors share a bucket")
+    assert(out(1L).getInt(1) != out(3L).getInt(1), "sign flip changes the bucket")
+    assert(out(2L).getLong(2) == 1L && !out(2L).getBoolean(3), "2 dups of 1")
+  }
+
   test("near-dup pairs threshold filter keeps only the close pair") {
     // cos(0,1) = 0.9/√0.82 ≈ 0.9939; every other pair is far below 0.99
     val pairs = SimSearch.cosineNearDupPairs(emb, 0.99, dim = 4).collect()
