@@ -41,7 +41,11 @@ object ZOrder {
 
   /** `df` with a `zval` column interleaving `k1`/`k2` rank buckets.
     * The min/max fit is ONE map-side-combinable aggregate broadcast
-    * onto the scan — no second pass, no driver round-trip in the plan. */
+    * onto the scan — no second pass, no driver round-trip in the plan.
+    * A NULL key buckets to 0 (clustering with the axis minimum): parquet
+    * footers ignore nulls for min/max, so pruning on the other key is
+    * unaffected — and without the coalesce a single null row gave the
+    * whole write path a null zval and an opaque NPE at the cut fit. */
   def withZValue(df: DataFrame, k1: String, k2: String,
                  bits: Int = 8): DataFrame = {
     require(bits > 0 && bits <= 16, "bits must be in [1,16]")
@@ -50,8 +54,9 @@ object ZOrder {
       min(col(k2)).cast("long").as("min2"), max(col(k2)).cast("long").as("max2"))
     df.crossJoin(broadcast(ext))
       .withColumn("zval", interleave(
-        bucket(col(k1).cast("long"), col("min1"), col("max1"), bits),
-        bucket(col(k2).cast("long"), col("min2"), col("max2"), bits), bits))
+        coalesce(bucket(col(k1).cast("long"), col("min1"), col("max1"), bits), lit(0L)),
+        coalesce(bucket(col(k2).cast("long"), col("min2"), col("max2"), bits), lit(0L)),
+        bits))
       .drop("min1", "max1", "min2", "max2")
   }
 
@@ -107,6 +112,10 @@ object ZOrder {
     val total = cells.map(_._2).sum.toDouble
     // Greedy balanced cut: close a group once its mass reaches the ideal
     // share, but never let trailing groups starve (leave ≥1 cell each).
+    // The second disjunct FORCES a cut when the remaining cells exactly
+    // cover the remaining cuts — end-concentrated mass (e.g. counts
+    // [1,1,1,97]) otherwise never reaches the ideal share in time and
+    // the whole table lands in ONE file.
     val upper = Array.newBuilder[Long] // inclusive zcell upper bound per cut
     var acc = 0L; var cut = 1
     cells.zipWithIndex.foreach { case ((c, n), i) =>
@@ -114,7 +123,7 @@ object ZOrder {
       val remainingCells = cells.length - i - 1
       val remainingCuts = parts - cut
       if (cut < parts && remainingCuts <= remainingCells &&
-          acc >= total * cut / parts) {
+          (acc >= total * cut / parts || remainingCuts == remainingCells)) {
         upper += c; cut += 1
       }
     }

@@ -27,12 +27,18 @@ object DriftStream {
                  tsCol: String = "ts", windowDur: String = "1 hour",
                  watermark: String = "2 hours", bins: Int = 10,
                  eps: Double = 1e-6, roundTo: Int = 6): DataFrame = {
+    require(bins > 1, s"psiMonitor: bins must be > 1 (got $bins)")
     val probs = (1 until bins).map(_.toDouble / bins)
     val edgeArr = expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))")
     val refNonNull = reference.filter(col(c).isNotNull)
+    // NaN-containing edge sets collapse to Seq.empty, matching the batch
+    // psiEdges fallback — otherwise `v >= NaN` is always false and the
+    // upper bins silently vanish, diverging from the batch metric
     val edges: Seq[Double] = refNonNull.agg(edgeArr.as("qs")).head() match {
       case r if r.isNullAt(0) => Seq.empty
-      case r => r.getSeq[Double](0).distinct.sorted
+      case r =>
+        val qs = r.getSeq[Double](0)
+        if (qs.exists(_.isNaN)) Seq.empty else qs.distinct.sorted
     }
     def binIdx(v: Column): Column = edges.foldLeft(lit(0))((acc, e) =>
       acc + when(v.cast("double") >= lit(e), 1).otherwise(0))
@@ -42,11 +48,17 @@ object DriftStream {
       .groupBy("bin").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val refTotal = refCounts.values.sum
+    // an empty/all-null reference would make every pRef NaN (0/0) and the
+    // monitor would emit psi=NaN forever, silently — fail loudly instead,
+    // like jsMonitor's "empty reference" require
+    require(refTotal > 0, "psiMonitor: empty reference (no non-null rows)")
     val pRef: Seq[Double] = (0 until nBins).map(i =>
       math.max(refCounts.getOrElse(i, 0L).toDouble / refTotal, eps))
 
+    // project the bin index ONCE per row — folding binIdx inside every
+    // per-bin count would re-run the edge fold bins× per row
     val counts = (0 until nBins).map(i =>
-      sum(when(binIdx(col(c)) === i, 1L).otherwise(0L)).as(s"__c$i"))
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
     val total = (0 until nBins).map(i => col(s"__c$i")).reduce(_ + _)
     def pLive(i: Int): Column =
       greatest(col(s"__c$i").cast("double") / nullif(total, lit(0L)), lit(eps))
@@ -57,6 +69,7 @@ object DriftStream {
     }.reduce(_ + _)
     stream
       .filter(col(c).isNotNull)
+      .select(col(tsCol), binIdx(col(c)).as("__bin"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("w"))
       .agg(counts.head, counts.tail: _*)
@@ -87,13 +100,23 @@ object DriftStream {
       .groupBy("k").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(refCounts.nonEmpty, "empty reference")
+    // the overflow bucket's label must not exist as a REAL reference
+    // category: `keys` would contain it twice, double-counting its rows
+    // in `total` and mis-assigning its pRef — fail loudly
+    require(!refCounts.exists(_._1 == "__OTHER__"),
+      "jsMonitor: reference contains the reserved category label \"__OTHER__\"")
     // keep the top-mass categories (count desc, key tie-break — taking
     // the lexicographically-first keys instead would fold DOMINANT
     // categories into __OTHER__ on any wide reference, gutting the drift
-    // signal), then order the kept set by key so the literal fold is
-    // deterministic and matches the batch metric's term order
+    // signal), then order the kept set by UTF-8 BYTE order so the literal
+    // fold is deterministic AND matches the batch metric's term order
+    // (Spark sorts strings as UTF8 bytes; Scala's String.sorted compares
+    // UTF-16 code units — the two disagree for supplementary-plane keys)
     val kept = refCounts.sortBy { case (k, n) => (-n, k) }.take(maxCategories)
-    val vocab = kept.map(_._1).sorted
+    val vocab = kept.map(_._1).sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
     val refTotal = refCounts.map(_._2).sum.toDouble
     val pRefByK: Map[String, Double] =
       kept.map { case (k, n) => k -> n / refTotal }.toMap
@@ -109,8 +132,11 @@ object DriftStream {
     }
     val liveKey = coalesce(col(c).cast("string"), lit("NA"))
     val mapped = when(liveKey.isInCollection(vocab), liveKey).otherwise(lit("__OTHER__"))
+    // project the mapped key ONCE per row — folding `mapped` (with its
+    // vocab-wide membership scan) inside every per-key count would run
+    // it |keys|× per row
     val counts = keys.indices.map(i =>
-      sum(when(mapped === keys(i), 1L).otherwise(0L)).as(s"__c$i"))
+      sum(when(col("__k") === keys(i), 1L).otherwise(0L)).as(s"__c$i"))
     val total = keys.indices.map(i => col(s"__c$i")).reduce(_ + _)
     val js = keys.indices.map { i =>
       val p = lit(pRef(i))
@@ -120,6 +146,7 @@ object DriftStream {
         when(col(s"__c$i") > 0, q * log(q / m) * 0.5).otherwise(0.0)
     }.reduce(_ + _)
     stream
+      .select(col(tsCol), mapped.as("__k"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("w"))
       .agg(counts.head, counts.tail: _*)

@@ -316,11 +316,16 @@ object EventsStream extends Serializable {
     * Cross-batch disorder (bounded by the watermark delay, default = gap)
     * follows session-window merge semantics: an out-of-order event within
     * `gap` of the open session's bounds extends them (t_start can move
-    * earlier); one more than `gap` OLDER than the session start emits as
-    * its own earlier singleton session (reachable only when the watermark
-    * delay exceeds the gap). Batch certification: the batch window form
-    * is oracle-gated; `EventsStreamSpec` asserts this form emits the same
-    * sessions through a MemoryStream. */
+    * earlier); events more than `gap` OLDER than the session start form
+    * their own earlier session(s) — stragglers within `gap` of each
+    * other in one micro-batch MERGE, exactly like the batch twin
+    * (reachable only when the watermark delay exceeds the gap). The one
+    * residual deviation from batch parity: straggler sessions close at
+    * their micro-batch boundary (append mode cannot retract), so two
+    * mutually-adjacent stragglers split across DIFFERENT micro-batches
+    * emit as two sessions where batch merges them. Batch certification:
+    * the batch window form is oracle-gated; `EventsStreamSpec` asserts
+    * this form emits the same sessions through a MemoryStream. */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
                        watermarkDelayMinutes: Option[Int] = None)
       : org.apache.spark.sql.Dataset[SessionOut] = {
@@ -354,30 +359,40 @@ object EventsStream extends Serializable {
       } else {
         // micro-batch rows arrive unordered — order within the batch; the
         // watermark bounds how far across batches disorder can reach.
+        // The OPEN session rides the sorted timeline as an INTERVAL item
+        // (startUs, lastUs, n) among the batch's events, and one
+        // ascending gap-fold closes/merges over the union. The earlier
+        // per-event straggler branch emitted each out-of-order event as
+        // its own singleton session; two stragglers within `gap` of EACH
+        // OTHER must merge into one session, as the batch twin does.
         val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
         val closed = Seq.newBuilder[SessionOut]
-        val nextId = state.getOption.map(_.sessionId).getOrElse(1L)
-        var cur = state.getOption.filter(_.n > 0L)
-        sorted.foreach { e =>
-          val eu = usOf(e.ts)
+        var id = state.getOption.map(_.sessionId).getOrElse(1L)
+        val open = state.getOption.filter(_.n > 0L)
+        val evItems = sorted.map { e => val u = usOf(e.ts); (u, u, 1L) }
+        val items = open match {
+          case Some(s) =>
+            val (before, after) = evItems.span(_._1 < s.startUs)
+            (before :+ ((s.startUs, s.lastUs, s.n))) ++ after
+          case None => evItems
+        }
+        var cur: Option[(Long, Long, Long)] = None
+        items.foreach { case (a, b, n) =>
           cur = cur match {
-            case None => Some(SessionState(nextId, eu, eu, 1L))
-            case Some(s) if eu - s.lastUs > gapUs => // later gap → close, advance id
-              closed += SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs))
-              Some(SessionState(s.sessionId + 1L, eu, eu, 1L))
-            case Some(s) if s.startUs - eu > gapUs => // straggler far before the session
-              closed += SessionOut(user, s.sessionId, 1L, tsOf(eu), tsOf(eu))
-              Some(s.copy(sessionId = s.sessionId + 1L))
-            case Some(s) => // inside/adjacent: extend both bounds
-              Some(s.copy(startUs = math.min(s.startUs, eu),
-                lastUs = math.max(s.lastUs, eu), n = s.n + 1L))
+            case None => Some((a, b, n))
+            case Some((ca, cb, cn)) if a - cb > gapUs => // gap → close, advance id
+              closed += SessionOut(user, id, cn, tsOf(ca), tsOf(cb))
+              id += 1L
+              Some((a, b, n))
+            case Some((ca, cb, cn)) => // inside/adjacent: extend, pool counts
+              Some((ca, math.max(cb, b), cn + n))
           }
         }
-        cur.foreach { s =>
-          state.update(s)
+        cur.foreach { case (a, b, n) =>
+          state.update(SessionState(id, a, b, n))
           // timeout must sit above the current watermark
           state.setTimeoutTimestamp(
-            math.max(s.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            math.max(b / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
         }
         closed.result().iterator
       }
@@ -459,9 +474,12 @@ object EventsStream extends Serializable {
       } else {
         state.update(FunnelState(keep.map(_._1), keep.map(_._2), keep.map(_._3), q.toSeq))
         if (keep.nonEmpty)
-          // re-enter as soon as the watermark can ripen the buffer
+          // re-enter as soon as the watermark can ripen the OLDEST
+          // buffered event (max would withhold already-ripe events until
+          // the watermark cleared the entire buffer — on a quiet stream,
+          // indefinitely)
           state.setTimeoutTimestamp(
-            math.max(keep.map(_._1).max / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            math.max(keep.map(_._1).min / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
         else
           // buffer drained: schedule the tombstone's expiry
           state.setTimeoutTimestamp(

@@ -79,4 +79,33 @@ class ZOrderSpec extends SparkSpec {
     assert(touched <= files.length * 2 / 3,
       s"secondary-key band query must prune files: touched $touched of ${files.length}")
   }
+
+  test("zorderWrite: null keys cluster to cell 0 instead of NPEing the cut fit") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 5L), (1L, null), (2L, 2L), (900L, 900L), (901L, 899L), (3L, 1L))
+      .toDF("k1", "k2")
+    val dir = Files.createTempDirectory("zorder_null").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/t"
+    ZOrder.zorderWrite(df, "k1", "k2", path, 4, 2, 4)
+    assert(spark.read.parquet(path).count() == 6, "all rows (incl. null keys) written")
+  }
+
+  test("zorderWrite: end-concentrated mass still cuts into `parts` files") {
+    import spark.implicits._
+    // almost all mass in the top z-corner: the greedy share threshold is
+    // never reached early, so only the forced remaining-cells==remaining-
+    // cuts rule produces any cuts at all
+    val low = Seq((1L, 1L), (400L, 400L), (700L, 700L)) // one row per early cell
+    val high = (1 to 97).map(i => (1080L + (i % 8), 1080L + (i % 8)))
+    val df = (low ++ high).toDF("k1", "k2")
+    val dir = Files.createTempDirectory("zorder_skew").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/t"
+    ZOrder.zorderWrite(df, "k1", "k2", path, 4, 4, 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"4 parts → 4 files even under end-skew, got ${files.length}")
+  }
 }

@@ -127,4 +127,29 @@ class DriftStreamSpec extends SparkSpec {
     assert(rows(0).getTimestamp(0).toString == "2024-01-01 10:00:00.0")
     assert(rows(0).getLong(2) == 10L)
   }
+
+  test("monitors fail loudly on degenerate references, not with silent NaN/double-counting") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Obs]
+    // empty reference → every pRef would be NaN (0/0) and psi NaN forever
+    val emptyRef = Seq.empty[Double].toDF("v")
+    val e1 = intercept[IllegalArgumentException] {
+      DriftStream.psiMonitor(mem.toDF(), emptyRef, "v")
+    }
+    assert(e1.getMessage.contains("empty reference"))
+    // bins=1 used to build malformed percentile SQL, failing analysis
+    // with an unrelated message
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val e2 = intercept[IllegalArgumentException] {
+      DriftStream.psiMonitor(mem.toDF(), ref, "v", bins = 1)
+    }
+    assert(e2.getMessage.contains("bins"))
+    // a real reference category spelled "__OTHER__" would collide with
+    // the overflow bucket and double-count its rows in every window
+    val collide = Seq("a", "__OTHER__").toDF("v")
+    val e3 = intercept[IllegalArgumentException] {
+      DriftStream.jsMonitor(mem.toDF(), collide, "v")
+    }
+    assert(e3.getMessage.contains("__OTHER__"))
+  }
 }

@@ -160,6 +160,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(u1(1)._1 == 2L && u1(1)._2 == 1L && u1(1)._3 == t("12:00"))
   }
 
+  test("sessionizeStream: adjacent stragglers in one batch merge into ONE session (batch parity)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionizeStream(mem.toDF(), gapMinutes = 30,
+        watermarkDelayMinutes = Some(240))
+      .writeStream.format("memory").queryName("straggler2_out")
+      .outputMode("append").start()
+
+    mem.addData(Ev(1, t("12:00"), 1, "a", 0)) // open session at 12:00
+    q.processAllAvailable()
+    // two stragglers 20m apart — within gap of EACH OTHER, both > gap
+    // before the open session: the batch twin merges them into one
+    // session; per-event singleton emission would produce two
+    mem.addData(Ev(2, t("10:00"), 1, "a", 0), Ev(3, t("10:20"), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("23:00"), 2, "a", 0)) // watermark → close user 1
+    q.processAllAvailable()
+    mem.addData(Ev(5, t("23:50"), 2, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("straggler2_out").filter(col("user_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))
+      .sortBy(_._1)
+    assert(u1.length == 2, u1.mkString(","))
+    assert(u1(0) == ((1L, 2L, t("10:00"), t("10:20"))), u1(0).toString)
+    assert(u1(1)._1 == 2L && u1(1)._2 == 1L && u1(1)._3 == t("12:00"))
+  }
+
   test("e2e: readStream.parquet → sessionizeStream → checkpointed parquet sink, with restart recovery") {
     val base = java.nio.file.Files.createTempDirectory("graft_sess_e2e").toString
     val srcDir = s"$base/src"; val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
