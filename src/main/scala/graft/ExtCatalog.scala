@@ -998,7 +998,9 @@ object ExtCatalog {
          |m AS (SELECT MIN(cnt) AS mn FROM c)
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
-         |WHERE ${ext.Sampling.gateSql("d.doc_id")} % cnt < mn
+         |WHERE cnt <= mn OR ${ext.Sampling.gateSql("d.doc_id")} <
+         |  FLOOR(CAST(1000000007 AS DOUBLE) * CAST(LEAST(mn, cnt) AS DOUBLE)
+         |    / CAST(cnt AS DOUBLE))
          |ORDER BY d.doc_id""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH c AS (SELECT source AS g, COUNT(*) AS c FROM documents GROUP BY 1),

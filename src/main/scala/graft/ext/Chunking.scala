@@ -26,6 +26,12 @@ object Chunking {
   def tokenChunks(df: DataFrame, textCol: String, idCol: String,
                   chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    // stride > chunkSize would leave [chunkSize, stride) of every window
+    // uncovered — silently lossy training data, violating the documented
+    // "every token is covered" invariant
+    require(stride <= chunkSize,
+      s"stride ($stride) must not exceed chunkSize ($chunkSize): tokens between " +
+        "consecutive chunks would be dropped")
     val ts = split(col(textCol), " ")
     val nch = (ceil(greatest(size(ts) - chunkSize, lit(0)).cast("double") / stride))
       .cast("int") + 1
@@ -58,11 +64,21 @@ object Chunking {
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     capacity: Int = 256, buckets: Int = 32): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    // Persist BEFORE the two consumers (offsets, spans) — the
+    // quantilesMultiCentsHistogram precedent: the range partitioner's
+    // sampling pass would otherwise re-run the full tokenize scan, and —
+    // the correctness half — the sampler's split points vary per
+    // materialization (seeded by RDD id), so without a shared
+    // materialization the two subtrees could see DIFFERENT bucket
+    // boundaries whenever the exchange isn't reused (AQE divergence,
+    // reuse disabled) and gstart/bin_id would silently disagree. The
+    // cached frame is (doc_id, n, bucket) — narrow, never the text.
     val parts = df
       .select(col(idCol).cast("long").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("n"))
       .repartitionByRange(buckets, col("doc_id"))
       .withColumn("bucket", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wPre = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy("bucket").agg(sum("n").as("sn"))

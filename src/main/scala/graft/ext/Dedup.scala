@@ -51,12 +51,17 @@ object Dedup {
     exact(df.withColumn(textCol,
       lower(regexp_replace(col(textCol), "\\s+", " "))), textCol, idCol)
 
-  /** Distinct word n-gram shingles per document (array column). */
+  /** Distinct word n-gram shingles per document (array column). A text
+    * shorter than n tokens yields an EMPTY array (matching the native
+    * `shingle_hashes` contract) — without the guard the window indexes
+    * past the token array, an ANSI (Spark 4 default) job abort. */
   def shingles(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Token-hash array of a text column (one weak hash per token). */
@@ -70,11 +75,17 @@ object Dedup {
     * was the hot path of the whole dedup family. */
   def shingleHashes(textCol: Column, n: Int): Column = {
     val ths = tokenHashes(textCol)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ths) - n, lit(0))),
-      i => (0 until n).foldLeft(lit(0L)) { (acc, j) =>
-        (acc * 1000003L + element_at(ths, i + j + 1)) % 1000000007L
-      }))
+    // size >= n guard: a shorter text must yield an EMPTY array like the
+    // native form — the unguarded sequence indexed element_at past the
+    // token array (ANSI job abort; [null] otherwise, breaking the
+    // documented equality with shingleHash(shingles(...)))
+    when(size(ths) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ths) - n),
+        i => (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * 1000003L + element_at(ths, i + j + 1)) % 1000000007L
+        })))
+      .otherwise(array().cast("array<long>"))
   }
 
   /** Per-row distinct shingle-hash ARRAY via the native codegen
@@ -162,21 +173,24 @@ object Dedup {
     * of hardcoding one physical form: below
     * [[AllPairsExactMaxInputBytes]] of input (optimizer scan estimate —
     * free to evaluate, no job) the lossless [[ngramJaccardPairs]] runs;
-    * above it [[minhashLshPairs]] at an operating point (numPerms, bands)
-    * whose banding recalls every pair at or above `threshold` with high
-    * probability (collisions verify EXACTLY, so emitted pairs are always
-    * true pairs — the dispatch trades a vanishing miss probability for
-    * candidate volume that stays ~linear in corpus size). Both forms emit
-    * the same (ida, idb, jaccard) schema with exact Jaccard values, so
-    * the switch is invisible to consumers. */
+    * above it [[minhashLshPairs]] at the [[bandingFor]] operating point,
+    * DERIVED from `threshold` for ≥95% per-pair recall at J = threshold
+    * (collisions verify EXACTLY, so emitted pairs are always true pairs).
+    * Pass explicit `numPerms`/`bands` (> 0) to override the derivation.
+    * Both forms emit the same (ida, idb, jaccard) schema with exact
+    * Jaccard values; the residual dispatch seam is the banded side's
+    * ≤5% per-pair miss probability at exactly the threshold. */
   def nearDupPairsAuto(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.6,
-                       numPerms: Int = 32, bands: Int = 8,
+                       numPerms: Int = -1, bands: Int = -1,
                        maxExactInputBytes: Long = AllPairsExactMaxInputBytes): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxExactInputBytes)
       ngramJaccardPairs(df, textCol, idCol, n, threshold)
-    else
-      minhashLshPairs(df, textCol, idCol, n, numPerms, bands, threshold)
+    else {
+      val (p, b) = if (numPerms > 0 && bands > 0) (numPerms, bands)
+                   else bandingFor(threshold)
+      minhashLshPairs(df, textCol, idCol, n, p, b, threshold)
+    }
 
   /** Cross-corpus contamination: for every (corpus doc, probe doc) pair,
     * the CONTAINMENT |S_c ∩ S_p| / |S_p| — the fraction of the probe
@@ -185,10 +199,12 @@ object Dedup {
     * training-data pipeline: probe = the eval set, corpus = the training
     * candidates.
     *
-    * Scale shape: the PROBE side (an eval benchmark) is small by nature —
-    * its inverted index broadcasts, so the corpus makes ONE scan with a
-    * broadcast hash join and one pair aggregate; the corpus never
-    * self-joins and nothing quadratic in corpus size exists. */
+    * Scale shape: the PROBE side (an eval benchmark) is usually small —
+    * its inverted index broadcasts when the plan-stats estimate says it
+    * fits (the same auto-dispatch idiom as the dfreq table in
+    * [[ngramJaccardPairs]]); a large probe degrades to a shuffle join
+    * instead of a broadcast OOM. The corpus makes ONE scan either way;
+    * it never self-joins and nothing quadratic in corpus size exists. */
   def crossContainment(corpus: DataFrame, probe: DataFrame,
                        textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.6): DataFrame = {
@@ -197,11 +213,14 @@ object Dedup {
     val pSh = probe.select(col(idCol).as("probe_id"),
         shingleHashArray(probe, textCol, n).as("sh"))
       .filter(size(col("sh")) > 0)
+    val probeSmall = probe.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      DfreqBroadcastMaxInputBytes
+    def maybeBc(df: DataFrame): DataFrame = if (probeSmall) broadcast(df) else df
     val pIdx = pSh.select(col("probe_id"), explode(col("sh")).as("s"))
-    val shared = cIdx.join(broadcast(pIdx), Seq("s"))
+    val shared = cIdx.join(maybeBc(pIdx), Seq("s"))
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(pSh.select(col("probe_id"), size(col("sh")).as("psz"))), Seq("probe_id"))
+      .join(maybeBc(pSh.select(col("probe_id"), size(col("sh")).as("psz"))), Seq("probe_id"))
       .withColumn("containment", col("shared").cast("double") / col("psz"))
       .filter(col("containment") >= threshold)
       .select(col("probe_id"), col("corpus_id"), col("containment"))
@@ -301,17 +320,21 @@ object Dedup {
     * ratio ~11 when the "delta" itself was scaled 16× (SCALE_r7). Above
     * the byte ceiling on the INCOMING side, banded-minhash candidates
     * take over with the SAME all-matches output schema and the same
-    * exact-Jaccard verification; banding misses are the documented LSH
-    * recall tradeoff at the chosen (perms, bands) operating point. */
+    * exact-Jaccard verification, at the [[bandingFor]] operating point
+    * derived from `threshold` (≥95% per-pair recall at J = threshold);
+    * pass explicit `numPerms`/`bands` (> 0) to override. */
   def neardupDeltaAuto(existing: DataFrame, incoming: DataFrame,
                        textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.6,
-                       numPerms: Int = 32, bands: Int = 8,
+                       numPerms: Int = -1, bands: Int = -1,
                        maxExactBatchBytes: Long = AllPairsExactMaxInputBytes): DataFrame =
     if (incoming.queryExecution.optimizedPlan.stats.sizeInBytes <= maxExactBatchBytes)
       neardupDelta(existing, incoming, textCol, idCol, n, threshold)
-    else
-      neardupDeltaBanded(existing, incoming, textCol, idCol, n, numPerms, bands, threshold)
+    else {
+      val (p, b) = if (numPerms > 0 && bands > 0) (numPerms, bands)
+                   else bandingFor(threshold)
+      neardupDeltaBanded(existing, incoming, textCol, idCol, n, p, b, threshold)
+    }
 
   /** Banded-candidate form of [[neardupDelta]]: candidates come from
     * (band, band-signature) equality — constant work per document
@@ -322,32 +345,14 @@ object Dedup {
                          n: Int = 3, numPerms: Int = 32, bands: Int = 8,
                          threshold: Double = 0.6): DataFrame = {
     require(numPerms % bands == 0)
-    val r = numPerms / bands
     graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
-    def prep(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out), shingleHashArray(df, textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    def bandsOf(df: DataFrame, idName: String) = df
-      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numPerms)))
-      .select(col(idName), explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
-            x => x.cast("string"))).as("bsig"))
-      }: _*)).as("bs"))
-      .select(col(idName), col("bs.band"), col("bs.bsig"))
-    val ex = prep(existing, "corpus_id")
-    val inc = prep(incoming, "batch_id")
-    val candidates = bandsOf(inc, "batch_id")
-      .join(bandsOf(ex, "corpus_id"), Seq("band", "bsig"))
+    val ex = shinglePrep(existing, textCol, idCol, "corpus_id", n)
+    val inc = shinglePrep(incoming, textCol, idCol, "batch_id", n)
+    val candidates = bandedSignatures(inc, "batch_id", numPerms, bands)
+      .join(bandedSignatures(ex, "corpus_id", numPerms, bands), Seq("band", "bsig"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    candidates
-      .join(inc.select(col("batch_id"), col("sh").as("shb")), "batch_id")
-      .join(ex.select(col("corpus_id"), col("sh").as("shc")), "corpus_id")
-      .withColumn("shared", size(array_intersect(col("shb"), col("shc"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("shb")) + size(col("shc")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, inc, "batch_id", ex, "corpus_id", threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))
   }
@@ -661,6 +666,63 @@ object Dedup {
   def minhashSignature(textCol: Column, n: Int, numPerms: Int): Column =
     minhashSignatureFromHashes(shingleHashes(textCol, n), numPerms)
 
+  /** (id-renamed, sh) prepared frame: shingle-hash array, empty docs
+    * (< n tokens) dropped — the shared head of every LSH/banded path. */
+  private def shinglePrep(df: DataFrame, textCol: String, idCol: String,
+                          out: String, n: Int): DataFrame =
+    df.select(col(idCol).as(out), shingleHashArray(df, textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Banded (id, band, bsig) frame from a [[shinglePrep]]-shaped frame —
+    * the ONE banding scheme (signature slicing, bsig string encoding)
+    * every LSH path shares; three verbatim copies of this block had to
+    * be edited in lockstep before. */
+  private def bandedSignatures(prepared: DataFrame, idName: String,
+                               numPerms: Int, bands: Int): DataFrame = {
+    val r = numPerms / bands
+    prepared
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numPerms)))
+      .select(col(idName), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
+            x => x.cast("string"))).as("bsig"))
+      }: _*)).as("bs"))
+      .select(col(idName), col("bs.band"), col("bs.bsig"))
+  }
+
+  /** Exact-Jaccard candidate verification — the shared tail of every
+    * banded/prefix-filtered path: join both sides' shingle arrays back
+    * onto the candidate pairs, intersect, threshold. */
+  private def verifyJaccard(candidates: DataFrame,
+                            left: DataFrame, leftId: String,
+                            right: DataFrame, rightId: String,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(left.select(col(leftId), col("sh").as("sha")), leftId)
+      .join(right.select(col(rightId), col("sh").as("shb")), rightId)
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+
+  /** Banding operating point (numPerms, bands) for ≥95% per-pair recall
+    * AT J = threshold (higher J ⇒ higher recall; collisions verify
+    * exactly, so precision is always 1). With b bands of r rows each,
+    * P[collide] = 1−(1−t^r)^b; solving (1−t^r)^b ≤ 0.05 at b = 16 gives
+    * r ≤ ln(1−0.05^(1/16))/ln(t). r caps at 8 (perms ≤ 128): a smaller r
+    * only RAISES recall, at more candidate volume — the right direction
+    * for very high thresholds. The previous fixed default (32 perms,
+    * 8 bands) recalled only ~67% at t = 0.6, contradicting the
+    * dispatchers' "vanishing miss" contract. */
+  private[ext] def bandingFor(threshold: Double): (Int, Int) = {
+    val b = 16
+    val r =
+      if (threshold >= 1.0 || threshold <= 0.0) 8
+      else math.max(1, math.min(8,
+        (math.log(1.0 - math.pow(0.05, 1.0 / b)) / math.log(threshold)).toInt))
+    (b * r, b)
+  }
+
   /** MinHash LSH near-dup pairs: band the signature, bucket-join on
     * (band, banded signature), verify candidates with true Jaccard.
     *
@@ -688,21 +750,9 @@ object Dedup {
                       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
                       threshold: Double = 0.6, bucketCap: Int = 0): DataFrame = {
     require(numPerms % bands == 0)
-    val r = numPerms / bands
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val withSh = df.select(col(idCol).as("id"),
-        shingleHashArray(df, textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val withSig = withSh.withColumn("sig",
-      call_function("minhash_sig", col("sh"), lit(numPerms)))
-    val hs = withSh.select(col("id"), col("sh"))
-    val bandedAll = withSig.select(col("id"), explode(
-      array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
-            x => x.cast("string"))).as("bsig"))
-      }: _*)).as("bs"))
-      .select(col("id"), col("bs.band"), col("bs.bsig"))
+    val withSh = shinglePrep(df, textCol, idCol, "id", n)
+    val bandedAll = bandedSignatures(withSh, "id", numPerms, bands)
     // The cap filter is a map-side-combinable (band, bsig) count joined
     // back on the SAME key the self-join shuffles on — co-partitioned
     // with the candidate join, no extra exchange of the banded frame.
@@ -722,14 +772,10 @@ object Dedup {
       .distinct()
     // Verify candidates against the (small) shingle-hash table — array
     // intersection on longs, joined by id, no re-tokenization.
-    val verified = candidates
-      .join(hs.select(col("id").as("ida"), col("sh").as("sha")), "ida")
-      .join(hs.select(col("id").as("idb"), col("sh").as("shb")), "idb")
-      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
-    verified.select(col("ida"), col("idb"), col("jaccard"))
+    verifyJaccard(candidates,
+        withSh.withColumnRenamed("id", "ida"), "ida",
+        withSh.withColumnRenamed("id", "idb"), "idb", threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy(col("ida"), col("idb"))
   }
 
@@ -750,32 +796,14 @@ object Dedup {
                    n: Int = 3, numPerms: Int = 32, bands: Int = 8,
                    threshold: Double = 0.6): DataFrame = {
     require(numPerms % bands == 0)
-    val r = numPerms / bands
     graft.functions.GraftFunctions.ensureRegistered(existing.sparkSession)
-    def prep(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out), shingleHashArray(df, textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    def bandsOf(df: DataFrame, idName: String) = df
-      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numPerms)))
-      .select(col(idName), explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          concat_ws("-", transform(slice(col("sig"), j * r + 1, r),
-            x => x.cast("string"))).as("bsig"))
-      }: _*)).as("bs"))
-      .select(col(idName), col("bs.band"), col("bs.bsig"))
-    val ex = prep(existing, "corpus_id")
-    val inc = prep(incoming, "batch_id")
-    val candidates = bandsOf(inc, "batch_id")
-      .join(bandsOf(ex, "corpus_id"), Seq("band", "bsig"))
+    val ex = shinglePrep(existing, textCol, idCol, "corpus_id", n)
+    val inc = shinglePrep(incoming, textCol, idCol, "batch_id", n)
+    val candidates = bandedSignatures(inc, "batch_id", numPerms, bands)
+      .join(bandedSignatures(ex, "corpus_id", numPerms, bands), Seq("band", "bsig"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    candidates
-      .join(inc.select(col("batch_id"), col("sh").as("shb")), "batch_id")
-      .join(ex.select(col("corpus_id"), col("sh").as("shc")), "corpus_id")
-      .withColumn("shared", size(array_intersect(col("shb"), col("shc"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("shb")) + size(col("shc")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, inc, "batch_id", ex, "corpus_id", threshold)
       // best match per batch doc: max jaccard, ties to the smallest
       // corpus id — one lexicographic min-struct aggregate (map-side
       // combinable; negation is IEEE-exact so -(−j) round-trips)

@@ -66,8 +66,18 @@ object Sampling {
     * Scale shape: one map-side-combinable count aggregate over the group
     * domain (tiny), broadcast back onto a single corpus scan — no
     * shuffle of the data rows, no RNG. The smallest group (or any group
-    * at/below its target) is kept in full, since `gate mod cnt < cnt`
-    * always holds. */
+    * at/below its target) is kept in full via the explicit
+    * `cnt <= target` disjunct.
+    *
+    * Rate form: keep iff gate < ⌊M·target/cnt⌋ — a RATE comparison on
+    * the gate's own [0, M) codomain. The earlier `gate mod cnt < target`
+    * spelling silently distorts once cnt is a sizable fraction of M
+    * (mod-M non-uniformity over-retains ~20% at cnt ≈ 0.6M) and is
+    * outright wrong past cnt > M (the mod becomes the identity) — and
+    * the DOMINANT group is exactly the one this operator exists to
+    * downsample. The double product M·target rounds at 2⁻⁵³ relative,
+    * shifting the integer threshold by ≪ 1, and both engines evaluate
+    * the identical expression — deterministic and oracle-mirrored. */
   def mixRebalance(df: DataFrame, idCol: String, groupCol: String,
                    targets: Map[String, Long] = Map.empty): DataFrame = {
     // Null-safe join key: a NULL group is a real stratum (the aggregate
@@ -82,9 +92,12 @@ object Sampling {
       else targets.toSeq.sortBy(_._1).foldLeft(col("uniform_target")) {
         case (acc, (g, n)) => when(col(groupCol) === g, lit(n)).otherwise(acc)
       }
+    val tEff = least(targetExpr, col("grp_cnt"))
+    val thr = org.apache.spark.sql.functions.floor(
+      lit(M.toDouble) * tEff.cast("double") / col("grp_cnt").cast("double"))
     df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
       .crossJoin(broadcast(floor))
-      .filter(pmod(gate(col(idCol)), col("grp_cnt")) < least(targetExpr, col("grp_cnt")))
+      .filter(col("grp_cnt") <= tEff || gate(col(idCol)) < thr)
       .drop("__grp", "grp_cnt", "uniform_target")
   }
 
@@ -242,9 +255,14 @@ object Sampling {
         TextStats.qualityScore(col(textCol)).as("q"))
       .withColumn("bucket",
         // clamping is order-preserving, so out-of-[0,1] scores (a custom
-        // scorer's) still rank correctly — they just share edge buckets
-        greatest(least(floor(col("q") * buckets).cast("int"), lit(buckets - 1)),
-          lit(0)))
+        // scorer's) still rank correctly — they just share edge buckets.
+        // NULL quality (empty/null text) must land in bucket 0, the
+        // LOWEST stage: Spark's least/greatest SKIP nulls, so without
+        // the coalesce a null floated through the clamp as buckets-1 and
+        // an unscorable doc ranked "highest quality" — inverted against
+        // qualityUpsample's treatment of the same row.
+        greatest(least(coalesce(floor(col("q") * buckets).cast("int"), lit(0)),
+          lit(buckets - 1)), lit(0)))
     val wPre = w.partitionBy("lang").orderBy("bucket")
       .rowsBetween(w.unboundedPreceding, -1)
     val wLang = w.partitionBy("lang")
@@ -265,10 +283,6 @@ object Sampling {
       .orderBy("lang", "stage")
   }
 
-  /** Deterministic train/validation/test assignment as a label column:
-    * thresholds are cumulative per-mille cut points over gate(id) mod
-    * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —
-    * joins/filters downstream prune on it like any column. */
   /** Best-k documents per source BY QUALITY — the "keep each domain's
     * best pages" curation selector. A `TopKByScore` typed aggregate
     * keeps ≤k (score, id) pairs per (map partition, source) and merges
@@ -308,6 +322,10 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** Deterministic train/validation/test assignment as a label column:
+    * thresholds are cumulative per-mille cut points over gate(id) mod
+    * 1000 (e.g. 800/900 → 80/10/10). The split is a pure projection —
+    * joins/filters downstream prune on it like any column. */
   def splitColumn(id: Column, trainPerMille: Int, validPerMille: Int): Column = {
     require(trainPerMille >= 0 && validPerMille >= 0 &&
       trainPerMille + validPerMille <= 1000, "per-mille cut points must fit in [0,1000]")

@@ -94,4 +94,13 @@ class ChunkingSpec extends SparkSpec {
         s"unpartitioned window over an unaggregated frame:\n$w")
     }
   }
+
+  test("tokenChunks rejects stride > chunkSize (gaps would silently drop tokens)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.tokenChunks(df, "text", "doc_id", chunkSize = 4, stride = 6)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
 }

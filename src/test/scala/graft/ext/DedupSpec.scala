@@ -398,4 +398,33 @@ class DedupSpec extends SparkSpec {
       bucketCap = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cp.subsetOf(un), "cap can only remove candidates, never add")
   }
+
+  test("shingle HOF twins: texts shorter than n yield EMPTY arrays like the native form") {
+    // the unguarded window indexed past the token array — an ANSI
+    // (Spark 4 default) job abort for any 1- or 2-token document
+    val short = Seq((1L, "a b"), (2L, ""), (3L, "a b c d e")).toDF("doc_id", "text")
+    val rows = short.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sg"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"),
+        Dedup.shingleHashArray(short, "text", 3).as("nat"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getSeq[String](1).isEmpty && rows(1L).getSeq[Long](2).isEmpty)
+    assert(rows(2L).getSeq[Long](2).isEmpty && rows(2L).getSeq[Long](3).isEmpty)
+    // documented equality with the native form holds where both defined
+    assert(rows(3L).getSeq[Long](2).sorted == rows(3L).getSeq[Long](3).sorted)
+  }
+
+  test("bandingFor: derived operating point recalls ≥95% at the threshold") {
+    def recall(t: Double): Double = {
+      val (perms, b) = Dedup.bandingFor(t)
+      val r = perms / b
+      1.0 - math.pow(1.0 - math.pow(t, r.toDouble), b.toDouble)
+    }
+    Seq(0.5, 0.6, 0.7, 0.8, 0.9).foreach { t =>
+      assert(recall(t) >= 0.95, s"recall at J=$t is ${recall(t)}")
+    }
+    // the old fixed default (32 perms, 8 bands) was the counterexample
+    assert(1.0 - math.pow(1.0 - math.pow(0.6, 4.0), 8.0) < 0.7,
+      "fixed 32/8 recalled under 70% at J=0.6 — why the derivation exists")
+  }
 }

@@ -82,11 +82,15 @@ class SamplingSpec extends SparkSpec {
     val got = out.groupBy("g").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // reference model: the same gate arithmetic in plain Scala
+    // reference model: the same RATE-form gate arithmetic in plain Scala
+    // (keep iff gate < ⌊M·target/cnt⌋, group kept whole at cnt ≤ target —
+    // the mod-cnt spelling was biased once cnt approached M)
     def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 1000000007L
+    def keep(id: Long, t: Long, c: Long): Boolean =
+      c <= t || gate(id) < math.floor(1000000007.0 * math.min(t, c).toDouble / c.toDouble)
     val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val expected = rows.groupBy(_._2).view.mapValues(
-      _.count { case (id, g) => gate(id) % cnt(g) < 30L }.toLong).toMap
+      _.count { case (id, g) => keep(id, 30L, cnt(g)) }.toLong).toMap
     assert(got("fr") == 30L, "smallest group must survive in full")
     assert(got == expected, s"got $got expected $expected")
 
@@ -99,7 +103,7 @@ class SamplingSpec extends SparkSpec {
       .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped("fr") == 30L && capped("de") == expected("de"))
     assert(capped("en") ==
-      rows.filter(_._2 == "en").count { case (id, _) => gate(id) % 180L < 10L }.toLong)
+      rows.filter(_._2 == "en").count { case (id, _) => keep(id, 10L, 180L) }.toLong)
   }
 
   test("mix rebalance treats NULL group as a real stratum") {
@@ -112,7 +116,8 @@ class SamplingSpec extends SparkSpec {
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(got(None) == 5L, s"null stratum dropped: $got")
     def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 1000000007L
-    assert(got(Some("en")) == (0L until 20L).count(i => gate(i) % 20L < 5L).toLong)
+    assert(got(Some("en")) == (0L until 20L).count(i =>
+      gate(i) < math.floor(1000000007.0 * 5.0 / 20.0)).toLong)
   }
 
   test("curriculum stages equal the lang-window formulation, balanced within one doc") {
