@@ -333,6 +333,12 @@ object ExtCatalog {
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
       TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
+    "t_gopher_rules" -> ((s, d) =>
+      TextStats.gopherRules(Tables.documents(s, d), "text", "doc_id")),
+    "t_freq_spectrum" -> ((s, d) =>
+      TextStats.freqSpectrum(Tables.documents(s, d), "text")),
+    "x_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "text", "source")),
     "t_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(Tables.documents(s, d), "text", "doc_id")),
     "m_multimodal_meta" -> ((s, d) =>
@@ -604,6 +610,70 @@ object ExtCatalog {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rk
        |  FROM scored)
        |SELECT qid, rk, cid, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** Gopher-rules oracle: mirrors TextStats.gopherRules metric by metric
+    * (same fixed-op-order arithmetic, thresholds interpolated from the
+    * shared TextStats.Gopher* constants). The symbol-ratio divide guard
+    * is DuckDB's own semantics — division by zero yields NULL — so the
+    * CASE mirrors Spark's `when(nChars > 0, ...)`. */
+  private def gopherRulesSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    import TextStats.{GopherMinWords => minW, GopherMaxWords => maxW,
+      GopherMinMeanLen => minL, GopherMaxMeanLen => maxL,
+      GopherMaxSymbolRatio => maxSym, GopherMinAlphaRatio => minAlpha,
+      GopherMinStopHits => minStop}
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(ts) AS n_words,
+       |  length(text) AS n_chars,
+       |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbols,
+       |  len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+       |  len(list_filter(ts, x -> list_contains($stop, x))) AS n_stop
+       |  FROM t),
+       |d AS (SELECT doc_id, n_words,
+       |  CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_word_len,
+       |  CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio,
+       |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_word_ratio,
+       |  n_stop AS n_stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stop_hits,
+       |  n_words >= $minW AND n_words <= $maxW AS ok_words,
+       |  mean_word_len >= $minL AND mean_word_len <= $maxL AS ok_mean_len,
+       |  symbol_ratio <= $maxSym AS ok_symbols,
+       |  alpha_word_ratio >= $minAlpha AS ok_alpha,
+       |  n_stop_hits >= $minStop AS ok_stops,
+       |  (n_words >= $minW AND n_words <= $maxW)
+       |    AND (mean_word_len >= $minL AND mean_word_len <= $maxL)
+       |    AND symbol_ratio <= $maxSym
+       |    AND alpha_word_ratio >= $minAlpha
+       |    AND n_stop_hits >= $minStop AS passes
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** Source-overlap oracle: the shingle CTE keyed by source instead of
+    * doc_id (same token-hash fold and constants as `shingleCtes`); the
+    * `s IS NOT NULL` guard mirrors Spark's empty-array result for texts
+    * shorter than the shingle width (the range CTE indexes past the
+    * token list there, which DuckDB nulls instead of erroring). */
+  private def sourceOverlapSql: String =
+    s"""WITH toks AS (SELECT source, text,
+       |  list_transform(string_split(text, ' '), t -> CAST(${thSql("t")} AS BIGINT)) AS ths
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT source AS src,
+       |  ((((ths[i] % 1000000007) * 1000003 + ths[i + 1]) % 1000000007) * 1000003 + ths[i + 2]) % 1000000007 AS s
+       |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 2))) AS t(i)),
+       |shn AS (SELECT src, s FROM sh WHERE s IS NOT NULL),
+       |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM shn GROUP BY 1),
+       |shared AS (SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |           FROM shn a JOIN shn b ON a.s = b.s AND a.src < b.src
+       |           GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / sa.n AS containment_a,
+       |  CAST(n_shared AS DOUBLE) / sb.n AS containment_b
+       |FROM shared
+       |JOIN sizes sa ON sa.src = src_a
+       |JOIN sizes sb ON sb.src = src_b
+       |ORDER BY src_a, src_b""".stripMargin
 
   private def textStatsSql: String = {
     val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1213,6 +1283,14 @@ object ExtCatalog {
     },
     "t_text_stats" -> textStatsSql,
     "t_lang_id" -> langIdSql,
+    "t_gopher_rules" -> gopherRulesSql,
+    "t_freq_spectrum" ->
+      """SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok) c
+        |GROUP BY freq ORDER BY freq""".stripMargin,
+    "x_source_overlap" -> sourceOverlapSql,
     "t_fingerprint" -> fingerprintSql,
     "m_thumbnail" ->
       """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),

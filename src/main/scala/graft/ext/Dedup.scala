@@ -861,4 +861,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("ida"), col("idb"))
   }
+
+  /** Cross-source shingle containment matrix — for every source pair
+    * (a < b): distinct-shingle counts, the shared count, and containment
+    * both ways (shared/|a|, shared/|b|). The "is this new crawl already
+    * inside what we have" diagnostic that decides source-level ingestion
+    * and mixing BEFORE any per-document dedup runs; the per-pair
+    * containment numbers are exactly what a mixing policy (or a
+    * dedup-order heuristic: dedup the contained source against the
+    * container) consumes.
+    *
+    * Scale shape: one distinct on (source, shingle-hash) — a hash
+    * aggregate whose shuffle is O(sources × distinct shingles), with the
+    * corpus token volume eaten by the map-side combine — then a
+    * self-equi-join keyed ON the shingle hash. Per-shingle collision
+    * fan-out is bounded by the source count (a small constant: the frame
+    * holds at most one row per source per shingle), so candidate volume
+    * is ≤ sources²/2 per shingle — never document-quadratic. Output is
+    * sources² rows. Shingles stay 64-bit hashes end to end; no strings
+    * cross the wire. */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = df.select(col(sourceCol).as("src"),
+        explode(shingleHashArray(df, textCol, n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_shingles"))
+    val shared = sh.alias("a").join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("n_shingles").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_shingles").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_a")).as("containment_a"),
+        (col("n_shared").cast("double") / col("n_b")).as("containment_b"))
+      .orderBy("src_a", "src_b")
+  }
 }

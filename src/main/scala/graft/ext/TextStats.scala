@@ -18,6 +18,18 @@ object TextStats {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** [[gopherRules]] default thresholds — shared with the oracle SQL so
+    * the two sides can never drift. Values are engine policy, chosen so
+    * the synthetic corpus (10–99 tokens/doc) exercises both outcomes of
+    * every rule. */
+  val GopherMinWords = 30
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopHits = 2
+
   /** Marker-word profiles for the language-ID heuristic. A real system
     * would use char n-gram profiles; the harness corpus is synthetic
     * word-salad, so profiles are defined over its vocabulary. The
@@ -482,4 +494,77 @@ object TextStats {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A — public paper; same family
+    * as C4's heuristics): per-document rule metrics plus boolean
+    * verdicts and an overall `passes` flag. The reference has no such op
+    * (extension scope); thresholds are engine policy, defaulted so the
+    * synthetic corpus exercises both outcomes of every rule.
+    *
+    * One stateless codegen scan — every metric is fixed-op-order integer
+    * /double arithmetic over the split-token array, so the DuckDB oracle
+    * mirrors bit-for-bit. No shuffle; at 100 TB this is a pure map over
+    * the corpus scan and composes with [[corpusClean]]'s filter chain.
+    *
+    * Empty text (n_chars = 0) keeps oracle parity: the symbol-ratio
+    * divide is guarded to NULL (DuckDB division by zero yields NULL),
+    * and the word-count rule already fails such rows, so `passes` is
+    * FALSE — never an ANSI abort — in both engines. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = GopherMinWords, maxWords: Int = GopherMaxWords,
+                  minMeanLen: Double = GopherMinMeanLen, maxMeanLen: Double = GopherMaxMeanLen,
+                  maxSymbolRatio: Double = GopherMaxSymbolRatio,
+                  minAlphaRatio: Double = GopherMinAlphaRatio,
+                  minStopHits: Int = GopherMinStopHits): DataFrame = {
+    val t = tokens(col(textCol))
+    val nWords = size(t)                      // ≥ 1: split("") = [""]
+    val nChars = length(col(textCol))
+    val meanLen = (nChars - nWords + 1).cast("double") / nWords
+    val nSymbols = length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", ""))
+    val symbolRatio = when(nChars > 0, nSymbols.cast("double") / nChars)
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nAlphaWords = size(filter(t, x => x.rlike("[A-Za-z]")))
+    val alphaRatio = nAlphaWords.cast("double") / nWords
+    val nStop = size(filter(t, x => array_contains(stopArr, x)))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val okSymbols = symbolRatio <= maxSymbolRatio
+    val okAlpha = alphaRatio >= minAlphaRatio
+    val okStops = nStop >= minStopHits
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      nStop.as("n_stop_hits"),
+      okWords.as("ok_words"),
+      okMeanLen.as("ok_mean_len"),
+      okSymbols.as("ok_symbols"),
+      okAlpha.as("ok_alpha"),
+      okStops.as("ok_stops"),
+      // three-valued AND: a NULL symbol ratio (empty text) is absorbed by
+      // the guaranteed-FALSE word-count rule in both engines
+      (okWords && okMeanLen && okSymbols && okAlpha && okStops).as("passes"))
+      .orderBy(col(idCol))
+  }
+
+  /** Corpus token frequency-of-frequencies (the Zipf spectrum): for each
+    * occurrence count `freq`, how many distinct token types occur exactly
+    * that often. The standard corpus-health diagnostic — a healthy
+    * natural-language crawl has a hapax-heavy power-law spectrum; a
+    * template/boilerplate-dominated one collapses to few spikes.
+    *
+    * Two map-side-combined hash aggregates: the first shuffles O(vocab)
+    * (token, count) rows — never O(tokens), the partial combine eats the
+    * corpus volume — and the second reduces vocab to O(distinct counts)
+    * rows. Both keys hash-distribute evenly (token text, then a long), so
+    * the plan survives any corpus scale that fits a vocab-sized shuffle,
+    * the same bound as [[vocabTopK]]. */
+  def freqSpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+      .orderBy("freq")
 }

@@ -427,4 +427,21 @@ class DedupSpec extends SparkSpec {
     assert(1.0 - math.pow(1.0 - math.pow(0.6, 4.0), 8.0) < 0.7,
       "fixed 32/8 recalled under 70% at J=0.6 — why the derivation exists")
   }
+
+  test("sourceOverlap: containment both ways on a known shingle overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4", "A"),  // shingles {w1w2w3, w2w3w4}
+      (2L, "w2 w3 w4 w5", "B"),  // shingles {w2w3w4, w3w4w5} — shares 1 with A
+      (3L, "x1 x2 x3", "C"),     // disjoint from both → no C rows
+      (4L, "too short", "A")     // < 3 tokens: contributes nothing
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(df, "text", "source").collect()
+    assert(out.length == 1, s"only the A-B pair shares shingles: ${out.mkString(";")}")
+    val r = out(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-12)
+  }
 }

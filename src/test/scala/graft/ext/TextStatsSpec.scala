@@ -32,6 +32,34 @@ class TextStatsSpec extends SparkSpec {
     assert(!rows(2L).isNullAt(6))
   }
 
+  test("gopherRules: metrics and per-rule verdicts, empty text never aborts") {
+    val longGood = (Seq("the", "a", "of", "and") ++ Seq.fill(30)("word")).mkString(" ")
+    val df = Seq(
+      (1L, longGood),                 // 34 words, all alpha, 4 stop hits
+      (2L, "tiny text"),              // fails word count
+      (3L, ""),                       // empty: symbol_ratio NULL, passes false
+      (4L, (Seq.fill(30)("@@@@") ++ Seq("the", "a")).mkString(" ")) // symbol+alpha fail
+    ).toDF("doc_id", "text")
+    val rows = TextStats.gopherRules(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = rows(1L)
+    assert(g.getInt(1) == 34)
+    assert(g.getBoolean(6) && g.getBoolean(7) && g.getBoolean(8) &&
+      g.getBoolean(9) && g.getBoolean(10) && g.getBoolean(11), s"good doc passes: $g")
+    assert(!rows(2L).getBoolean(6) && !rows(2L).getBoolean(11))
+    assert(rows(3L).isNullAt(3), "empty text → null symbol ratio")
+    assert(!rows(3L).getBoolean(11), "NULL symbol rule absorbed by false word rule")
+    val bad = rows(4L)
+    assert(!bad.getBoolean(8) && !bad.getBoolean(9) && !bad.getBoolean(11))
+  }
+
+  test("freqSpectrum: frequency-of-frequencies on a known corpus") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.freqSpectrum(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L)) // c once; a,b twice
+  }
+
   test("langId: marker hits pick the language; no hits → und") {
     val df = Seq(
       (1L, "the fast query"),
