@@ -339,6 +339,8 @@ object ExtCatalog {
       TextStats.freqSpectrum(Tables.documents(s, d), "text")),
     "x_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), "text", "source")),
+    "x_ppl_buckets" -> ((s, d) =>
+      TextStats.perplexityBuckets(Tables.documents(s, d), "text", "doc_id")),
     "t_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(Tables.documents(s, d), "text", "doc_id")),
     "m_multimodal_meta" -> ((s, d) =>
@@ -610,6 +612,26 @@ object ExtCatalog {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rk
        |  FROM scored)
        |SELECT qid, rk, cid, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** Bigram-LM CTE chain shared by t_bigram_logprob and x_ppl_buckets:
+    * per-doc cumulative Laplace-smoothed log-prob (mirror of
+    * TextStats.bigramLogProb — same pair construction, same ordered
+    * window sum, so both consumers see identical per-doc scores). */
+  private def bigramCtes: String =
+    s"""base AS (SELECT doc_id,
+       |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS ts
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, i AS pos, ts[i] AS a, ts[i + 1] AS b
+       |  FROM base, UNNEST(range(1, len(ts))) t(i) WHERE len(ts) >= 2),
+       |uc AS (SELECT a, COUNT(*) AS ca FROM
+       |  (SELECT UNNEST(ts) AS a FROM base) GROUP BY 1),
+       |vv AS (SELECT COUNT(*) AS v FROM uc),
+       |bi AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+       |j AS (SELECT p.doc_id, p.pos,
+       |  ln(CAST(cab + 1 AS DOUBLE) / CAST(ca + v AS DOUBLE)) AS term
+       |  FROM pairs p JOIN bi USING (a, b) JOIN uc USING (a) CROSS JOIN vv),
+       |c AS (SELECT doc_id, SUM(term) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j)""".stripMargin
 
   /** Gopher-rules oracle: mirrors TextStats.gopherRules metric by metric
     * (same fixed-op-order arithmetic, thresholds interpolated from the
@@ -1228,23 +1250,24 @@ object ExtCatalog {
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "t_bigram_logprob" ->
-      s"""WITH base AS (SELECT doc_id,
-         |  regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}') AS ts
-         |  FROM documents),
-         |pairs AS (SELECT doc_id, i AS pos, ts[i] AS a, ts[i + 1] AS b
-         |  FROM base, UNNEST(range(1, len(ts))) t(i) WHERE len(ts) >= 2),
-         |uc AS (SELECT a, COUNT(*) AS ca FROM
-         |  (SELECT UNNEST(ts) AS a FROM base) GROUP BY 1),
-         |vv AS (SELECT COUNT(*) AS v FROM uc),
-         |bi AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
-         |j AS (SELECT p.doc_id, p.pos,
-         |  ln(CAST(cab + 1 AS DOUBLE) / CAST(ca + v AS DOUBLE)) AS term
-         |  FROM pairs p JOIN bi USING (a, b) JOIN uc USING (a) CROSS JOIN vv),
-         |c AS (SELECT doc_id, SUM(term) OVER (PARTITION BY doc_id ORDER BY pos
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j)
+      s"""WITH $bigramCtes
          |SELECT doc_id, COUNT(*) AS n_pairs,
          |  ROUND(MAX(cum) / COUNT(*), 6) AS avg_logprob
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_ppl_buckets" ->
+      // CCNet tertile gate on the bigram-LM score: edges via
+      // quantile_cont (the interpolation Spark's exact `percentile` and
+      // the driver-sort fit both reproduce); tertile points interpolated
+      // from the same Scala doubles the Spark plan compares against.
+      s"""WITH $bigramCtes,
+         |lp AS (SELECT doc_id, ROUND(MAX(cum) / COUNT(*), 6) AS avg_logprob
+         |  FROM c GROUP BY 1),
+         |q AS (SELECT quantile_cont(avg_logprob, [${1.0 / 3}, ${2.0 / 3}]) AS qs FROM lp)
+         |SELECT doc_id, avg_logprob,
+         |  CASE WHEN avg_logprob >= qs[2] THEN 'head'
+         |       WHEN avg_logprob >= qs[1] THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lp CROSS JOIN q ORDER BY doc_id""".stripMargin,
     "x_hash_embed" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}'),

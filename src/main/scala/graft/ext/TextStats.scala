@@ -567,4 +567,52 @@ object TextStats {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .groupBy("freq").agg(count(lit(1)).as("n_types"))
       .orderBy("freq")
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public paper):
+    * split the corpus into head / middle / tail tertiles of language-model
+    * score — the canonical "keep the head, maybe the middle, drop the
+    * tail" curation gate. The LM is the corpus-fitted bigram model of
+    * [[bigramLogProb]] (higher avg log-prob = lower perplexity = better),
+    * so the whole op stays model-free and oracle-EXACT.
+    *
+    * Tertile edges are exact interpolated quantiles over the PER-DOC
+    * score frame (one double per document — already 6-8 orders smaller
+    * than the corpus), fitted via the profile idiom: narrow collect +
+    * driver sort below the row ceiling, in-agg `percentile` broadcast
+    * above it. Both produce the identical quantile_cont interpolation;
+    * the bucket gate itself is a stateless literal/broadcast comparison
+    * riding the score scan. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.ops.Exact
+    val t1 = 1.0 / 3
+    val t2 = 2.0 / 3
+    val lp = bigramLogProb(df, textCol, idCol)
+      .select(col("doc_id"), col("avg_logprob"))
+    // Dispatch on the cheap INPUT cardinality (parquet metadata count):
+    // the score frame has at most one row per input doc, so the input
+    // bound certifies the collect without executing the LM pipeline twice
+    // just to count it.
+    val driverFit: Option[Seq[Double]] =
+      if (df.count() <= Exact.DriverFitMaxRows)
+        Exact.quantilesViaDriverSortMulti(lp, Seq("avg_logprob"), Seq(t1, t2))("avg_logprob")
+          .quantiles
+      else None
+    driverFit match {
+      case Some(qs) if !qs(0).isNaN =>
+        lp.select(col("doc_id"), col("avg_logprob"),
+            when(col("avg_logprob") >= qs(1), "head")
+              .when(col("avg_logprob") >= qs(0), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      case _ =>
+        val fit = lp.agg(expr(s"percentile(avg_logprob, array(${t1}D, ${t2}D))").as("q"))
+          .select(col("q")(0).as("__t1"), col("q")(1).as("__t2"))
+        lp.crossJoin(broadcast(fit))
+          .select(col("doc_id"), col("avg_logprob"),
+            when(col("avg_logprob") >= col("__t2"), "head")
+              .when(col("avg_logprob") >= col("__t1"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+    }
+  }
 }

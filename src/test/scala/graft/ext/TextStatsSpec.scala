@@ -60,6 +60,33 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L)) // c once; a,b twice
   }
 
+  test("perplexityBuckets: tertiles partition docs by LM score, order-consistent") {
+    // 6 docs: three built from one repeated common pair (high bigram
+    // prob), three from unique-pair salad (low). Buckets must respect
+    // the score ordering: every head score >= every middle >= every tail.
+    val df = Seq(
+      (1L, "aa bb aa bb aa bb aa bb"), (2L, "aa bb aa bb aa bb"),
+      (3L, "aa bb aa bb"), (4L, "cc dd ee ff gg hh"),
+      (5L, "ii jj kk ll mm nn"), (6L, "oo pp qq rr ss tt")).toDF("doc_id", "text")
+    val out = TextStats.perplexityBuckets(df, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 6)
+    def scores(b: String) = out.filter(_._3 == b).map(_._2)
+    // ≥-edge semantics: ties AT an edge all land in the higher bucket
+    // (the three identical salad scores legally share one bucket), so
+    // assert the ordering invariant, not fixed tertile sizes.
+    assert(scores("head").nonEmpty)
+    assert(out.map(_._3).distinct.length >= 2, s"buckets degenerate: ${out.mkString(";")}")
+    for (h <- scores("head"); m <- scores("middle")) assert(h >= m)
+    for (m <- scores("middle"); t <- scores("tail")) assert(m >= t)
+    for (h <- scores("head"); t <- scores("tail")) assert(h >= t)
+    // the most repetitive doc (lowest perplexity) is head; the salad
+    // docs never outrank it
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) == "head", s"most repetitive doc is head: $byId")
+    assert(!Seq(byId(4L), byId(5L), byId(6L)).contains("head"))
+  }
+
   test("langId: marker hits pick the language; no hits → und") {
     val df = Seq(
       (1L, "the fast query"),
