@@ -369,17 +369,26 @@ object Privacy {
     stats.rowCount.map(_.toLong) match {
       case Some(rows) => rows <= cap
       case None =>
-        // No CBO row estimate: probe with a LIMIT-bounded collect instead
-        // of a full count(). On a derived plan (filters/joins upstream) a
-        // bare count() executes the whole subtree just to decide dispatch.
-        // limit(n).collect() plans CollectLimitExec — partitions evaluate
-        // INCREMENTALLY (1, then 4×, …) and stop as soon as n narrow rows
-        // exist, with no shuffle; a limit(n).count() would instead run
-        // LocalLimit(n) on EVERY partition and shuffle up to n×partitions
-        // rows to a single task. Probe payload is unit rows, ≤ ~4 MB at
-        // the ceiling.
-        df.select(lit(1).as("__probe")).limit((cap + 1).toInt)
-          .collect().length.toLong <= cap
+        // No CBO row estimate: per-partition capped count over unit rows.
+        // Each task counts its OWN partition, stopping at cap+1; only one
+        // long per partition reaches the driver. This dominates both
+        // earlier probe forms: limit(n).count() shuffled up to
+        // n×partitions unit rows to one task, and limit(n).collect()
+        // (CollectLimitExec) shipped up to cap+1 actual rows to the
+        // driver through its incremental partition ramp — ~5 s of
+        // driver-side accumulation at a 1.4M-row cap on a 9.6M-row input
+        // (the x16 rehearsal's v4 regression). The projection is a
+        // constant, so column pruning leaves a zero-column scan; on a
+        // derived plan the subtree executes once with no row movement —
+        // the same single pass any dispatch decision costs at minimum.
+        val counts = df.select(lit(1).as("__probe")).queryExecution.toRdd
+          .mapPartitions { it =>
+            var m = 0L
+            while (m <= cap && it.hasNext) { it.next(); m += 1 }
+            Iterator.single(m)
+          }
+          .collect()
+        counts.forall(_ <= cap) && counts.sum <= cap
     }
   }
 
