@@ -16,6 +16,12 @@ object ExtCatalog {
     * the oracle so the scored term set can never diverge. */
   val KeywordTerms: Seq[String] = Seq("spark", "query", "join")
 
+  /** x_hybrid_search operating point, shared with the oracle: the query
+    * embedding's id, the per-side candidate depth, and the fused top-k. */
+  val HybridQueryVec: Long = 7L
+  val HybridDepth: Int = 50
+  val HybridK: Int = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
@@ -341,6 +347,9 @@ object ExtCatalog {
       Dedup.sourceOverlap(Tables.documents(s, d), "text", "source")),
     "x_ppl_buckets" -> ((s, d) =>
       TextStats.perplexityBuckets(Tables.documents(s, d), "text", "doc_id")),
+    "x_hybrid_search" -> ((s, d) =>
+      SimSearch.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        KeywordTerms, HybridQueryVec, HybridDepth, HybridK)),
     "t_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(Tables.documents(s, d), "text", "doc_id")),
     "m_multimodal_meta" -> ((s, d) =>
@@ -554,6 +563,51 @@ object ExtCatalog {
        |  FROM base CROSS JOIN stats)
        |SELECT doc_id, score, n_terms_hit FROM scored WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Hybrid-search oracle: the bm25Sql scoring CTEs (depth-limited) and
+    * the topkSql cosine ranking (query id fixed), full-outer-joined and
+    * RRF-fused with the same fixed term order (lexical + semantic) as
+    * the Spark plan. */
+  private def hybridSql: String = {
+    val tfs = KeywordTerms.indices.map(i =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b${KeywordTerms(i)}\\b')) AS DOUBLE) AS tf_$i")
+    val dfs = KeywordTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+    val contribs = KeywordTerms.indices.map { i =>
+      s"""(1.0 + ((CAST((nd - df_$i) AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))) *
+         | ((tf_$i * 2.2) / (tf_$i + 0.3 + (0.9 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+    }
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |  ${tfs.mkString(",\n  ")}
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS nd,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |  ${dfs.mkString(",\n  ")}
+       |  FROM base),
+       |lscored AS (SELECT doc_id,
+       |  ${contribs.mkString(" +\n  ")} AS score
+       |  FROM base CROSS JOIN stats),
+       |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+       |  FROM (SELECT doc_id, score FROM lscored WHERE score > 0
+       |        ORDER BY score DESC, doc_id LIMIT $HybridDepth) t),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $HybridQueryVec),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id <> $HybridQueryVec),
+       |cscored AS (SELECT cid,
+       |  (${dotSql("qv", "cv")}) /
+       |  (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+       |  FROM c CROSS JOIN q),
+       |semr AS (SELECT doc_id, r_sem FROM (
+       |  SELECT cid AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS INTEGER) AS r_sem
+       |  FROM cscored) t WHERE r_sem <= $HybridDepth),
+       |fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, r_lex, r_sem,
+       |  COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_sem), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, r_lex, r_sem, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
   }
 
   /** Z-order stats oracle — integer bucket/interleave arithmetic
@@ -1314,6 +1368,7 @@ object ExtCatalog {
         |  GROUP BY tok) c
         |GROUP BY freq ORDER BY freq""".stripMargin,
     "x_source_overlap" -> sourceOverlapSql,
+    "x_hybrid_search" -> hybridSql,
     "t_fingerprint" -> fingerprintSql,
     "m_thumbnail" ->
       """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),

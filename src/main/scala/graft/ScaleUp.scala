@@ -29,7 +29,10 @@ object ScaleUp {
     // r7: the restored events pipeline — the band-join's candidate growth
     // is the untested scale risk now that the NTZ regression is fixed —
     // plus the dispatch-closed near-dup delta (banded side engages at Nx)
-    "q_nearest_event", "s_attribution", "x_neardup_delta_auto")
+    "q_nearest_event", "s_attribution", "x_neardup_delta_auto",
+    // late-r7: the two new ops with a join/fit in the plan (the pure-scan
+    // gopher/spectrum ops have no curvature risk worth a slot)
+    "x_source_overlap", "x_ppl_buckets")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

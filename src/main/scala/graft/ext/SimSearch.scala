@@ -434,4 +434,35 @@ object SimSearch {
           count(lit(1)), 6).as("mean_v"),
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
+
+  /** Hybrid retrieval: BM25 lexical candidates fused with cosine
+    * semantic candidates by reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009 — public; the standard fusion in every modern RAG stack):
+    * `rrf = Σ_side 1/(60 + rank_side)`, a doc absent from one side
+    * contributing 0 for it. Ranks, not scores, are fused — RRF needs no
+    * cross-side score calibration, which is what makes it robust.
+    *
+    * Scale shape: both candidate generators are already partial top-k
+    * plans — BM25 ends in TakeOrderedAndProject, cosine in the bounded
+    * TopKByScore aggregate — so the fusion join sees at most 2·depth
+    * rows however large the corpus; the lexical rank window sorts a
+    * ≤depth frame (bounded constant, not data-scaled). Ties in rrf
+    * (same single-side rank on opposite sides) break on doc id. */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+                   queryVecId: Long, depth: Int, k: Int,
+                   textCol: String = "text", docIdCol: String = "doc_id"): DataFrame = {
+    val lex = TextStats.bm25Search(docs, textCol, docIdCol, terms, depth)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("r_lex"))
+    val sem = cosineTopK(embeddings.filter(col("vec_id") === queryVecId),
+        embeddings, depth)
+      .select(col("cid").as("doc_id"), col("rk").cast("int").as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

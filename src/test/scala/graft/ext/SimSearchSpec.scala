@@ -226,4 +226,28 @@ class SimSearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(selfish == Set(10L))
   }
+
+  test("hybridSearch: RRF puts a both-list doc above either single-list leader") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query join"),   // all three terms → lexical leader
+      (2L, "spark data"),         // one term → lexical rank 2
+      (3L, "nothing here"),       // lexical miss
+      (4L, "other words")).toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // the query vector
+      (1L, Array(0f, 1f, 0f, 0f)),   // orthogonal
+      (2L, Array(1f, 0f, 0f, 0f)),   // identical → semantic rank 1
+      (3L, Array(0.9f, 0.1f, 0f, 0f)), // close → semantic rank 2
+      (4L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimSearch.hybridSearch(docs, embeds, Seq("spark", "query", "join"),
+      queryVecId = 0L, depth = 10, k = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L, 4L),
+      s"doc2 (lex#2+sem#1) > doc1 (lex#1+sem#3) > single-list docs: ${out.mkString(";")}")
+    // rrf of the winner: 1/(60+2) + 1/(60+1)
+    assert(math.abs(out(0).getDouble(3) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // lexical misses carry null r_lex but still rank by their semantic term
+    val doc3 = out.find(_.getLong(0) == 3L).get
+    assert(doc3.isNullAt(1) && doc3.getInt(2) == 2)
+  }
 }
