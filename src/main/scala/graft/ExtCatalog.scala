@@ -133,6 +133,19 @@ object ExtCatalog {
         .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("median"),
           col("q")(2).as("p75"))
         .orderBy("lang")),
+    "x_group_quantiles_approx" -> ((s, d) =>
+      // mergeable-sketch twin of x_group_quantiles (QuantileSummaries —
+      // the 100 TB path: constant-size per-group state, no sorted
+      // shuffle of raw values). Rows-only; GroupQuantilesApproxSpec pins
+      // the rank-error envelope against the exact form.
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(percentile_approx(col("n"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("median"),
+          col("q")(2).as("p75"))
+        .orderBy("lang")),
     "x_vocab_cms" -> ((s, d) =>
       // mergeable count-min sibling of x_vocab_topk — rows-only (sketch
       // estimates are not SQL-expressible), SketchesSpec pins the envelope

@@ -32,7 +32,12 @@ object ScaleUp {
     "q_nearest_event", "s_attribution", "x_neardup_delta_auto",
     // late-r7: the two new ops with a join/fit in the plan (the pure-scan
     // gopher/spectrum ops have no curvature risk worth a slot)
-    "x_source_overlap", "x_ppl_buckets")
+    "x_source_overlap", "x_ppl_buckets",
+    // r7 relational widening: the agg-before-join survivor shape (q18)
+    // and the events×dimension enrichment join — both join-shaped, so
+    // their curvature belongs in the record; q10/q14/q19 share q5's
+    // already-measured broadcast-join shape
+    "q18_large_orders", "q_enrich_events")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

@@ -42,6 +42,11 @@ object SparkEntry {
     "q_window_suite" -> ((s, d) => Relational.qWindowSuite(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(s, d)),
     "q_nearest_event" -> ((s, d) => Relational.qNearestEvent(s, d)),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q19_bracket_revenue" -> ((s, d) => Relational.q19BracketRevenue(s, d)),
+    "q_enrich_events" -> ((s, d) => Relational.qEnrichEvents(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -199,5 +204,56 @@ object SparkEntry {
         |SELECT click_id, user_id, click_ts,
         |  purchase_id AS nearest_purchase_id, delta_us
         |FROM r WHERE rk = 1 ORDER BY click_id""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1.0 AND l_quantity <= 21.0)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10.0 AND l_quantity <= 30.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin,
+    "q_enrich_events" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS total_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
   )
 }

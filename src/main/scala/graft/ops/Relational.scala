@@ -447,6 +447,107 @@ object Relational {
     withOrders.union(withoutOrders).orderBy(col("segment"))
   }
 
+  /** TPC-H Q10-style returned-item reporting: revenue lost to returns per
+    * customer over a 6-month order window, top 20. Shape at scale: the
+    * date filter pushes into the orders scan and the returnflag filter
+    * into the lineitem scan BEFORE either join; nation broadcasts; the
+    * two fact-side joins shuffle on their keys and the final top-20 is a
+    * TakeOrderedAndProject (no global sort materializes). */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsumExpr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promo revenue share: percent of one year's revenue
+    * from PROMO-type parts. The part dimension broadcasts (it stays
+    * dimension-sized at any SF); the fact scan reads only 4 columns with
+    * the date range pushed down. Both sums accumulate exact decimals and
+    * the percentage divides once in double space — bit-stable under any
+    * partitioning. `SUM(CASE WHEN … THEN rev END)` ignores non-promo rows
+    * as NULL on both engines, so no zero-literal decimal is needed. */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val p = Tables.part(spark, sfDir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * dsumExpr(when(col("p_type") === "PROMO", revenueExpr)) /
+        dsumExpr(revenueExpr)).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING side reduces
+    * lineitem to ≤|orders| rows via one map-side-combinable aggregate
+    * BEFORE any join — the join inputs are survivor-sized (46 rows at
+    * sf0.01), so both subsequent joins broadcast under AQE no matter how
+    * large lineitem is. Exact decimal quantity sums make the `> 300`
+    * boundary unambiguous across engines. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String,
+                     minQty: Int = 300): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).as("__sq"))
+      .filter(col("__sq") > minQty)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("__sq").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-style bracketed revenue: an OR-of-ANDs predicate mixing
+    * both join sides (brand/size from part, quantity from lineitem).
+    * Catalyst splits the disjunction: the part-only and lineitem-only
+    * conjunct unions push into the respective scans as
+    * `PushedFilters: Or(...)`, and the cross-side residual evaluates on
+    * the broadcast-joined rows — the standard plan for "category bracket"
+    * revenue at any scale. */
+  def q19BracketRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    def bracket(brand: String, maxSize: Int, loQ: Double, hiQ: Double): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, maxSize) &&
+        col("l_quantity") >= loQ && col("l_quantity") <= hiQ
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket("Brand#1", 15, 1.0, 21.0) ||
+              bracket("Brand#12", 25, 10.0, 30.0) ||
+              bracket("Brand#23", 35, 20.0, 40.0))
+      .agg(dsumExpr(revenueExpr).as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** Stream-static enrichment join (the batch twin of the canonical
+    * Structured Streaming pattern): each event enriched with its user's
+    * market segment from the customer dimension, then aggregated per
+    * (segment, event_type). The dimension broadcasts — in the streaming
+    * form the same broadcast join runs per micro-batch with no state —
+    * and the aggregate is one partial+final hash agg with exact cents. */
+  def qEnrichEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    e.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.cents(col("value"))).cast("double").as("total_cents"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Scalar-function sweep (SURVEY §2.7's "string/date/math library"
     * bullet, exercised explicitly): one projection over a filtered orders
     * slice touching the string, date, and math functions a user of the

@@ -285,6 +285,24 @@ object EventsStream extends Serializable {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment — the streaming form of
+    * [[graft.ops.Relational.qEnrichEvents]]: every micro-batch joins the
+    * unbounded event stream against a STATIC dimension (re-resolved per
+    * batch, so a dimension refresh is picked up without restart), then
+    * aggregates per (1h window, segment, event_type) under a watermark.
+    * The join itself is stateless (static side ⇒ no join state store);
+    * the broadcast keeps the fact side shuffle-free exactly as in the
+    * batch twin. Append mode — windows emit once finalized. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.cents(col("value"))).cast("double").as("total_cents"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("event_type"), col("n"), col("total_cents"))
+
   /** Stateful dedup keyed on event_id within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -38,6 +38,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(out("2024-01-01 12:00:00.0") == 1L)
   }
 
+  test("stream-static enrichment matches the batch broadcast join per window") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.enrichStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+
+    mem.addData(
+      Ev(1, t("10:05"), 1, "click", 1.25),
+      Ev(2, t("10:10"), 1, "click", 2.50),
+      Ev(3, t("10:20"), 2, "view", 0.75),
+      Ev(4, t("10:25"), 9, "click", 9.99)) // user 9 not in dim → dropped
+    // advance the watermark past the 10:00 window so it finalizes
+    mem.addData(Ev(5, t("12:30"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("enrich_out")
+      .filter(col("window_start") === t("10:00"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("BUILDING", "click")) == ((2L, 375.0))) // 125 + 250 cents
+    assert(out(("MACHINERY", "view")) == ((1L, 75.0)))
+    assert(!out.keySet.exists(_._2 == "unmatched") && out.size == 2)
+  }
+
   test("streaming dropDuplicatesWithinWatermark dedups by event_id") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
