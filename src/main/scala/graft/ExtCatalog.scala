@@ -350,6 +350,8 @@ object ExtCatalog {
       TextStats.curationReport(Tables.documents(s, d), "text", "doc_id")),
     "t_text_stats" -> ((s, d) =>
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
+    "t_flesch" -> ((s, d) =>
+      TextStats.readability(Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
       TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
     "t_gopher_rules" -> ((s, d) =>
@@ -1372,6 +1374,21 @@ object ExtCatalog {
          |ORDER BY doc_id""".stripMargin
     },
     "t_text_stats" -> textStatsSql,
+    "t_flesch" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(ts) AS n_words,
+        |  GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+        |  list_sum(list_transform(ts,
+        |    w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) -
+        |    84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t_lang_id" -> langIdSql,
     "t_gopher_rules" -> gopherRulesSql,
     "t_freq_spectrum" ->

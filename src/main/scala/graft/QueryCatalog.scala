@@ -141,6 +141,12 @@ object QueryCatalog {
         li.filter(col("l_orderkey") % 2 === 0),
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
+    "d_wasserstein" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.wasserstein(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
     "d_js_divergence" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Drift.jsDivergence(
@@ -390,6 +396,27 @@ object QueryCatalog {
        |      THEN ABS(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb) END) AS ks
        |FROM cdfs""".stripMargin
 
+  /** W₁ SQL mirror of [[graft.ops.Drift.wasserstein]]: the same merged
+    * distinct-value CDF grid; each segment contributes the exact HUGEINT
+    * |cum₁·t₂ − cum₂·t₁| × width-in-cents, summed exactly, then ONE
+    * normalization in double space in the identical operand order. */
+  private def wassersteinSql(c: String, filterA: String, filterB: String): String =
+    s"""WITH a AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterA) AND $c IS NOT NULL),
+       |b AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterB) AND $c IS NOT NULL),
+       |u AS (SELECT v, 1 AS ca, 0 AS cb FROM a UNION ALL SELECT v, 0, 1 FROM b),
+       |counts AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb FROM u GROUP BY v),
+       |cdfs AS (SELECT v,
+       |  SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |  SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |  SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb,
+       |  LEAD(v) OVER (ORDER BY v) AS nxt FROM counts)
+       |SELECT '$c' AS "column",
+       |  CASE WHEN ta > 0 AND tb > 0 THEN
+       |    CAST(SUM(CAST(ABS(cuma * tb - cumb * ta) AS HUGEINT) *
+       |      CAST(COALESCE(CAST((CAST(nxt AS DECIMAL(18,2)) - CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT), 0) AS HUGEINT)) AS DOUBLE)
+       |    / ta / tb / 100.0 END AS w1
+       |FROM cdfs GROUP BY ta, tb""".stripMargin
+
   /** chi²-like SQL mirror (reference formula verbatim incl. the 1e-9). */
   private def chi2Sql(c: String, filterA: String, filterB: String): String =
     s"""WITH ca AS (SELECT COALESCE(CAST($c AS VARCHAR), 'NA') AS k, COUNT(*) AS oa
@@ -571,6 +598,7 @@ object QueryCatalog {
          |  CAST(SUM(CAST(${Exact.centsSql("l_extendedprice")} AS DECIMAL(19,0))) AS DOUBLE) AS sum_cents
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d_wasserstein" -> wassersteinSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d_drift_extended" -> dExtendedSql,
     "a_corr_matrix" -> corrSql,

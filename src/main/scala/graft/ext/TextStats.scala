@@ -106,6 +106,31 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Flesch reading-ease estimate — the classic text-difficulty score
+    * over heuristic counts: words = space-split tokens, sentences =
+    * `[.!?]+` runs (floored at 1), syllables ≈ `[aeiouy]+` vowel-group
+    * runs per lowercased word (floored at 1/word — the standard
+    * dictionary-free approximation). flesch = 206.835 − 1.015·(W/S) −
+    * 84.6·(Sy/W), null on wordless input. One stateless codegen scan —
+    * all three counts ride the same projection, no shuffle; per-row
+    * double arithmetic in fixed operand order is IEEE-identical to the
+    * oracle's. */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val nW = size(toks)
+    val nS = greatest(lit(1), regexp_count(col(textCol), lit("[.!?]+")))
+    val nSy = aggregate(toks, lit(0),
+      (acc, w) => acc + greatest(lit(1), regexp_count(w, lit("[aeiouy]+"))))
+    df.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      nS.cast("long").as("n_sentences"),
+      nSy.cast("long").as("n_syllables"),
+      when(nW > 0,
+        lit(206.835) - lit(1.015) * (nW.cast("double") / nS.cast("double")) -
+          lit(84.6) * (nSy.cast("double") / nW.cast("double"))).as("flesch"))
+      .orderBy(col(idCol))
+  }
+
   /** Language-ID: marker-hit count per language, argmax with
     * (score desc, lang asc) tie-break; zero hits everywhere → "und". */
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame =

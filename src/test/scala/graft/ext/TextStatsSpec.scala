@@ -17,6 +17,22 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("readability: hand-computed Flesch components") {
+    // "The cat sat. It ran!" → words 5, sentence runs 2,
+    // syllables: the=1 cat=1 sat.=1 it=1 ran!=1 → 5
+    val df = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
+    val r = TextStats.readability(df, "text", "doc_id").collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L && r.getLong(3) == 5L)
+    val expect = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(r.getDouble(4) == expect)
+    // no sentence punctuation → floor at 1; multi-vowel-group word
+    val r2 = TextStats.readability(
+      Seq((1L, "banana understanding")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0)
+    // ba-na-na: a,a,a = 3 groups; u,e,a,i = 4 groups
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 7L)
+  }
+
   test("textStats: EMPTY text must not abort the scan (ANSI 0/0) — quality null like the oracle") {
     // n_chars=0 made the digit-ratio term divide 0/0, which under ANSI
     // (Spark 4 default) kills the whole job for one bad document. DuckDB

@@ -34,6 +34,30 @@ class DriftSpec extends SparkSpec {
     assert(d2 == Seq("l_quantity" -> None))
   }
 
+  test("wasserstein: identical samples → 0; pure shift → the shift") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    assert(Drift.wasserstein(a, a, "x").collect()(0).getDouble(1) == 0.0)
+    val b = (1 to 100).map(_ + 7.25).toDF("x")
+    val w = Drift.wasserstein(a, b, "x").collect()(0).getDouble(1)
+    assert(math.abs(w - 7.25) < 1e-12, s"shift W1 = $w")
+  }
+
+  test("wasserstein: matches hand-computed EMD") {
+    // A = {1,1,2}, B = {2,3}; merged grid 1,2,3:
+    // |F_A−F_B| on [1,2) = 2/3, on [2,3) = |1 − 1/2| = 1/2 → W1 = 7/6
+    val a = Seq(1.0, 1.0, 2.0).toDF("x")
+    val b = Seq(2.0, 3.0).toDF("x")
+    val w = Drift.wasserstein(a, b, "x").collect()(0).getDouble(1)
+    assert(math.abs(w - 7.0 / 6.0) < 1e-12, s"W1 = $w")
+  }
+
+  test("wasserstein: empty side → null") {
+    val a = Seq(1.0, 2.0).toDF("x")
+    val e = Seq.empty[Double].toDF("x")
+    val rows = Drift.wasserstein(a, e, "x").collect()
+    assert(rows.isEmpty || rows(0).isNullAt(1))
+  }
+
   test("ks: matches hand-computed two-sample statistic") {
     // a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at x∈[2,3)... computed exactly:
     // F_a after 2 = 0.5, F_b = 0 → D = 0.5
