@@ -352,6 +352,11 @@ object ExtCatalog {
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_flesch" -> ((s, d) =>
       TextStats.readability(Tables.documents(s, d), "text", "doc_id")),
+    "x_quality_classifier" -> ((s, d) =>
+      // declared prop mode (MLlib fit not SQL-expressible) — rows-only;
+      // QualityModelSpec pins accuracy > base rate + calibration
+      graft.ml.QualityModel.qualityClassifier(
+        Tables.documents(s, d), "text", "doc_id")),
     "t_lang_id" -> ((s, d) =>
       TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
     "t_gopher_rules" -> ((s, d) =>

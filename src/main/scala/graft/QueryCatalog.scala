@@ -77,6 +77,10 @@ object QueryCatalog {
       Privacy.syntheticSample(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_returnflag"), seed = 42L)),
     "v5_smart_suggest" -> ((s, d) => Privacy.smartSuggest(Tables.lineitem(s, d))),
+    "v_dp_histogram" -> ((s, d) =>
+      // declared seeded mode (noise = pure function of category key —
+      // partition-invariant; PrivacySpec pins determinism + envelope)
+      Privacy.dpHistogram(Tables.lineitem(s, d), "l_returnflag", epsilon = 1.0)),
     "v8_k_anonymity" -> ((s, d) =>
       Privacy.kAnonymity(Tables.lineitem(s, d),
         Seq("l_quantity", "l_discount", "l_returnflag"), k = 5)),

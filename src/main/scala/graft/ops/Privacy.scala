@@ -172,6 +172,38 @@ object Privacy {
     }
   }
 
+  /** DP histogram release — the aggregate-release sibling of [[dpNoise]]
+    * (which noises rows): per-category counts + Laplace(1/ε) noise,
+    * clamped at 0 and rounded to integers — the standard counting-query
+    * release (sensitivity 1: one row moves one bucket by 1).
+    *
+    * Unlike v3's `rand(seed)` (stable only for a fixed partitioning),
+    * the noise here is a PURE FUNCTION OF THE CATEGORY KEY:
+    * `xxhash64(category, seed)` → uniform in (0,1) → inverse-CDF
+    * Laplace. Released counts are therefore bit-identical under ANY
+    * partitioning, executor count, or row order — the property an
+    * auditable privacy release needs at 1000 executors (same run, same
+    * release). One partial+final hash aggregate; the noise rides the
+    * final projection. Declared seeded mode (the oracle cannot express
+    * Spark's xxhash64); PrivacySpec pins determinism-under-repartition,
+    * the ε→∞ exact-recovery limit, and the noise-scale envelope. */
+  def dpHistogram(df: DataFrame, c: String, epsilon: Double = 1.0,
+                  seed: Long = 42L): DataFrame = {
+    val b = 1.0 / math.max(epsilon, 1e-6)
+    val m = 1L << 52
+    val cat = coalesce(col(c).cast("string"), lit("NA"))
+    val counts = df.groupBy(cat.as("category")).agg(count(lit(1)).as("n"))
+    // u ∈ (−0.5, 0.5): (h mod 2^52 + 0.5)/2^52 − 0.5 never hits the
+    // log(0) endpoints; signum(0)·log(1) = 0 handles the midpoint.
+    val u = (pmod(xxhash64(col("category"), lit(seed)), lit(m)).cast("double") +
+      lit(0.5)) / lit(m.toDouble) - lit(0.5)
+    val lap = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) * lit(b)
+    counts
+      .select(col("category"),
+        greatest(lit(0L), round(col("n") + lap).cast("long")).as("n_released"))
+      .orderBy(col("category"))
+  }
+
   /** V4 lightweight synthetic sampler (`modules/privacy.py:33-53`):
     * column-independent synthesis, correlations intentionally destroyed.
     * Numeric → 50% bootstrap resample + 50% Normal(μ, σ or 1); categorical

@@ -53,6 +53,26 @@ class PrivacySpec extends SparkSpec {
     assert(again == stats.getDouble(0))
   }
 
+  test("dpHistogram: partition-invariant, ε→∞ recovers exact counts, noise scale sane") {
+    val df = (Seq.fill(1000)("a") ++ Seq.fill(500)("b") ++ Seq.fill(10)("c")).toDF("k")
+    // determinism under ANY partitioning — the release contract
+    val r1 = Privacy.dpHistogram(df, "k", epsilon = 1.0).collect().toSeq
+    val r2 = Privacy.dpHistogram(df.repartition(13), "k", epsilon = 1.0).collect().toSeq
+    assert(r1.map(_.toSeq) == r2.map(_.toSeq))
+    // ε huge → b→0 → rounded release is the exact histogram
+    val exact = Privacy.dpHistogram(df, "k", epsilon = 1e9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 1000L, "b" -> 500L, "c" -> 10L))
+    // ε=1 (b=1): released counts stay within a generous Laplace envelope
+    val released = r1.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(released("a") - 1000L) <= 15 && released("c") >= 0L)
+    // nulls fold into the NA bucket rather than a null key
+    val withNull = (Seq("a", null, null): Seq[String]).toDF("k")
+    val keys = Privacy.dpHistogram(withNull, "k", epsilon = 1e9)
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "NA"))
+  }
+
   test("syntheticSample: huge money values don't overflow the moment accumulators") {
     // cents ≈ 3.5e9 / 4.2e9: cents² exceeds Long.MaxValue, so a naive
     // long Σcents² wraps negative and collapses σ to the 1.0 fallback
