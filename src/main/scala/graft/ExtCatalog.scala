@@ -60,6 +60,14 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
     }),
+    "x_embed_topk_pq" -> ((s, d) => {
+      // PQ/ADC compressed-domain ANN (rows-only like LSH/IVF; spec
+      // asserts recall vs brute force). m=16/ksub=32 = 16× compression,
+      // the measured mid-point of the compression/recall dial on this
+      // near-uniform fixture (DevPqProbe)
+      val e = Tables.embeddings(s, d)
+      SimSearch.pqTopK(e.filter(col("vec_id") < 10), e, 5, m = 16, ksub = 32)
+    }),
     "x_cluster_summary" -> ((s, d) =>
       // seeded k-means mixture view — rows-only (no oracle), spec-gated
       SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),

@@ -228,6 +228,109 @@ object SimSearch {
     topKExplode(scored, k, "cos")
   }
 
+  /** Product-quantization ANN (PQ/ADC) — the COMPRESSED-DOMAIN scan of
+    * the ANN family: split the unit-normalized embedding into `m`
+    * subspaces, k-means each subspace into `ksub` centroids (fit-once,
+    * m tiny models whose total state is m·ksub·(dim/m) doubles — driver-
+    * constant), encode every corpus vector as m small codes (64-dim
+    * float32 = 256 B → 8 B at m=8: 32× memory compression), and score
+    * queries by Asymmetric Distance Computation: per query ONE m×ksub
+    * lookup table of subspace dot products, each candidate scored as
+    * Σⱼ LUT[j][codeⱼ] — table lookups, no float-vector arithmetic per
+    * pair. This is what makes a 100 TB corpus scannable from memory:
+    * the scan touches codes, never raw vectors, and candidates reduce
+    * through the bounded [[graft.functions.TopKByScore]] aggregate
+    * BEFORE any shuffle, same as every ANN path here. IVF list pruning
+    * composes upstream when scan volume (not memory) is the bound.
+    *
+    * Declared mode: the fit is MLlib k-means (not SQL-expressible);
+    * SimSearchSpec pins recall@k against the exact brute-force scorer
+    * and the self-exclusion/ordering contract. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    require(m > 0 && ksub > 1, "need m ≥ 1 subspaces and ksub ≥ 2 centroids")
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val unitArr = udf { (arr: Seq[Float]) =>
+      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      arr.map(x => if (n == 0) 0.0 else x / n)
+    }
+    val c0 = corpus.select(col(idCol).as("cid"), unitArr(col(vecCol)).as("cu"))
+    val stats = c0.agg(count(lit(1)), max(size(col("cu")))).head()
+    val nCorpus = stats.getLong(0)
+    if (nCorpus == 0)
+      return topKExplode(queries.select(col(idCol).as("qid")).crossJoin(c0)
+        .select(col("qid"), col("cid"), lit(0.0).as("__score")), k, "adc_score")
+    val dim = stats.getInt(1)
+    val sub = math.max(1, (dim + m - 1) / m)
+    val mEff = math.min(m, (dim + sub - 1) / sub)
+    val ksubEff = math.min(ksub.toLong, nCorpus).toInt
+
+    val toVec = udf { (arr: Seq[Double]) => Vectors.dense(arr.toArray) }
+    val codebooks: Array[Array[Array[Double]]] = (0 until mEff).map { j =>
+      val sl = c0.select(toVec(slice(col("cu"), j * sub + 1, sub)).as("fv"))
+      new KMeans().setK(ksubEff).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(sl).clusterCenters.map(_.toArray)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(codebooks)
+
+    val encode = udf { (arr: Seq[Double]) =>
+      val cbs = bc.value
+      (0 until cbs.length).map { j =>
+        val off = j * sub
+        var best = 0
+        var bd = Double.MaxValue
+        var i = 0
+        while (i < cbs(j).length) {
+          val ct = cbs(j)(i)
+          var d = 0.0
+          var t = 0
+          while (t < ct.length) {
+            val x = if (off + t < arr.length) arr(off + t) else 0.0
+            val diff = x - ct(t); d += diff * diff; t += 1
+          }
+          if (d < bd) { bd = d; best = i }
+          i += 1
+        }
+        best
+      }
+    }
+    val lut = udf { (arr: Seq[Double]) =>
+      val cbs = bc.value
+      cbs.indices.flatMap { j =>
+        val off = j * sub
+        cbs(j).map { ct =>
+          var d = 0.0
+          var t = 0
+          while (t < ct.length) {
+            d += (if (off + t < arr.length) arr(off + t) else 0.0) * ct(t)
+            t += 1
+          }
+          d
+        }
+      }
+    }
+    val adc = udf { (l: Seq[Double], code: Seq[Int]) =>
+      var s = 0.0
+      var j = 0
+      while (j < code.length) { s += l(j * ksubEff + code(j)); j += 1 }
+      s
+    }
+    val codes = c0.select(col("cid"), encode(col("cu")).as("code"))
+    val q = queries
+      .select(col(idCol).as("qid"), lut(unitArr(col(vecCol))).as("lut"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        adc(col("lut"), col("code")).as("__score"))
+    topKExplode(scored, k, "adc_score")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold within one
     * table (brute force over a bounded id range; LSH for the full set). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -63,6 +63,33 @@ class SimSearchSpec extends SparkSpec {
     assert(r4 >= 2, s"IVF top-1 recall $r4/10")
   }
 
+  test("PQ/ADC topk: recall@5 against brute force, self-excluded, rank-ordered") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exactTop = SimSearch.cosineTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // m=32 (2 dims/subspace, 8× compression) is the measured operating
+    // point for this near-uniform fixture: DevPqProbe recall@5 = 26/50
+    // here vs 9/50 at the classic m=8 32×-compression config — PQ's
+    // compression/recall dial, documented by measurement
+    val pq = SimSearch.pqTopK(q, e, 5, m = 32, ksub = 16).collect()
+    // contract shape: ≤5 rows/query, ranks 1..k, no self-matches
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 5))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+      assert(!rows.exists(_.getLong(2) == qid), s"self-match for $qid")
+    }
+    // ADC scores a quantized approximation of the dot product — on this
+    // weakly-clustered fixture recall@5 is genuinely lossy; the floor
+    // pins "substantially better than random" (random ≈ 5/500 per pick)
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(exactTop.contains)
+    assert(hits >= 20, s"PQ recall@5 = $hits/50")
+    // fit + encode are seeded: a refit reproduces identical codes/ranks
+    val again = SimSearch.pqTopK(q, e, 5, m = 32, ksub = 16).collect()
+    assert(pq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("zero-norm embeddings: null cosine, excluded everywhere, no ANSI abort") {
     // An all-zero vector (failed-encoder row) has no defined angle: the
     // unguarded division killed the whole job under ANSI. It must simply
