@@ -246,11 +246,18 @@ object SimSearch {
     * Declared mode: the fit is MLlib k-means (not SQL-expressible);
     * SimSearchSpec pins recall@k against the exact brute-force scorer
     * and the self-exclusion/ordering contract. */
+  /** Codebook training sample bound: PQ codebooks ALWAYS train on a
+    * bounded sample (FAISS practice — quantizer quality saturates far
+    * below this), so fit cost is CONSTANT in corpus size: one filtered
+    * collect (≤ 32 MB at 64 dims), then m driver-local Lloyd fits of
+    * microseconds each. The m-fits-as-Spark-jobs alternative was
+    * measured at 19.6 s on a 5 000-vector corpus — pure scheduling
+    * overhead (16 fits × ~13 k-means|| jobs), none of it data. */
+  private val PqFitSampleCap = 65536
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     require(m > 0 && ksub > 1, "need m ≥ 1 subspaces and ksub ≥ 2 centroids")
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -268,17 +275,89 @@ object SimSearch {
     val dim = stats.getInt(1)
     val sub = math.max(1, (dim + m - 1) / m)
     val mEff = math.min(m, (dim + sub - 1) / sub)
-    val ksubEff = math.min(ksub.toLong, nCorpus).toInt
 
-    val toVec = udf { (arr: Seq[Double]) => Vectors.dense(arr.toArray) }
-    val codebooks: Array[Array[Array[Double]]] = (0 until mEff).map { j =>
-      val sl = c0.select(toVec(slice(col("cu"), j * sub + 1, sub)).as("fv"))
-      new KMeans().setK(ksubEff).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("c")
-        .fit(sl).clusterCenters.map(_.toArray)
-    }.toArray
+    // Deterministic hash-gated training sample (partition-invariant: the
+    // gate is a pure function of the id, and the collected rows sort by
+    // id before any seeded choice) — ONE job, bounded by the cap.
+    val sampled =
+      if (nCorpus <= PqFitSampleCap) c0
+      else c0.filter(pmod(xxhash64(col("cid"), lit(seed)), lit(1000000L)) <
+        lit(math.max(1L, (PqFitSampleCap.toDouble / nCorpus * 1e6).toLong)))
+    val sample: Array[Array[Double]] = sampled.select(col("cid"), col("cu"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val ksubEff = math.min(ksub, sample.length)
+
+    // Driver-local seeded k-means++ init + 10 Lloyd iterations per
+    // subspace. Empty clusters keep their previous center (standard).
+    def fitSub(j: Int): Array[Array[Double]] = {
+      val off = j * sub
+      val pts = sample.map { v =>
+        Array.tabulate(sub)(t => if (off + t < v.length) v(off + t) else 0.0)
+      }
+      val rnd = new scala.util.Random(seed + j)
+      val kk = ksubEff
+      val centers = Array.ofDim[Array[Double]](kk)
+      centers(0) = pts(rnd.nextInt(pts.length)).clone()
+      val d2 = Array.fill(pts.length)(Double.MaxValue)
+      var i = 1
+      while (i < kk) {
+        var s = 0.0
+        var p = 0
+        while (p < pts.length) {
+          val c = centers(i - 1)
+          var d = 0.0; var t = 0
+          while (t < sub) { val x = pts(p)(t) - c(t); d += x * x; t += 1 }
+          if (d < d2(p)) d2(p) = d
+          s += d2(p)
+          p += 1
+        }
+        val r = rnd.nextDouble() * s
+        var acc = 0.0
+        var pick = 0
+        while (pick < pts.length - 1 && acc + d2(pick) < r) { acc += d2(pick); pick += 1 }
+        centers(i) = pts(pick).clone()
+        i += 1
+      }
+      var it = 0
+      while (it < 10) {
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val cnt = new Array[Long](kk)
+        pts.foreach { pt =>
+          var best = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < kk) {
+            var d = 0.0; var t = 0
+            while (t < sub) { val x = pt(t) - centers(ci)(t); d += x * x; t += 1 }
+            if (d < bd) { bd = d; best = ci }
+            ci += 1
+          }
+          cnt(best) += 1
+          var t = 0
+          while (t < sub) { sums(best)(t) += pt(t); t += 1 }
+        }
+        var ci = 0
+        while (ci < kk) {
+          if (cnt(ci) > 0) {
+            var t = 0
+            while (t < sub) { centers(ci)(t) = sums(ci)(t) / cnt(ci); t += 1 }
+          }
+          ci += 1
+        }
+        it += 1
+      }
+      centers
+    }
+    val codebooks: Array[Array[Array[Double]]] = (0 until mEff).map(fitSub).toArray
     val bc = spark.sparkContext.broadcast(codebooks)
 
+    // .asNondeterministic() is a PLAN BARRIER, not a semantics claim:
+    // encode is a pure function, but without the marker Catalyst
+    // collapses this projection ABOVE the query cross join and
+    // re-evaluates the whole nearest-centroid search once per
+    // (corpus × query) output row — measured 7.9 s vs 0.8 s at sf0.1
+    // (10 queries = 10× amplification; a 10k-query batch would be
+    // 10 000×). The marker pins encoding below the join: each corpus
+    // vector encodes exactly once, which is the whole point of PQ.
     val encode = udf { (arr: Seq[Double]) =>
       val cbs = bc.value
       (0 until cbs.length).map { j =>
@@ -299,7 +378,7 @@ object SimSearch {
         }
         best
       }
-    }
+    }.asNondeterministic()
     val lut = udf { (arr: Seq[Double]) =>
       val cbs = bc.value
       cbs.indices.flatMap { j =>
