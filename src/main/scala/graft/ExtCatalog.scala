@@ -360,6 +360,10 @@ object ExtCatalog {
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_flesch" -> ((s, d) =>
       TextStats.readability(Tables.documents(s, d), "text", "doc_id")),
+    "x_source_card" -> ((s, d) =>
+      TextStats.sourceCard(Tables.documents(s, d), "text", "source", "lang")),
+    "x_doc_novelty" -> ((s, d) =>
+      Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>
       // declared prop mode (MLlib fit not SQL-expressible) — rows-only;
       // QualityModelSpec pins accuracy > base rate + calibration
@@ -1403,6 +1407,32 @@ object ExtCatalog {
         |    84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS flesch
         |FROM s ORDER BY doc_id""".stripMargin,
     "t_lang_id" -> langIdSql,
+    "x_source_card" ->
+      """WITH d AS (SELECT source, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents),
+        |dup AS (SELECT norm, COUNT(*) AS c FROM d GROUP BY norm)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+        |  CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) / COUNT(*) AS pct_en,
+        |  CAST(COUNT(*) FILTER (c > 1) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM d JOIN dup USING (norm)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "x_doc_novelty" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+        |          COUNT(*) FILTER (df = 1) AS n_unique
+        |        FROM sh JOIN dfq USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_shingles, 0) AS n_shingles,
+        |  COALESCE(n_unique, 0) AS n_unique,
+        |  CASE WHEN n_shingles > 0
+        |       THEN CAST(n_unique AS DOUBLE) / n_shingles END AS novelty
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t_gopher_rules" -> gopherRulesSql,
     "t_freq_spectrum" ->
       """SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM (

@@ -372,6 +372,37 @@ object Dedup {
     * keys only. For a cheap pre-screen at extreme corpus sizes the
     * bloom form ([[bloomContamination]]) bounds the probe structure to
     * a constant-size bitmap; this exact form is the auditable metric. */
+  /** Per-document novelty score — the WITHIN-corpus sibling of
+    * [[noveltyYield]] (which scores a batch against a separate corpus):
+    * for each document, the fraction of its distinct shingles that occur
+    * in NO other document. High novelty = unique content; low novelty =
+    * boilerplate/template mass shared across the corpus — the per-doc
+    * signal for dedup-aware sampling weights and template detection.
+    *
+    * Scale shape: one shingle-domain aggregate (document frequency) +
+    * one co-keyed join back + one doc-keyed aggregate — every shuffle is
+    * keyed by shingle hash or doc id, nothing pairwise. Documents
+    * shorter than `n` tokens have no shingles → counts 0, novelty null
+    * (the oracle's CASE mirrors this). */
+  def docNovelty(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val sh = shingleHashFrame(df, textCol, idCol, n)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .withColumnRenamed("id", "doc_id")
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_shingles") > 0,
+          col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   def noveltyYield(existing: DataFrame, incoming: DataFrame,
                    textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val corpusSh = existing

@@ -106,6 +106,38 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Per-source dataset card — the datasheet rollup a corpus release
+    * ships with: per source, document count, total whitespace tokens,
+    * mean characters, English share, and the duplicate rate (share of
+    * docs whose case/whitespace-normalized text occurs more than once in
+    * the WHOLE corpus — cross-source duplicates count for both owners).
+    *
+    * Scale shape: one normalized-text-domain aggregate for duplicate
+    * counts, one co-keyed join back, one source-keyed aggregate — the
+    * same key-domain-only shuffle discipline as the dedup family. At
+    * 100 TB the normalized-text join key would be a 64-bit digest with
+    * identical plan shape (the string key keeps the oracle byte-exact,
+    * same note as passageDedup). Token/char sums stay exact integers;
+    * each ratio divides once in double space. */
+  def sourceCard(df: DataFrame, textCol: String, sourceCol: String,
+                 langCol: String): DataFrame = {
+    val d = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      size(split(col(textCol), " ")).cast("long").as("__toks"),
+      length(col(textCol)).cast("long").as("__chars"),
+      lower(regexp_replace(col(textCol), "\\s+", " ")).as("__norm"))
+    val dup = d.groupBy("__norm").agg(count(lit(1)).as("__c"))
+    d.join(dup, Seq("__norm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        (sum(col("__chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        (count(when(col("lang") === "en", 1)).cast("double") /
+          count(lit(1))).as("pct_en"),
+        (count(when(col("__c") > 1, 1)).cast("double") /
+          count(lit(1))).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Flesch reading-ease estimate — the classic text-difficulty score
     * over heuristic counts: words = space-split tokens, sentences =
     * `[.!?]+` runs (floored at 1), syllables ≈ `[aeiouy]+` vowel-group

@@ -334,6 +334,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-12)
   }
 
+  test("docNovelty: unique doc 1.0, duplicated docs 0.0, short doc null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),       // unique content → 1.0
+      (2L, "one two three four five"),      // duplicated with 3 → 0.0
+      (3L, "one two three four five"),
+      (4L, "hi")                            // < n tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.docNovelty(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0)
+    assert(out(2L).getDouble(3) == 0.0 && out(3L).getDouble(3) == 0.0)
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(3))
+  }
+
   test("noveltyYield: exact copy scores 0, disjoint content scores 1") {
     val corpus = docs.filter($"doc_id" <= 1)   // docs 0 and 1
     val batch = docs.filter($"doc_id" >= 2)    // 2 (new), 3 (copy of 0), 4 (new)

@@ -17,6 +17,26 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("sourceCard: per-source rollup with cross-source duplicate counting") {
+    val df = Seq(
+      (1L, "the quick brown fox", "en", "a"),
+      (2L, "The  Quick   Brown Fox", "en", "a"),  // normalizes equal to 1
+      (3L, "uno dos tres", "es", "a"),
+      (4L, "the quick brown fox", "en", "b")      // cross-source dup of 1
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.sourceCard(df, "text", "source", "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L)                       // n_docs
+    // split(" ") counts empty tokens in runs: doc 2 has 7, matching the
+    // oracle's len(string_split(...)) convention
+    assert(a.getLong(2) == 4L + 7L + 3L)             // total_tokens
+    assert(math.abs(a.getDouble(4) - 2.0 / 3.0) < 1e-15)  // pct_en
+    assert(math.abs(a.getDouble(5) - 2.0 / 3.0) < 1e-15)  // dup_rate: docs 1,2
+    val b = out("b")
+    assert(b.getLong(1) == 1L && b.getDouble(5) == 1.0)   // dup via source a
+  }
+
   test("readability: hand-computed Flesch components") {
     // "The cat sat. It ran!" → words 5, sentence runs 2,
     // syllables: the=1 cat=1 sat.=1 it=1 ran!=1 → 5
