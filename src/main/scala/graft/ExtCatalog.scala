@@ -68,6 +68,10 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       SimSearch.pqTopK(e.filter(col("vec_id") < 10), e, 5, m = 16, ksub = 32)
     }),
+    "x_coreset_sample" -> ((s, d) =>
+      // greedy k-center diversity selection — rows-only (selection not
+      // SQL-expressible); SimSearchSpec pins coverage/monotonicity
+      SimSearch.coresetSample(Tables.embeddings(s, d), 16)),
     "x_cluster_summary" -> ((s, d) =>
       // seeded k-means mixture view — rows-only (no oracle), spec-gated
       SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),

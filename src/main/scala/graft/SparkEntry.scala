@@ -47,6 +47,7 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q19_bracket_revenue" -> ((s, d) => Relational.q19BracketRevenue(s, d)),
     "q_enrich_events" -> ((s, d) => Relational.qEnrichEvents(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -249,6 +250,22 @@ object SparkEntry {
         |       AND l_quantity >= 10.0 AND l_quantity <= 30.0)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_enrich_events" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS total_cents

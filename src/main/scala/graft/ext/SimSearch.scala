@@ -410,6 +410,96 @@ object SimSearch {
     topKExplode(scored, k, "adc_score")
   }
 
+  /** Greedy k-center coreset selection — diversity-aware data selection
+    * (the k-center/facility-location family used for training-subset
+    * picking): choose `k` corpus vectors that 2-approximate the optimal
+    * minimax cover (each new center is the point farthest from the
+    * chosen set), then assign EVERY corpus vector to its nearest center.
+    * Output (vec_id, center_id, l2_dist) — the per-point coverage map a
+    * selection/budgeting step consumes; max(l2_dist) is the coverage
+    * radius.
+    *
+    * Scale shape: the greedy selection is inherently sequential (k
+    * passes), so it runs driver-side over the same bounded deterministic
+    * hash sample as the PQ codebook fit — constant cost in corpus size;
+    * the assignment is ONE stateless scan against the broadcast center
+    * matrix (k·dim doubles). Ties in the farthest-point choice break on
+    * the smaller id, so selection is a pure function of (sample, k,
+    * seed) — partition-invariant.
+    *
+    * Declared mode (selection not SQL-expressible); SimSearchSpec pins
+    * center self-assignment, coverage-radius monotonicity in k, and
+    * determinism. Distances are over unit-normalized vectors (cosine
+    * geometry), consistent with the rest of the embedding family. */
+  def coresetSample(df: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L): DataFrame = {
+    require(k > 0, "need k ≥ 1 centers")
+    val spark = df.sparkSession
+    val unitArr = udf { (arr: Seq[Float]) =>
+      val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      arr.map(x => if (n == 0) 0.0 else x / n)
+    }
+    val c0 = df.select(col(idCol).as("vec_id"), unitArr(col(vecCol)).as("cu"))
+    val nCorpus = c0.count()
+    if (nCorpus == 0)
+      return c0.select(col("vec_id"), col("vec_id").as("center_id"),
+        lit(0.0).as("l2_dist"))
+    val sampled =
+      if (nCorpus <= PqFitSampleCap) c0
+      else c0.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) <
+        lit(math.max(1L, (PqFitSampleCap.toDouble / nCorpus * 1e6).toLong)))
+    val sample0: Array[(Long, Array[Double])] = sampled.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // the hash gate could in principle select nothing — fall back to one
+    // arbitrary row so selection always has an anchor
+    val sample =
+      if (sample0.nonEmpty) sample0
+      else c0.limit(1).collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val kk = math.min(k.toLong, sample.length.toLong).toInt
+    val centerIdx = new Array[Int](kk)
+    centerIdx(0) = 0 // smallest id — deterministic anchor
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    var ci = 1
+    while (ci <= kk) {
+      var far = 0
+      var fd = -1.0
+      var p = 0
+      while (p < sample.length) {
+        val d = d2(sample(p)._2, sample(centerIdx(ci - 1))._2)
+        if (d < minD(p)) minD(p) = d
+        if (minD(p) > fd) { fd = minD(p); far = p } // first max wins = smallest id
+        p += 1
+      }
+      if (ci < kk) centerIdx(ci) = far
+      ci += 1
+    }
+    val centers: Array[(Long, Array[Double])] = centerIdx.map(sample)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assign = udf { (arr: Seq[Double]) =>
+      val cs = bc.value
+      val a = arr.toArray
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val d = d2(a, cs(i)._2)
+        if (d < bd) { bd = d; best = i }
+        i += 1
+      }
+      (cs(best)._1, math.sqrt(bd))
+    }
+    c0.select(col("vec_id"), assign(col("cu")).as("__a"))
+      .select(col("vec_id"), col("__a._1").as("center_id"),
+        col("__a._2").as("l2_dist"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold within one
     * table (brute force over a bounded id range; LSH for the full set). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -531,6 +531,38 @@ object Relational {
       .agg(dsumExpr(revenueExpr).as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q7-style volume shipping: yearly revenue flowing between two
+    * nations in either direction. The only new shape in the suite: the
+    * fact row resolves TWO dimension roles from ONE dimension table
+    * (supplier nation and customer nation), each via its own broadcast
+    * of the aliased nation frame — no self-join of facts, and the
+    * nation-pair disjunction evaluates on dimension columns after both
+    * broadcasts. Year bucketing rides the scan. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val n1 = n.select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsumExpr(revenueExpr).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Stream-static enrichment join (the batch twin of the canonical
     * Structured Streaming pattern): each event enriched with its user's
     * market segment from the customer dimension, then aggregated per

@@ -90,6 +90,26 @@ class SimSearchSpec extends SparkSpec {
     assert(pq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("coresetSample: centers self-assign at 0, radius shrinks with k, deterministic") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    def run(k: Int) = SimSearch.coresetSample(e, k).collect()
+    val r8 = run(8)
+    assert(r8.length == e.count())
+    val centers = r8.map(_.getLong(1)).toSet
+    assert(centers.size == 8)
+    // every center covers itself at distance 0
+    centers.foreach { c =>
+      val self = r8.find(_.getLong(0) == c).get
+      assert(self.getLong(1) == c && self.getDouble(2) == 0.0)
+    }
+    // greedy centers nest: coverage radius is non-increasing in k
+    def radius(rows: Array[org.apache.spark.sql.Row]) = rows.map(_.getDouble(2)).max
+    val r2 = run(2)
+    assert(radius(r8) <= radius(r2), s"radius(8) ${radius(r8)} > radius(2) ${radius(r2)}")
+    // pure function of (corpus, k, seed)
+    assert(run(8).map(_.toSeq).toSeq == r8.map(_.toSeq).toSeq)
+  }
+
   test("zero-norm embeddings: null cosine, excluded everywhere, no ANSI abort") {
     // An all-zero vector (failed-encoder row) has no defined angle: the
     // unguarded division killed the whole job under ANSI. It must simply
