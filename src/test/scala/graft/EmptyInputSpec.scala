@@ -79,7 +79,20 @@ class EmptyInputSpec extends SparkSpec {
       "centroidShift empty-after" -> (() =>
         ext.SimSearch.centroidShift(someEmb, emptyEmb).collect()),
       "distinctSketchMerge" -> (() =>
-        ext.Sketches.distinctSketchMerge(emptyDocs, "text", "source").collect())
+        ext.Sketches.distinctSketchMerge(emptyDocs, "text", "source").collect()),
+      // r7 additions
+      "wasserstein empty-after" -> (() =>
+        ops.Drift.wasserstein(someLineitem, emptyLineitem, "l_quantity").collect()),
+      "wasserstein both-empty" -> (() =>
+        ops.Drift.wasserstein(emptyLineitem, emptyLineitem, "l_quantity").collect()),
+      "dpHistogram" -> (() => ops.Privacy.dpHistogram(emptyLineitem, "l_returnflag").collect()),
+      "readability" -> (() => ext.TextStats.readability(emptyDocs, "text", "doc_id").collect()),
+      "sourceCard" -> (() => ext.TextStats.sourceCard(emptyDocs, "text", "source", "lang").collect()),
+      "docNovelty" -> (() => ext.Dedup.docNovelty(emptyDocs, "text", "doc_id").collect()),
+      "pqTopK empty-corpus" -> (() => ext.SimSearch.pqTopK(someEmb, emptyEmb, 5).collect()),
+      "coresetSample" -> (() => ext.SimSearch.coresetSample(emptyEmb, 4).collect()),
+      "qualityClassifier" -> (() =>
+        ml.QualityModel.qualityClassifier(emptyDocs, "text", "doc_id").collect())
     )
     val failures = cases.flatMap { case (name, run) =>
       try { run(); None }
