@@ -123,6 +123,8 @@ object QueryCatalog {
         .orderBy("l_returnflag")),
     "a_corr_matrix" -> ((s, d) =>
       Profile.correlationMatrix(Tables.lineitem(s, d), LiNumeric.map(_._1))),
+    "a_skew_report" -> ((s, d) =>
+      Profile.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "a_moments_merge" -> ((s, d) => {
       // incremental-profile primitive exercised end to end: two shard
       // states merged must be BIT-IDENTICAL to a from-scratch profile —
@@ -606,6 +608,19 @@ object QueryCatalog {
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d_drift_extended" -> dExtendedSql,
     "a_corr_matrix" -> corrSql,
+    "a_skew_report" ->
+      """WITH counts AS (
+        |  SELECT COALESCE(CAST(l_suppkey AS VARCHAR), 'NA') AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_distinct,
+        |        CAST(MAX(n) AS BIGINT) AS mx FROM counts),
+        |top AS (SELECT key, n,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS INTEGER) AS rank
+        |        FROM counts ORDER BY n DESC, key LIMIT 10)
+        |SELECT rank, key, n,
+        |  CAST(n AS DOUBLE) / n_total AS pct,
+        |  CAST(mx AS DOUBLE) * n_distinct / n_total AS skew
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

@@ -428,6 +428,34 @@ object Profile {
     df.agg(count(lit(1)).as("n_rows")).withColumn("table_name", lit(label))
       .select(col("table_name"), col("n_rows"))
 
+  /** Key-skew report — the "do I need salting?" planning diagnostic: for
+    * a prospective join/aggregation key, the top-k heavy hitters with
+    * their corpus share, plus the overall skew factor
+    * max(count)·|distinct| / total (1.0 = perfectly uniform; ≫1 = a hot
+    * key will serialize its reducer, reach for [[Salting]] or AQE skew
+    * join). One key-domain aggregate; the top-k is a
+    * TakeOrderedAndProject partial and the totals row broadcasts — no
+    * second scan of the data. Null keys fold into "NA" (they are often
+    * the hottest key of all). */
+  def skewReport(df: DataFrame, c: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(coalesce(col(c).cast("string"), lit("NA")).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_distinct"), max(col("n")).as("__max"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+      // ≤ topK rows: the unpartitioned rank window is bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("key"))))
+    top.crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("pct"),
+        (col("__max").cast("double") * col("n_distinct") / col("n_total"))
+          .as("skew"))
+      .orderBy(col("rank"))
+  }
+
   /** A8 per-column μ/σ for the synthesizer: std has the reference's
     * `or 1.0` fallback (NaN from a single row, 0 from a constant column —
     * both become 1.0; `modules/privacy.py:44`). */

@@ -11,6 +11,24 @@ class ProfileSpec extends SparkSpec {
     (Some(4.0), None), (Some(2.5), Some("a"))
   ).toDF("x", "s")
 
+  test("skewReport: heavy hitter ranks first, uniform key scores skew 1") {
+    import spark.implicits._
+    val skewed = (Seq.fill(90)("hot") ++ Seq.fill(5)("warm") ++
+      Seq("a", "b", "c", "d", null)).toDF("k")
+    val rows = Profile.skewReport(skewed, "k", topK = 3).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "hot" && rows(0).getLong(2) == 90L)
+    assert(rows(0).getInt(0) == 1)
+    assert(math.abs(rows(0).getDouble(3) - 0.9) < 1e-15)       // pct
+    // skew = max·distinct/total = 90·7/100
+    assert(math.abs(rows(0).getDouble(4) - 6.3) < 1e-12)
+    // null folds into "NA", which wins the 1-count tie on key order
+    assert(rows(2).getString(1) == "NA" && rows(2).getLong(2) == 1L)
+    val uniform = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    val u = Profile.skewReport(uniform, "k", topK = 2).collect()
+    assert(u.forall(r => r.getDouble(4) == 1.0))
+  }
+
   test("profile: counts, missing, unique on mixed nulls") {
     val p = Profile.profile(mixed).collect().map(r => r.getString(0) -> r).toMap
     val x = p("x")
