@@ -125,6 +125,8 @@ object QueryCatalog {
       Profile.correlationMatrix(Tables.lineitem(s, d), LiNumeric.map(_._1))),
     "a_skew_report" -> ((s, d) =>
       Profile.skewReport(Tables.lineitem(s, d), "l_suppkey")),
+    "a_histogram" -> ((s, d) =>
+      Profile.histogram(Tables.lineitem(s, d), "l_extendedprice", 10)),
     "a_moments_merge" -> ((s, d) => {
       // incremental-profile primitive exercised end to end: two shard
       // states merged must be BIT-IDENTICAL to a from-scratch profile —
@@ -621,6 +623,22 @@ object QueryCatalog {
         |  CAST(n AS DOUBLE) / n_total AS pct,
         |  CAST(mx AS DOUBLE) * n_distinct / n_total AS skew
         |FROM top, tot ORDER BY rank""".stripMargin,
+    "a_histogram" ->
+      """WITH st AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+        |                   CAST(MAX(l_extendedprice) AS DOUBLE) AS mx FROM lineitem),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |        ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+        |          (CAST(l_extendedprice AS DOUBLE) - mn) / ((mx - mn) / 10))
+        |          AS INTEGER))) END AS bin
+        |      FROM lineitem, st WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+        |spine AS (SELECT CAST(UNNEST(range(0, 10)) AS INTEGER) AS bin)
+        |SELECT spine.bin,
+        |  mn + spine.bin * ((mx - mn) / 10) AS lo,
+        |  mn + (spine.bin + 1) * ((mx - mn) / 10) AS hi,
+        |  COALESCE(n, 0) AS n
+        |FROM spine CROSS JOIN st LEFT JOIN c ON spine.bin = c.bin
+        |ORDER BY spine.bin""".stripMargin,
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

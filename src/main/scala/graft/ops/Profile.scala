@@ -428,6 +428,48 @@ object Profile {
     df.agg(count(lit(1)).as("n_rows")).withColumn("table_name", lit(label))
       .select(col("table_name"), col("n_rows"))
 
+  /** Equi-width histogram with a zero-filled bin spine — the plotting/
+    * monitoring companion to the quantile profile (quantiles answer
+    * "where are the cut points", the histogram answers "what does the
+    * shape look like"). Bin width derives from one min/max fit; each
+    * value lands in `least(bins−1, floor((v−min)/w))` so the max value
+    * joins the last bin (NumPy/pandas convention). Empty bins appear
+    * with n = 0 via a generated spine — a monitoring consumer needs the
+    * gap, not a missing row.
+    *
+    * Parity: min/max/width/edges are single doubles computed in the same
+    * operand order as the oracle; the per-row bin index is one floored
+    * double division (bit-identical per row); counts are exact. Scale:
+    * one fit aggregate + one bins-sized aggregate, spine join is
+    * broadcast-trivial. A constant column (w = 0) puts every row in bin
+    * 0 on both engines. */
+  def histogram(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val spark = df.sparkSession
+    val st = df.agg(min(col(c)).cast("double").as("mn"),
+      max(col(c)).cast("double").as("mx")).head()
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    if (st.isNullAt(0) || st.isNullAt(1))
+      return spine.select(col("bin"),
+        lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+        lit(0L).as("n")).orderBy(col("bin"))
+    val mn = st.getDouble(0)
+    val mx = st.getDouble(1)
+    val w = (mx - mn) / bins
+    val binc =
+      if (w == 0) lit(0)
+      else least(lit(bins - 1),
+        greatest(lit(0), floor((col(c).cast("double") - mn) / w).cast("int")))
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(binc.as("bin")).agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        (lit(mn) + col("bin") * lit(w)).as("lo"),
+        (lit(mn) + (col("bin") + 1) * lit(w)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Key-skew report — the "do I need salting?" planning diagnostic: for
     * a prospective join/aggregation key, the top-k heavy hitters with
     * their corpus share, plus the overall skew factor

@@ -29,6 +29,24 @@ class ProfileSpec extends SparkSpec {
     assert(u.forall(r => r.getDouble(4) == 1.0))
   }
 
+  test("histogram: zero-filled spine, max in last bin, constant and empty edges") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 5.0, 9.9, 10.0).toDF("x")
+    val rows = Profile.histogram(df, "x", bins = 5).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(3)).sum == 5L)
+    assert(rows(0).getLong(3) == 2L)          // 0.0, 1.0 in [0, 2)
+    assert(rows(4).getLong(3) == 2L)          // 9.9 and max 10.0 in last bin
+    assert(rows(1).getLong(3) == 0L)          // empty bin present, not missing
+    assert(rows(0).getDouble(1) == 0.0 && rows(4).getDouble(2) == 10.0)
+    // constant column: everything in bin 0
+    val const = Profile.histogram(Seq(3.0, 3.0).toDF("x"), "x", bins = 4).collect()
+    assert(const(0).getLong(3) == 2L && const.drop(1).forall(_.getLong(3) == 0L))
+    // empty input: spine survives with null edges and zero counts
+    val empty = Profile.histogram(Seq.empty[Double].toDF("x"), "x", bins = 3).collect()
+    assert(empty.length == 3 && empty.forall(r => r.isNullAt(1) && r.getLong(3) == 0L))
+  }
+
   test("profile: counts, missing, unique on mixed nulls") {
     val p = Profile.profile(mixed).collect().map(r => r.getString(0) -> r).toMap
     val x = p("x")
