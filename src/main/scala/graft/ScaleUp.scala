@@ -37,7 +37,10 @@ object ScaleUp {
     // and the events×dimension enrichment join — both join-shaped, so
     // their curvature belongs in the record; q10/q14/q19 share q5's
     // already-measured broadcast-join shape
-    "q18_large_orders", "q_enrich_events")
+    "q18_large_orders", "q_enrich_events",
+    // late-r7: the 6-way join (deepest in the catalog) — two fact-side
+    // shuffle joins + two aliased dimension broadcasts in one plan
+    "q7_volume_shipping")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
