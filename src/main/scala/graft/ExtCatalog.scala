@@ -406,6 +406,7 @@ object ExtCatalog {
     "s_tumbling" -> ((s, d) => Events.tumbling(Tables.events(s, d))),
     "s_sliding" -> ((s, d) => Events.sliding(Tables.events(s, d))),
     "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "s_top_paths" -> ((s, d) => Events.topPaths(Tables.events(s, d))),
     "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
     "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
     "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
@@ -1557,6 +1558,21 @@ object ExtCatalog {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM e),
+        |g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |        ORDER BY ts, event_id) AS rn FROM h),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "s_attribution" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
         |           FROM events WHERE event_type = 'click'),

@@ -136,6 +136,43 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Top session paths — path analysis over the sessionized stream:
+    * the `maxLen`-prefix of each session's ordered event-type sequence,
+    * counted across all sessions, top `k`. "What do users actually DO in
+    * a session" — the product-analytics staple next to funnel (which
+    * tests ONE hypothesized sequence; this surfaces the real ones).
+    *
+    * Scale shape: session assignment shares [[sessionize]]'s single
+    * (user)-partitioned sort; the prefix gate (row_number ≤ maxLen)
+    * bounds every collected list BEFORE aggregation so no session —
+    * however long — contributes more than `maxLen` elements; path
+    * counting is a hash aggregate on the path string and the top-k is a
+    * TakeOrderedAndProject partial. Total order (ts, event_id) makes the
+    * path a pure function of the data. */
+  def topPaths(events: DataFrame, gapMinutes: Int = 30,
+               maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val sess = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= maxLen)
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Click→purchase attribution: every (click, purchase) pair of the same
     * user with the purchase inside (click_ts, click_ts + window]. Batch
     * twin of [[EventsStream.attributionStream]]'s stream-stream interval

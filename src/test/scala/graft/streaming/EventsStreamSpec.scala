@@ -38,6 +38,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(out("2024-01-01 12:00:00.0") == 1L)
   }
 
+  test("topPaths: session split, prefix cap, deterministic path counts") {
+    val df = Seq(
+      // user 1, one session: view>click>purchase
+      Ev(1, t("10:00"), 1, "view", 0), Ev(2, t("10:05"), 1, "click", 0),
+      Ev(3, t("10:10"), 1, "purchase", 0),
+      // user 1, second session after the 30-min gap: view>click>purchase again
+      Ev(4, t("12:00"), 1, "view", 0), Ev(5, t("12:05"), 1, "click", 0),
+      Ev(6, t("12:10"), 1, "purchase", 0),
+      // user 2: 7 views in one session → prefix caps at 5
+      Ev(7, t("10:00"), 2, "view", 0), Ev(8, t("10:01"), 2, "view", 0),
+      Ev(9, t("10:02"), 2, "view", 0), Ev(10, t("10:03"), 2, "view", 0),
+      Ev(11, t("10:04"), 2, "view", 0), Ev(12, t("10:05"), 2, "view", 0),
+      Ev(13, t("10:06"), 2, "view", 0)
+    ).toDF()
+    val out = Events.topPaths(df, gapMinutes = 30, maxLen = 5, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("view>click>purchase") == 2L)
+    assert(out("view>view>view>view>view") == 1L)
+    assert(out.size == 2)
+  }
+
   test("stream-static enrichment matches the batch broadcast join per window") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
