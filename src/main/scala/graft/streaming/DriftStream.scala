@@ -80,6 +80,68 @@ object DriftStream {
         round(psi, roundTo).as("psi"))
   }
 
+  /** Earth-mover monitor — the streaming sibling of
+    * [[graft.ops.Drift.wasserstein]], measured in QUANTILE UNITS: per
+    * tumbling window, Σᵢ |CumRef(i) − CumLive(i)| over the reference's
+    * `bins`-quantile bins (unit bin widths). Dividing the axis by the
+    * reference's own quantiles makes the metric scale-free — a value of
+    * w1_bins = 1 means "the live distribution is shifted one reference
+    * decile", whatever the column's units — and keeps per-window state
+    * at `bins` counters exactly like [[psiMonitor]] (true W1 needs the
+    * full value grid, which no bounded-state stream can hold). Bin
+    * edges + reference cumulative proportions fit once batch-side and
+    * fold as literals; the live cumulative sums share one bin-index
+    * projection per row. Bounded by bins−1; 0 = distributions agree at
+    * every fitted quantile. */
+  def w1Monitor(stream: DataFrame, reference: DataFrame, c: String,
+                tsCol: String = "ts", windowDur: String = "1 hour",
+                watermark: String = "2 hours", bins: Int = 10,
+                roundTo: Int = 6): DataFrame = {
+    require(bins > 1, s"w1Monitor: bins must be > 1 (got $bins)")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edgeArr = expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString("D,")}D))")
+    val refNonNull = reference.filter(col(c).isNotNull)
+    val edges: Seq[Double] = refNonNull.agg(edgeArr.as("qs")).head() match {
+      case r if r.isNullAt(0) => Seq.empty
+      case r =>
+        val qs = r.getSeq[Double](0)
+        if (qs.exists(_.isNaN)) Seq.empty else qs.distinct.sorted
+    }
+    def binIdx(v: Column): Column = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(v.cast("double") >= lit(e), 1).otherwise(0))
+    val nBins = edges.size + 1
+    val refCounts = refNonNull.select(binIdx(col(c)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum
+    require(refTotal > 0, "w1Monitor: empty reference (no non-null rows)")
+    val cumRef: Seq[Double] = (0 until nBins).scanLeft(0L)(
+      (acc, i) => acc + refCounts.getOrElse(i, 0L)).tail
+      .map(_.toDouble / refTotal)
+
+    val counts = (0 until nBins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val total = (0 until nBins).map(i => col(s"__c$i")).reduce(_ + _)
+    def cumLive(i: Int): Column =
+      (0 to i).map(j => col(s"__c$j")).reduce(_ + _).cast("double") /
+        nullif(total, lit(0L))
+    // the last cumulative is 1 on both sides — sum only the free terms,
+    // in ascending bin order (fixed addition order)
+    val w1 = (0 until nBins - 1).map(i =>
+      abs(lit(cumRef(i)) - cumLive(i))).reduce(_ + _)
+    stream
+      .filter(col(c).isNotNull)
+      .select(col(tsCol), binIdx(col(c)).as("__bin"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        total.as("n"),
+        round(w1, roundTo).as("w1_bins"))
+  }
+
   /** The CATEGORICAL twin of [[psiMonitor]]: per tumbling window, the
     * Jensen–Shannon divergence of a column's live category distribution
     * against a static reference PMF. Vocabulary and reference

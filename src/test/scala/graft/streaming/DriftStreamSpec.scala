@@ -44,6 +44,32 @@ class DriftStreamSpec extends SparkSpec {
     assert(got("2024-01-01 11:00:00.0")._2.get > got("2024-01-01 10:00:00.0")._2.get)
   }
 
+  test("w1Monitor: identical window scores ~0, one-decile shift scores ~1") {
+    implicit val sc = spark.sqlContext
+    val reference = (1 to 200).map(_.toDouble).toDF("v")
+    // window 10:00 resamples the reference uniformly (every 4th value →
+    // identical decile occupancy); window 11:00 is the reference shifted
+    // by exactly one decile (+20)
+    val w1 = (1 to 50).map(i => Obs(t("10:05"), i * 4.0))
+    val w2 = (1 to 50).map(i => Obs(t("11:10"), i * 4.0 + 20.0))
+    val mem = MemoryStream[Obs]
+    val q = DriftStream.w1Monitor(mem.toDF(), reference, "v", tsCol = "ts")
+      .writeStream.format("memory").queryName("w1_out")
+      .outputMode("complete").start()
+    mem.addData(w1 ++ w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("w1_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(3)).toMap
+    assert(got.size == 2)
+    val same = got("2024-01-01 10:00:00.0")
+    val shifted = got("2024-01-01 11:00:00.0")
+    assert(same < 0.15, s"uniform resample scored $same")
+    // +20 on a 1..200 reference = one decile of mass moved per cut point
+    assert(shifted > 0.7 && shifted < 1.3, s"one-decile shift scored $shifted")
+    assert(shifted > same)
+  }
+
   test("jsMonitor: per-window JS matches the batch jsDivergence of the same rows") {
     implicit val sc = spark.sqlContext
     val reference = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("k")
