@@ -127,6 +127,8 @@ object QueryCatalog {
       Profile.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "a_histogram" -> ((s, d) =>
       Profile.histogram(Tables.lineitem(s, d), "l_extendedprice", 10)),
+    "a_cramers_v" -> ((s, d) =>
+      Profile.cramersV(Tables.lineitem(s, d), "l_returnflag", "l_linestatus")),
     "a_moments_merge" -> ((s, d) => {
       // incremental-profile primitive exercised end to end: two shard
       // states merged must be BIT-IDENTICAL to a from-scratch profile —
@@ -639,6 +641,34 @@ object QueryCatalog {
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN st LEFT JOIN c ON spine.bin = c.bin
         |ORDER BY spine.bin""".stripMargin,
+    "a_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS x,
+        |         COALESCE(CAST(l_linestatus AS VARCHAR), 'NA') AS y,
+        |         COUNT(*) AS cxy
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT xs.x, ys.y, COALESCE(cxy, 0) AS cxy
+        |  FROM (SELECT DISTINCT x FROM cells) xs
+        |  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        |  LEFT JOIN cells ON xs.x = cells.x AND ys.y = cells.y),
+        |t AS (SELECT x, y, cxy,
+        |  SUM(cxy) OVER () AS n,
+        |  SUM(cxy) OVER (PARTITION BY x) AS cx,
+        |  SUM(cxy) OVER (PARTITION BY y) AS cy FROM grid),
+        |u AS (SELECT x, y, n, cx, cy,
+        |  CAST(n * cxy - cx * cy AS DOUBLE) AS d FROM t),
+        |v AS (SELECT n,
+        |  SUM(d * d / CAST(n * cx * cy AS DOUBLE)) OVER (ORDER BY x, y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM u),
+        |w AS (SELECT MAX(cum) AS chi2, MAX(n) AS nn,
+        |  (SELECT COUNT(DISTINCT x) FROM cells) AS rx,
+        |  (SELECT COUNT(DISTINCT y) FROM cells) AS ry FROM v)
+        |SELECT 'l_returnflag' AS col_x, 'l_linestatus' AS col_y,
+        |  CASE WHEN LEAST(rx - 1, ry - 1) > 0 THEN
+        |    ROUND(SQRT(chi2 / CAST(nn * LEAST(rx - 1, ry - 1) AS DOUBLE)), 6)
+        |  END AS cramers_v
+        |FROM w""".stripMargin,
     "d3_drift_all" -> d3Sql,
     "v6_linkage_risk" -> v6Sql,
     "a1_profile_lineitem" -> a1Sql,

@@ -862,6 +862,52 @@ object Profile {
         col("n_cells"), col("mi"))
   }
 
+  /** Cramér's V — the normalized χ² association between two categorical
+    * columns of ONE table ([0, 1]: 0 = independent, 1 = one determines
+    * the other), completing the association family beside [[mutualInfo]]
+    * (MI is in nats and unbounded; V is the comparable-across-pairs
+    * effect size). Same scaffolding as MI: one (x, y) cell-count
+    * aggregate, marginals as windows over the CELL frame (never a second
+    * data scan), χ² terms as (n·cxy − cx·cy)²/(n·cx·cy) — numerator and
+    * denominator are exact integer products cast once to double, summed
+    * through the ordered cumulative window (fixed addition order =
+    * oracle parity). Long products stay exact below ~10⁸ rows; past
+    * that ANSI faults the overflow loudly rather than wrapping. Null on
+    * a degenerate (single-category) margin. */
+  def cramersV(df: DataFrame, colX: String, colY: String,
+               roundTo: Int = 6): DataFrame = {
+    val cells = df
+      .select(coalesce(col(colX).cast("string"), lit("NA")).as("x"),
+        coalesce(col(colY).cast("string"), lit("NA")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    // χ² runs over the FULL r×c grid: an unobserved (x, y) combination
+    // contributes (0−E)²/E = E, which the observed-cells frame alone
+    // would silently drop (a perfect 2×2 association then scores 1/√2,
+    // not 1 — the spec's hand-computed case caught exactly this). The
+    // grid is domain-sized (r·c rows), never data-sized.
+    val grid = cells.select("x").distinct()
+      .crossJoin(cells.select("y").distinct())
+      .join(cells, Seq("x", "y"), "left_outer")
+      .select(col("x"), col("y"), coalesce(col("cxy"), lit(0L)).as("cxy"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.partitionBy().orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (col("n") * col("cxy") - col("cx") * col("cy")).cast("double")
+    val term = d * d / (col("n") * col("cx") * col("cy")).cast("double")
+    grid
+      .withColumn("n", sum("cxy").over(wAll))
+      .withColumn("cx", sum("cxy").over(Window.partitionBy("x")))
+      .withColumn("cy", sum("cxy").over(Window.partitionBy("y")))
+      .withColumn("cum", sum(term).over(wCum))
+      .agg(max("cum").as("chi2"), max("n").as("nn"),
+        count_distinct(col("x")).as("rx"), count_distinct(col("y")).as("ry"))
+      .select(lit(colX).as("col_x"), lit(colY).as("col_y"),
+        when(least(col("rx") - 1, col("ry") - 1) > 0,
+          round(sqrt(col("chi2") /
+            (col("nn") * least(col("rx") - 1, col("ry") - 1)).cast("double")),
+            roundTo)).as("cramers_v"))
+  }
+
   /** Mergeable per-column moment state — the incremental-profile
     * primitive: profile each shard/batch INDEPENDENTLY, keep the tiny
     * (column, n, S1, S2, min, max) frame, and combine states with

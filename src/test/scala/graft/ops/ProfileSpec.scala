@@ -29,6 +29,19 @@ class ProfileSpec extends SparkSpec {
     assert(u.forall(r => r.getDouble(4) == 1.0))
   }
 
+  test("cramersV: perfect association 1, independence 0, degenerate margin null") {
+    import spark.implicits._
+    // x determines y exactly → V = 1
+    val perfect = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")).toDF("x", "y")
+    assert(Profile.cramersV(perfect, "x", "y").collect()(0).getDouble(2) == 1.0)
+    // balanced independent grid → V = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("p", "q") } yield (x, y)).toDF("x", "y")
+    assert(Profile.cramersV(indep, "x", "y").collect()(0).getDouble(2) == 0.0)
+    // single-category margin → undefined → null
+    val degen = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    assert(Profile.cramersV(degen, "x", "y").collect()(0).isNullAt(2))
+  }
+
   test("histogram: zero-filled spine, max in last bin, constant and empty edges") {
     import spark.implicits._
     val df = Seq(0.0, 1.0, 5.0, 9.9, 10.0).toDF("x")
