@@ -352,6 +352,10 @@ object ExtCatalog {
       Multimodal.thumbnail(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
         .toDF().orderBy(col("doc_id"))),
+    "m_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(
+        Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("window_idx"))),
     "x_embed_pca" -> ((s, d) =>
       // seeded-SVD dimensionality reduction (sign-indeterminate across
       // BLAS builds → rows-only; SimSearchSpec pins the invariants)
@@ -1464,6 +1468,20 @@ object ExtCatalog {
         |      i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
         |FROM n ORDER BY doc_id""".stripMargin,
+    "m_audio_features" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |w AS (SELECT doc_id, text, len,
+        |        UNNEST(range(0, (len + 63) // 64)) AS widx FROM b),
+        |s AS (SELECT doc_id, widx,
+        |  list_transform(range(1, LEAST(64, len - widx * 64) + 1),
+        |    i -> CAST(ascii(substring(text, CAST(widx * 64 + i AS INTEGER), 1)) AS BIGINT) - 64) AS smp
+        |  FROM w)
+        |SELECT doc_id, CAST(widx AS INTEGER) AS window_idx,
+        |  CAST(len(smp) AS INTEGER) AS n_samples,
+        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy,
+        |  CAST(len(list_filter(range(1, len(smp)),
+        |    i -> (smp[i] < 0) <> (smp[i + 1] < 0))) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY doc_id, window_idx""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -83,6 +83,48 @@ object Multimodal {
       }
   }
 
+  final case class AudioWin(doc_id: Long, window_idx: Int, n_samples: Int,
+                            energy: Long, zero_crossings: Long)
+
+  /** STUB audio feature extraction — the windowed energy + zero-crossing
+    * pass every audio pipeline starts with (VAD, silence trimming,
+    * segment boundaries): payload bytes read as 8-bit PCM samples
+    * centered at 64 (so text stand-in payloads produce a sign-varying
+    * waveform), `win` samples per window, per window the exact integer
+    * energy Σs² and the sign-change count. Same batched `mapPartitions`
+    * contract as [[decode]] — a real codec/resampler replaces the sample
+    * extraction only; windowing, schema, and partition parallelism are
+    * the production shape. Pure integer function of the payload →
+    * oracle-gateable despite the stub. */
+  def audioFeatures(df: DataFrame, win: Int = 64): Dataset[AudioWin] = {
+    require(win > 0, "window must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        val bytes = r.payload
+        (0 until (bytes.length + win - 1) / win).iterator.map { w =>
+          val start = w * win
+          val end = math.min(start + win, bytes.length)
+          var energy = 0L
+          var zc = 0L
+          var prevNeg = false
+          var first = true
+          var i = start
+          while (i < end) {
+            val s = (bytes(i) & 0xff) - 64
+            energy += s.toLong * s
+            val neg = s < 0
+            if (!first && neg != prevNeg) zc += 1
+            prevNeg = neg
+            first = false
+            i += 1
+          }
+          AudioWin(r.doc_id, w, end - start, energy, zc)
+        }
+      }
+  }
+
   /** Frame sampling: slice `frames` fixed-width byte windows out of the
     * payload (expression-only — no decode needed for windowing). */
   def frameSample(df: DataFrame, frames: Int, frameBytes: Int): DataFrame =

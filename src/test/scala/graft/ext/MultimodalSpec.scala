@@ -15,6 +15,25 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(2L).byte_len == 1 && decoded(2L).n_frames == 2)
   }
 
+  test("audio features: hand-computed energy and zero crossings, window split") {
+    // "a a a" → bytes 97,32,97,32,97 → samples (−64) 33,−32,33,−32,33:
+    // energy = 3·33² + 2·32² = 5315; sign changes = 4
+    val d = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val one = Multimodal.audioFeatures(
+      Multimodal.attachBinary(d, "text", "doc_id")).collect()
+    assert(one.length == 1)
+    assert(one(0).n_samples == 5 && one(0).energy == 5315L &&
+      one(0).zero_crossings == 4L)
+    // window split: 70 bytes at win=64 → windows of 64 and 6; crossings
+    // do NOT span the window boundary (each window is scored alone)
+    val long = Seq((2L, "a " * 35)).toDF("doc_id", "text")
+    val ws = Multimodal.audioFeatures(
+      Multimodal.attachBinary(long, "text", "doc_id"), win = 64).collect()
+      .sortBy(_.window_idx)
+    assert(ws.map(_.n_samples).sameElements(Array(64, 6)))
+    assert(ws(0).zero_crossings == 63L && ws(1).zero_crossings == 5L)
+  }
+
   test("frame sampling slices byte windows") {
     val frames = Multimodal.frameSample(
       Multimodal.attachBinary(docs, "text", "doc_id"), frames = 3, frameBytes = 4)
