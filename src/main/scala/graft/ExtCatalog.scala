@@ -356,6 +356,10 @@ object ExtCatalog {
       Multimodal.audioFeatures(
         Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
         .toDF().orderBy(col("doc_id"), col("window_idx"))),
+    "m_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.attachBinary(Tables.documents(s, d), "text", "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))),
     "x_embed_pca" -> ((s, d) =>
       // seeded-SVD dimensionality reduction (sign-indeterminate across
       // BLAS builds → rows-only; SimSearchSpec pins the invariants)
@@ -370,6 +374,8 @@ object ExtCatalog {
       TextStats.readability(Tables.documents(s, d), "text", "doc_id")),
     "x_source_card" -> ((s, d) =>
       TextStats.sourceCard(Tables.documents(s, d), "text", "source", "lang")),
+    "t_code_detect" -> ((s, d) =>
+      TextStats.codeDetect(Tables.documents(s, d), "text", "doc_id")),
     "x_doc_novelty" -> ((s, d) =>
       Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>
@@ -1443,6 +1449,27 @@ object ExtCatalog {
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "t_gopher_rules" -> gopherRulesSql,
+    "t_code_detect" -> {
+      val kws = TextStats.CodeKeywords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |  length(text) AS nc,
+         |  length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) AS nsym,
+         |  len(list_filter(string_split(lower(text), ' '),
+         |    x -> list_contains($kws, x))) AS kw
+         |  FROM documents),
+         |s AS (SELECT doc_id, nsym, kw,
+         |  CASE WHEN nc > 0 THEN CAST(nsym AS DOUBLE) / nc END AS sr FROM t)
+         |SELECT doc_id, CAST(nsym AS BIGINT) AS n_symbols,
+         |  CAST(kw AS BIGINT) AS kw_hits,
+         |  sr AS symbol_ratio,
+         |  CASE WHEN sr IS NOT NULL THEN
+         |    0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)
+         |  END AS code_score,
+         |  CASE WHEN sr IS NOT NULL THEN
+         |    (0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)) >= 0.5
+         |  END AS is_code
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "t_freq_spectrum" ->
       """SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM (
         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1482,6 +1509,21 @@ object ExtCatalog {
         |  CAST(len(list_filter(range(1, len(smp)),
         |    i -> (smp[i] < 0) <> (smp[i + 1] < 0))) AS BIGINT) AS zero_crossings
         |FROM s ORDER BY doc_id, window_idx""".stripMargin,
+    "m_scene_cuts" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, text, len,
+        |        UNNEST(range(1, (len + 63) // 64)) AS fidx FROM b),
+        |d AS (SELECT doc_id, fidx,
+        |  LEAST(64, len - fidx * 64) AS width,
+        |  list_sum(list_transform(range(1, CAST(LEAST(64, len - fidx * 64) AS BIGINT) + 1),
+        |    i -> CAST(abs(ascii(substring(text, CAST((fidx - 1) * 64 + i AS INTEGER), 1)) -
+        |              ascii(substring(text, CAST(fidx * 64 + i AS INTEGER), 1))) AS BIGINT)))
+        |    AS diff
+        |  FROM f)
+        |SELECT doc_id, CAST(fidx AS INTEGER) AS frame_idx,
+        |  CAST(COALESCE(diff, 0) AS BIGINT) AS diff,
+        |  COALESCE(diff, 0) > 32 * width AS is_cut
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

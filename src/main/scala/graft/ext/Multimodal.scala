@@ -125,6 +125,42 @@ object Multimodal {
       }
   }
 
+  final case class SceneCut(doc_id: Long, frame_idx: Int, diff: Long,
+                            is_cut: Boolean)
+
+  /** STUB scene-cut detection — the shot-boundary pass of a video
+    * pipeline: consecutive fixed-width "frames" (byte windows) compared
+    * by mean absolute per-position difference; a frame whose difference
+    * from its predecessor exceeds `threshold` (scaled by the compared
+    * width) marks a cut. Emits one row per frame TRANSITION (frame 1
+    * onward). A real decoder swaps byte windows for pixel buffers; the
+    * windowing, pairwise-comparison shape, and threshold contract are
+    * the production form. Short trailing frames compare over the
+    * overlapping prefix only. Pure integers → oracle-EXACT. */
+  def sceneCuts(df: DataFrame, frameBytes: Int = 64,
+                threshold: Long = 32L): Dataset[SceneCut] = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        val bytes = r.payload
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (1 until nFrames).iterator.map { f =>
+          val aStart = (f - 1) * frameBytes
+          val bStart = f * frameBytes
+          val width = math.min(frameBytes, bytes.length - bStart)
+          var sum = 0L
+          var i = 0
+          while (i < width) {
+            sum += math.abs((bytes(aStart + i) & 0xff) - (bytes(bStart + i) & 0xff))
+            i += 1
+          }
+          SceneCut(r.doc_id, f, sum, sum > threshold * width)
+        }
+      }
+  }
+
   /** Frame sampling: slice `frames` fixed-width byte windows out of the
     * payload (expression-only — no decode needed for windowing). */
   def frameSample(df: DataFrame, frames: Int, frameBytes: Int): DataFrame =

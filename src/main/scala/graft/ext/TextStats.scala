@@ -106,6 +106,41 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Code-keyword vocabulary for [[codeDetect]] (language-agnostic core:
+    * shared by Python/JS/Java/Scala/C-family). */
+  private[graft] val CodeKeywords = Seq(
+    "def", "class", "import", "return", "function", "var", "const",
+    "void", "int", "public", "private", "static", "if", "else", "for",
+    "while", "new", "null", "true", "false")
+
+  /** Heuristic code-vs-prose detector — the corpus-partitioning signal a
+    * mixed crawl needs before language-ID or quality scoring makes sense
+    * (prose heuristics mis-score code and vice versa): structural-symbol
+    * density (braces/brackets/operators per char) + programming-keyword
+    * token hits, blended into a [0,1] score with a 0.5 decision line.
+    * One stateless codegen scan; every term is a per-row integer count
+    * or a fixed-order double blend — oracle-EXACT. Empty text → null
+    * score (no evidence either way), mirroring the oracle's 0/0→NULL. */
+  def codeDetect(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nChars = length(col(textCol))
+    val nSym = nChars - length(regexp_replace(col(textCol), "[{}()\\[\\];=<>]", ""))
+    val kwArr = array(CodeKeywords.map(lit): _*)
+    val kw = size(filter(tokens(lower(col(textCol))), t => array_contains(kwArr, t)))
+    val symRatio = when(nChars > 0, nSym.cast("double") / nChars)
+    // explicit empty-text guard: least() IGNORES nulls on both engines,
+    // so a null symbol ratio would silently saturate its term to 1.0
+    val score = when(nChars > 0,
+      lit(0.6) * least(lit(1.0), symRatio * 10) +
+        lit(0.4) * least(lit(1.0), kw.cast("double") / 3))
+    df.select(col(idCol),
+      nSym.cast("long").as("n_symbols"),
+      kw.cast("long").as("kw_hits"),
+      symRatio.as("symbol_ratio"),
+      score.as("code_score"),
+      (score >= 0.5).as("is_code"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-source dataset card — the datasheet rollup a corpus release
     * ships with: per source, document count, total whitespace tokens,
     * mean characters, English share, and the duplicate rate (share of

@@ -34,6 +34,22 @@ class MultimodalSpec extends SparkSpec {
     assert(ws(0).zero_crossings == 63L && ws(1).zero_crossings == 5L)
   }
 
+  test("scene cuts: identical frames score 0, a byte jump crosses the threshold") {
+    // 8 'a's then 8 'z's with frameBytes=8: frame 0 = "aaaaaaaa",
+    // frame 1 = "zzzzzzzz" → per-position diff 25, sum 200 > 4·8
+    val d = Seq((1L, "a" * 8 + "z" * 8 + "a" * 8)).toDF("doc_id", "text")
+    val cuts = Multimodal.sceneCuts(
+      Multimodal.attachBinary(d, "text", "doc_id"), frameBytes = 8, threshold = 4L)
+      .collect().sortBy(_.frame_idx)
+    assert(cuts.length == 2)
+    assert(cuts(0).diff == 200L && cuts(0).is_cut)
+    assert(cuts(1).diff == 200L && cuts(1).is_cut)
+    val flat = Multimodal.sceneCuts(
+      Multimodal.attachBinary(Seq((2L, "a" * 24)).toDF("doc_id", "text"),
+        "text", "doc_id"), frameBytes = 8, threshold = 4L).collect()
+    assert(flat.forall(c => c.diff == 0L && !c.is_cut))
+  }
+
   test("frame sampling slices byte windows") {
     val frames = Multimodal.frameSample(
       Multimodal.attachBinary(docs, "text", "doc_id"), frames = 3, frameBytes = 4)

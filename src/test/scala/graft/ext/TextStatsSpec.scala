@@ -17,6 +17,20 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("codeDetect: code scores above the line, prose below, empty text null") {
+    val df = Seq(
+      (1L, "def f(x): return x + g(y) == z;"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.codeDetect(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(5), "code sample must classify as code")
+    assert(!out(2L).getBoolean(5), "prose must not classify as code")
+    assert(out(2L).getLong(1) == 0L)          // no structural symbols
+    assert(out(3L).isNullAt(4) && out(3L).isNullAt(5)) // no evidence → null
+  }
+
   test("sourceCard: per-source rollup with cross-source duplicate counting") {
     val df = Seq(
       (1L, "the quick brown fox", "en", "a"),
