@@ -40,7 +40,11 @@ object ScaleUp {
     "q18_large_orders", "q_enrich_events",
     // late-r7: the 6-way join (deepest in the catalog) — two fact-side
     // shuffle joins + two aliased dimension broadcasts in one plan
-    "q7_volume_shipping")
+    "q7_volume_shipping",
+    // late-r7 curation ops with a domain-keyed join in the plan: novelty
+    // joins the shingle-dfreq domain back to docs; the card joins the
+    // normalized-text domain — both must stay key-domain-sized at N×
+    "x_doc_novelty", "x_source_card")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
