@@ -157,6 +157,12 @@ object QueryCatalog {
         li.filter(col("l_orderkey") % 2 === 0),
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
+    "d_ks_by_group" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.ksByGroup(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_quantity", "l_returnflag")
+    }),
     "d_js_divergence" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Drift.jsDivergence(
@@ -609,6 +615,28 @@ object QueryCatalog {
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_wasserstein" -> wassersteinSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d_ks_by_group" ->
+      """WITH a AS (SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS g,
+        |             CAST(l_quantity AS DOUBLE) AS v
+        |           FROM lineitem WHERE (l_orderkey % 2 = 0) AND l_quantity IS NOT NULL),
+        |b AS (SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS g,
+        |        CAST(l_quantity AS DOUBLE) AS v
+        |      FROM lineitem WHERE (l_orderkey % 2 = 1) AND l_quantity IS NOT NULL),
+        |u AS (SELECT g, v, 1 AS ca, 0 AS cb FROM a
+        |      UNION ALL SELECT g, v, 0, 1 FROM b),
+        |counts AS (SELECT g, v, SUM(ca) AS na, SUM(cb) AS nb FROM u GROUP BY g, v),
+        |cdfs AS (SELECT g,
+        |  SUM(na) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |  SUM(nb) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |  SUM(na) OVER (PARTITION BY g) AS ta, SUM(nb) OVER (PARTITION BY g) AS tb
+        |  FROM counts),
+        |perg AS (SELECT g, MAX(CASE WHEN ta >= 5 AND tb >= 5
+        |  THEN ABS(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb) END) AS ks
+        |  FROM cdfs GROUP BY g),
+        |spine AS (SELECT DISTINCT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS g
+        |          FROM lineitem)
+        |SELECT spine.g AS grp, ks FROM spine LEFT JOIN perg ON spine.g = perg.g
+        |ORDER BY grp""".stripMargin,
     "d_js_divergence" -> jsSql("documents", "lang", "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "d_drift_extended" -> dExtendedSql,
     "a_corr_matrix" -> corrSql,

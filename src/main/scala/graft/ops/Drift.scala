@@ -182,6 +182,44 @@ object Drift {
     }
   }
 
+  /** Segmented drift — per-group two-sample KS: "WHICH segment drifted",
+    * the question a whole-table statistic can't answer (a 2% global KS
+    * can hide one segment at 40%). Reuses the scale-safe cumulative-CDF
+    * machinery of [[ksFromCounts]] verbatim by mapping each group value
+    * to a dense index: the (group, value) histogram shuffles the VALUE
+    * DOMAIN per group, cumulative counts stay exact integers, and every
+    * stage parallelizes across (group, bucket) — no per-group job loop,
+    * ONE plan for all segments. Groups are assumed dimension-like
+    * (collected once for the index + output spine); a group missing the
+    * ≥5-row floor on either side reports null, and a group with no
+    * non-null values appears in the spine with null — absence is
+    * reported, not dropped. */
+  def ksByGroup(before: DataFrame, after: DataFrame, c: String,
+                groupCol: String, buckets: Int = 32,
+                roundTo: Option[Int] = None): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val gKey = coalesce(col(groupCol).cast("string"), lit("NA"))
+    val groups: Seq[String] = before.select(gKey.as("g"))
+      .union(after.select(gKey.as("g")))
+      .distinct().orderBy("g").collect().map(_.getString(0)).toSeq
+    if (groups.isEmpty)
+      return Seq.empty[(String, Option[Double])].toDF("grp", "ks")
+    val bIdx = spark.sparkContext.broadcast(groups.zipWithIndex.toMap)
+    val gi = udf((g: String) => bIdx.value(g))
+    def side(df: DataFrame, ca: Long, cb: Long) = df
+      .select(gi(gKey).as("ci"), col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("ca", lit(ca)).withColumn("cb", lit(cb))
+    val counts = side(before, 1L, 0L).union(side(after, 0L, 1L))
+      .groupBy("ci", "v").agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val perIdx = ksFromCounts(counts, buckets, roundTo)
+    groups.zipWithIndex.toDF("grp", "ci")
+      .join(perIdx, Seq("ci"), "left_outer")
+      .select(col("grp"), col("ks"))
+      .orderBy(col("grp"))
+  }
+
   /** D2 chi-square-LIKE categorical drift — NOT Pearson χ²: the reference's
     * own formula Σ (o_a − o_b)² / (o_a + o_b + 1e-9) over the union of
     * categories, raw counts, nulls bucketed as "NA"

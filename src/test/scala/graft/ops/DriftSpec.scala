@@ -34,6 +34,33 @@ class DriftSpec extends SparkSpec {
     assert(d2 == Seq("l_quantity" -> None))
   }
 
+  test("ksByGroup: the drifted segment scores, the stable one doesn't") {
+    // group "s": identical on both sides → KS 0; group "d": disjoint → KS 1;
+    // group "tiny": below the 5-row floor → null; group "only_before": in
+    // the spine with null (absent on one side entirely)
+    def mk(pairs: (String, Double)*) = pairs.toSeq.toDF("g", "x")
+    val before = mk(
+      (Seq.tabulate(10)(i => "s" -> (i + 1.0)) ++
+       Seq.tabulate(10)(i => "d" -> (i + 1.0)) ++
+       Seq("tiny" -> 1.0, "only_before" -> 1.0)): _*)
+    val after = mk(
+      (Seq.tabulate(10)(i => "s" -> (i + 1.0)) ++
+       Seq.tabulate(10)(i => "d" -> (i + 100.0)) ++
+       Seq("tiny" -> 2.0)): _*)
+    val out = Drift.ksByGroup(before, after, "x", "g").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("s").contains(0.0))
+    assert(out("d").contains(1.0))
+    assert(out("tiny").isEmpty && out("only_before").isEmpty)
+    assert(out.size == 4)
+    // per-group values agree with the single-group statistic
+    val whole = Drift.ksStatistic(
+      before.filter(col("g") === "d").select("x"),
+      after.filter(col("g") === "d").select("x"), "x")
+      .collect()(0).getDouble(1)
+    assert(out("d").contains(whole))
+  }
+
   test("wasserstein: identical samples → 0; pure shift → the shift") {
     val a = (1 to 100).map(_.toDouble).toDF("x")
     assert(Drift.wasserstein(a, a, "x").collect()(0).getDouble(1) == 0.0)
