@@ -376,6 +376,8 @@ object ExtCatalog {
       TextStats.sourceCard(Tables.documents(s, d), "text", "source", "lang")),
     "t_code_detect" -> ((s, d) =>
       TextStats.codeDetect(Tables.documents(s, d), "text", "doc_id")),
+    "t_fertility" -> ((s, d) =>
+      TextStats.tokenizerFertility(Tables.documents(s, d), "text", "lang")),
     "x_doc_novelty" -> ((s, d) =>
       Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>
@@ -1385,6 +1387,16 @@ object ExtCatalog {
          |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
          |  CAST(n_chars AS DOUBLE) / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS chars_per_token
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS BIGINT) AS tk,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS wd
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(wd) AS BIGINT) AS total_words,
+         |  CAST(SUM(tk) AS DOUBLE) / CAST(NULLIF(SUM(wd), 0) AS DOUBLE) AS fertility
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "m_frame_sample" ->
       // corpus is pure ASCII (asserted in MultimodalSpec), so string
       // substring here mirrors the Spark side's binary substring exactly.

@@ -106,6 +106,28 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Tokenizer fertility per language — tokens-per-word, the standard
+    * multilingual-tokenizer efficiency metric: a language whose
+    * fertility is 2× English pays 2× the context budget for the same
+    * content, which is exactly what corpus mixing weights must correct
+    * for. BPE-regex tokens over whitespace words, exact integer sums per
+    * language, ONE division in double space per output row. One
+    * partial+final hash aggregate over a stateless codegen projection. */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+                         langCol: String): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col(textCol)),
+      lit(BpeTokenPattern), lit(0))).cast("long")
+    val words = size(split(col(textCol), " ")).cast("long")
+    df.select(col(langCol).as("lang"), toks.as("__t"), words.as("__w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(col("__w")).as("total_words"),
+        (sum(col("__t")).cast("double") /
+          nullif(sum(col("__w")), lit(0L))).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
   /** Code-keyword vocabulary for [[codeDetect]] (language-agnostic core:
     * shared by Python/JS/Java/Scala/C-family). */
   private[graft] val CodeKeywords = Seq(

@@ -17,6 +17,19 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("tokenizerFertility: per-lang exact token/word sums and ratio") {
+    // "don't stop" → BPE-ish tokens [don, ', t, stop] = 4 over 2 words
+    val df = Seq((1L, "don't stop", "en"), (2L, "ok", "en"), (3L, "uno dos", "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextStats.tokenizerFertility(df, "text", "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getLong(1) == 2L)              // n_docs
+    assert(out("en").getLong(2) == 5L)              // don,',t,stop + ok
+    assert(out("en").getLong(3) == 3L)              // 2 + 1 words
+    assert(out("en").getDouble(4) == 5.0 / 3.0)
+    assert(out("es").getDouble(4) == 1.0)
+  }
+
   test("codeDetect: code scores above the line, prose below, empty text null") {
     val df = Seq(
       (1L, "def f(x): return x + g(y) == z;"),
