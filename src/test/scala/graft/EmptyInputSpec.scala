@@ -92,7 +92,27 @@ class EmptyInputSpec extends SparkSpec {
       "pqTopK empty-corpus" -> (() => ext.SimSearch.pqTopK(someEmb, emptyEmb, 5).collect()),
       "coresetSample" -> (() => ext.SimSearch.coresetSample(emptyEmb, 4).collect()),
       "qualityClassifier" -> (() =>
-        ml.QualityModel.qualityClassifier(emptyDocs, "text", "doc_id").collect())
+        ml.QualityModel.qualityClassifier(emptyDocs, "text", "doc_id").collect()),
+      // late-r7 additions
+      "ksByGroup empty-after" -> (() =>
+        ops.Drift.ksByGroup(someLineitem, emptyLineitem, "l_quantity", "l_returnflag").collect()),
+      "ksByGroup both-empty" -> (() =>
+        ops.Drift.ksByGroup(emptyLineitem, emptyLineitem, "l_quantity", "l_returnflag").collect()),
+      "cramersV" -> (() =>
+        ops.Profile.cramersV(emptyLineitem, "l_returnflag", "l_linestatus").collect()),
+      "skewReport" -> (() => ops.Profile.skewReport(emptyLineitem, "l_suppkey").collect()),
+      "histogram" -> (() => ops.Profile.histogram(emptyLineitem, "l_quantity").collect()),
+      "topPaths" -> (() =>
+        streaming.Events.topPaths(Tables.events(spark, Sf).filter(lit(false))).collect()),
+      "codeDetect" -> (() => ext.TextStats.codeDetect(emptyDocs, "text", "doc_id").collect()),
+      "tokenizerFertility" -> (() =>
+        ext.TextStats.tokenizerFertility(emptyDocs, "text", "lang").collect()),
+      "audioFeatures" -> (() =>
+        ext.Multimodal.audioFeatures(
+          ext.Multimodal.attachBinary(emptyDocs, "text", "doc_id")).collect()),
+      "sceneCuts" -> (() =>
+        ext.Multimodal.sceneCuts(
+          ext.Multimodal.attachBinary(emptyDocs, "text", "doc_id")).collect())
     )
     val failures = cases.flatMap { case (name, run) =>
       try { run(); None }
