@@ -283,9 +283,15 @@ object SimSearch {
       if (nCorpus <= PqFitSampleCap) c0
       else c0.filter(pmod(xxhash64(col("cid"), lit(seed)), lit(1000000L)) <
         lit(math.max(1L, (PqFitSampleCap.toDouble / nCorpus * 1e6).toLong)))
-    val sample: Array[Array[Double]] = sampled.select(col("cid"), col("cu"))
+    val sample0: Array[Array[Double]] = sampled.select(col("cid"), col("cu"))
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // the hash gate could in principle select nothing from a non-empty
+    // corpus — fall back to one row so the fit always has an anchor
+    // (same guard as coresetSample)
+    val sample =
+      if (sample0.nonEmpty) sample0
+      else c0.limit(1).collect().map(_.getSeq[Double](1).toArray)
     val ksubEff = math.min(ksub, sample.length)
 
     // Driver-local seeded k-means++ init + 10 Lloyd iterations per

@@ -206,10 +206,13 @@ object Drift {
     if (groups.isEmpty)
       return Seq.empty[(String, Option[Double])].toDF("grp", "ks")
     val bIdx = spark.sparkContext.broadcast(groups.zipWithIndex.toMap)
-    val gi = udf((g: String) => bIdx.value(g))
+    // a group unseen at index-fit time (possible only when the input is
+    // nondeterministic between passes, e.g. a sampled upstream) drops
+    // rather than aborting the job
+    val gi = udf((g: String) => bIdx.value.getOrElse(g, -1))
     def side(df: DataFrame, ca: Long, cb: Long) = df
       .select(gi(gKey).as("ci"), col(c).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("ci") >= 0)
       .withColumn("ca", lit(ca)).withColumn("cb", lit(cb))
     val counts = side(before, 1L, 0L).union(side(after, 0L, 1L))
       .groupBy("ci", "v").agg(sum("ca").as("na"), sum("cb").as("nb"))
