@@ -378,6 +378,8 @@ object ExtCatalog {
       TextStats.codeDetect(Tables.documents(s, d), "text", "doc_id")),
     "t_fertility" -> ((s, d) =>
       TextStats.tokenizerFertility(Tables.documents(s, d), "text", "lang")),
+    "x_curation_funnel" -> ((s, d) =>
+      TextStats.curationFunnel(Tables.documents(s, d), "text", "doc_id")),
     "x_doc_novelty" -> ((s, d) =>
       Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>
@@ -741,6 +743,30 @@ object ExtCatalog {
     * shared TextStats.Gopher* constants). The symbol-ratio divide guard
     * is DuckDB's own semantics — division by zero yields NULL — so the
     * CASE mirrors Spark's `when(nChars > 0, ...)`. */
+  /** Shared by the t_code_detect entry and the curation-funnel oracle —
+    * ONE formula source so the two can't drift. */
+  private def codeDetectSql: String = {
+    val kws = TextStats.CodeKeywords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id,
+       |  length(text) AS nc,
+       |  length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) AS nsym,
+       |  len(list_filter(string_split(lower(text), ' '),
+       |    x -> list_contains($kws, x))) AS kw
+       |  FROM documents),
+       |s AS (SELECT doc_id, nsym, kw,
+       |  CASE WHEN nc > 0 THEN CAST(nsym AS DOUBLE) / nc END AS sr FROM t)
+       |SELECT doc_id, CAST(nsym AS BIGINT) AS n_symbols,
+       |  CAST(kw AS BIGINT) AS kw_hits,
+       |  sr AS symbol_ratio,
+       |  CASE WHEN sr IS NOT NULL THEN
+       |    0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)
+       |  END AS code_score,
+       |  CASE WHEN sr IS NOT NULL THEN
+       |    (0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)) >= 0.5
+       |  END AS is_code
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def gopherRulesSql: String = {
     val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     import TextStats.{GopherMinWords => minW, GopherMaxWords => maxW,
@@ -1461,27 +1487,26 @@ object ExtCatalog {
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "t_gopher_rules" -> gopherRulesSql,
-    "t_code_detect" -> {
-      val kws = TextStats.CodeKeywords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id,
-         |  length(text) AS nc,
-         |  length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) AS nsym,
-         |  len(list_filter(string_split(lower(text), ' '),
-         |    x -> list_contains($kws, x))) AS kw
-         |  FROM documents),
-         |s AS (SELECT doc_id, nsym, kw,
-         |  CASE WHEN nc > 0 THEN CAST(nsym AS DOUBLE) / nc END AS sr FROM t)
-         |SELECT doc_id, CAST(nsym AS BIGINT) AS n_symbols,
-         |  CAST(kw AS BIGINT) AS kw_hits,
-         |  sr AS symbol_ratio,
-         |  CASE WHEN sr IS NOT NULL THEN
-         |    0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)
-         |  END AS code_score,
-         |  CASE WHEN sr IS NOT NULL THEN
-         |    (0.6 * LEAST(1.0, sr * 10) + 0.4 * LEAST(1.0, CAST(kw AS DOUBLE) / 3)) >= 0.5
-         |  END AS is_code
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "t_code_detect" -> codeDetectSql,
+    "x_curation_funnel" ->
+      s"""WITH gp AS ($gopherRulesSql),
+         |cd AS ($codeDetectSql),
+         |km AS (SELECT MIN(doc_id) AS keep FROM documents
+         |       GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+         |f AS (SELECT d.doc_id, (k.keep IS NOT NULL) AS surv, gp.passes, cd.is_code
+         |      FROM documents d
+         |      LEFT JOIN km k ON d.doc_id = k.keep
+         |      JOIN gp ON d.doc_id = gp.doc_id
+         |      JOIN cd ON d.doc_id = cd.doc_id),
+         |agg AS (SELECT COUNT(*) AS raw,
+         |  COUNT(*) FILTER (surv) AS deduped,
+         |  COUNT(*) FILTER (surv AND NOT is_code) AS non_code,
+         |  COUNT(*) FILTER (surv AND NOT is_code AND passes) AS kept FROM f)
+         |SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage, raw AS n_docs FROM agg
+         |UNION ALL SELECT 1, 'deduped', deduped FROM agg
+         |UNION ALL SELECT 2, 'non_code', non_code FROM agg
+         |UNION ALL SELECT 3, 'quality_kept', kept FROM agg
+         |ORDER BY stage_idx""".stripMargin,
     "t_freq_spectrum" ->
       """SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM (
         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq

@@ -106,6 +106,49 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Curation funnel — the composed CCNet/Gopher-style end-to-end
+    * curation pass as ONE call, reported as a stage funnel: raw →
+    * dedup survivors (first doc per normalized text) → non-code →
+    * Gopher-quality kept. The numbers a corpus curator actually reports
+    * ("we started with N, dedup removed X%, code gating Y%, quality
+    * Z%"). Stage gates are the EXISTING operators ([[gopherRules]],
+    * [[codeDetect]], normalized exact dedup) joined by id — one shuffle
+    * per gate, all doc-id-co-keyed, and a single final aggregate; every
+    * stage count is exact. Documents with null/undefined code verdicts
+    * (empty text) drop at the non-code gate on both engines (three-
+    * valued AND, matching the oracle's FILTER semantics). */
+  def curationFunnel(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepIds = df
+      .select(col(idCol).as("__id"),
+        lower(regexp_replace(col(textCol), "\\s+", " ")).as("__norm"))
+      .groupBy("__norm").agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    val gp = gopherRules(df, textCol, idCol).select(col(idCol), col("passes"))
+    val cd = codeDetect(df, textCol, idCol).select(col(idCol), col("is_code"))
+    df.select(col(idCol))
+      .join(keepIds, col(idCol) === col("__keep"), "left_outer")
+      .join(gp, Seq(idCol))
+      .join(cd, Seq(idCol))
+      .withColumn("__surv", col("__keep").isNotNull)
+      .agg(
+        count(lit(1)).as("raw"),
+        count(when(col("__surv"), 1)).as("deduped"),
+        count(when(col("__surv") && !col("is_code"), 1)).as("non_code"),
+        count(when(col("__surv") && !col("is_code") && col("passes"), 1))
+          .as("kept"))
+      .select(explode(array(
+        struct(lit(0).as("stage_idx"), lit("raw").as("stage"),
+          col("raw").as("n_docs")),
+        struct(lit(1).as("stage_idx"), lit("deduped").as("stage"),
+          col("deduped").as("n_docs")),
+        struct(lit(2).as("stage_idx"), lit("non_code").as("stage"),
+          col("non_code").as("n_docs")),
+        struct(lit(3).as("stage_idx"), lit("quality_kept").as("stage"),
+          col("kept").as("n_docs")))).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Tokenizer fertility per language — tokens-per-word, the standard
     * multilingual-tokenizer efficiency metric: a language whose
     * fertility is 2× English pays 2× the context budget for the same

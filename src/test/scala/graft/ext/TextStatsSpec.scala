@@ -17,6 +17,23 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - q) < 1e-12)
   }
 
+  test("curationFunnel: monotone stage counts with a known composition") {
+    // ≥30 words, mean word length ≥3, stopword hits, all-alpha → passes
+    val good = "the quick brown foxes jumped over those lazy sleeping dogs " * 4
+    val df = Seq(
+      (1L, good),                          // survives everything
+      (2L, good),                          // dup of 1 → drops at dedup
+      (3L, "def f(x): return {x == 1}; " * 6), // code → drops at code gate
+      (4L, "too short")                    // fails gopher word count
+    ).toDF("doc_id", "text")
+    val out = TextStats.curationFunnel(df, "text", "doc_id").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("raw") == 4L)
+    assert(out("deduped") == 3L)           // doc 2 removed
+    assert(out("non_code") == 2L)          // doc 3 removed
+    assert(out("quality_kept") == 1L)      // doc 4 removed
+  }
+
   test("tokenizerFertility: per-lang exact token/word sums and ratio") {
     // "don't stop" → BPE-ish tokens [don, ', t, stop] = 4 over 2 words
     val df = Seq((1L, "don't stop", "en"), (2L, "ok", "en"), (3L, "uno dos", "es"))
