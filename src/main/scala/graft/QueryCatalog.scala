@@ -157,6 +157,12 @@ object QueryCatalog {
         li.filter(col("l_orderkey") % 2 === 0),
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
+    "d_drift_panel" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.driftPanel(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
     "d_ks_by_group" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Drift.ksByGroup(
@@ -615,6 +621,18 @@ object QueryCatalog {
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_wasserstein" -> wassersteinSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
+    "d_drift_panel" -> {
+      val fa = "l_orderkey % 2 = 0"
+      val fb = "l_orderkey % 2 = 1"
+      s"""SELECT 'ks' AS metric, CAST(ks AS DOUBLE) AS value
+         |FROM (${ksSql("l_extendedprice", fa, fb)})
+         |UNION ALL
+         |SELECT 'psi', CAST(psi AS DOUBLE) FROM (${psiSql("l_extendedprice", fa, fb)})
+         |UNION ALL
+         |SELECT 'wasserstein', CAST(w1 AS DOUBLE)
+         |FROM (${wassersteinSql("l_extendedprice", fa, fb)})
+         |ORDER BY metric""".stripMargin
+    },
     "d_ks_by_group" ->
       """WITH a AS (SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS g,
         |             CAST(l_quantity AS DOUBLE) AS v

@@ -182,6 +182,24 @@ object Drift {
     }
   }
 
+  /** Drift panel — the three numeric drift lenses over one column pair
+    * in ONE result: KS (max CDF gap — sensitive to any shape change),
+    * PSI (binned population shift — the monitoring-industry standard),
+    * and W₁ (earth mover — weighs HOW FAR mass moved). One metric alone
+    * misleads: KS saturates on disjoint supports, PSI is blind within a
+    * bin, W₁ under-reads thin-tail changes; the panel is what a drift
+    * review actually wants. Composes the three existing operators — each
+    * keeps its own scale-safe plan — and unions three 1-row frames. */
+  def driftPanel(before: DataFrame, after: DataFrame, c: String): DataFrame = {
+    val ks = ksStatistic(before, after, c)
+      .select(lit("ks").as("metric"), col("ks").cast("double").as("value"))
+    val ps = psi(before, after, c)
+      .select(lit("psi").as("metric"), col("psi").cast("double").as("value"))
+    val w1 = wasserstein(before, after, c)
+      .select(lit("wasserstein").as("metric"), col("w1").cast("double").as("value"))
+    ks.union(ps).union(w1).orderBy(col("metric"))
+  }
+
   /** Segmented drift — per-group two-sample KS: "WHICH segment drifted",
     * the question a whole-table statistic can't answer (a 2% global KS
     * can hide one segment at 40%). Reuses the scale-safe cumulative-CDF

@@ -34,6 +34,18 @@ class DriftSpec extends SparkSpec {
     assert(d2 == Seq("l_quantity" -> None))
   }
 
+  test("driftPanel: three metrics, each matching its standalone operator") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val b = (1 to 100).map(_ + 10.0).toDF("x")
+    val panel = Drift.driftPanel(a, b, "x").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(panel.keySet == Set("ks", "psi", "wasserstein"))
+    assert(panel("ks") == Drift.ksStatistic(a, b, "x").collect()(0).getDouble(1))
+    assert(panel("psi") == Drift.psi(a, b, "x").collect()(0).getDouble(1))
+    assert(panel("wasserstein") ==
+      Drift.wasserstein(a, b, "x").collect()(0).getDouble(1))
+  }
+
   test("ksByGroup: the drifted segment scores, the stable one doesn't") {
     // group "s": identical on both sides → KS 0; group "d": disjoint → KS 1;
     // group "tiny": below the 5-row floor → null; group "only_before": in
