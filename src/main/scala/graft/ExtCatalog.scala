@@ -421,6 +421,7 @@ object ExtCatalog {
     "s_sliding" -> ((s, d) => Events.sliding(Tables.events(s, d))),
     "s_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "s_top_paths" -> ((s, d) => Events.topPaths(Tables.events(s, d))),
+    "s_session_lengths" -> ((s, d) => Events.sessionLengthDist(Tables.events(s, d))),
     "s_dedup_first" -> ((s, d) => Events.dedupFirst(Tables.events(s, d))),
     "s_attribution" -> ((s, d) => Events.attribution(Tables.events(s, d))),
     "s_gap_fill" -> ((s, d) => Events.gapFill(Tables.events(s, d))),
@@ -1655,6 +1656,20 @@ object ExtCatalog {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_session_lengths" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |       THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT user_id,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM h GROUP BY 1, 2)
+        |SELECT n_events, COUNT(*) AS n_sessions
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
     "s_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -81,6 +81,11 @@ object QueryCatalog {
       // declared seeded mode (noise = pure function of category key —
       // partition-invariant; PrivacySpec pins determinism + envelope)
       Privacy.dpHistogram(Tables.lineitem(s, d), "l_returnflag", epsilon = 1.0)),
+    "v_dp_mean" -> ((s, d) =>
+      // declared seeded mode (driver-seeded Laplace draws; PrivacySpec
+      // pins determinism + the ε→∞ recovery limit)
+      Privacy.dpMean(Tables.lineitem(s, d), "l_quantity",
+        lo = 0.0, hi = 60.0, epsilon = 1.0)),
     "v8_k_anonymity" -> ((s, d) =>
       Privacy.kAnonymity(Tables.lineitem(s, d),
         Seq("l_quantity", "l_discount", "l_returnflag"), k = 5)),

@@ -204,6 +204,35 @@ object Privacy {
       .orderBy(col("category"))
   }
 
+  /** DP mean release — the scalar-release sibling of [[dpHistogram]]:
+    * clip values to the public [lo, hi] range, add Laplace noise to the
+    * clipped SUM (sensitivity hi−lo) and to the COUNT (sensitivity 1)
+    * with ε split evenly, release noisy_sum / max(1, noisy_n) — the
+    * textbook ε-DP mean under the standard composition argument. The two
+    * noise draws are seeded driver-side (pure function of the seed —
+    * trivially partition-invariant; nothing random executes on
+    * executors), so the same run always publishes the same number. One
+    * aggregate job. Declared seeded mode; PrivacySpec pins determinism,
+    * the ε→∞ exact-recovery limit, and the clipped-range bound. */
+  def dpMean(df: DataFrame, c: String, lo: Double, hi: Double,
+             epsilon: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(hi > lo, "need a non-degenerate public clip range")
+    val eps = math.max(epsilon, 1e-6)
+    def lap(i: Int, b: Double): Double = {
+      val u = new scala.util.Random(seed * 31 + i).nextDouble() - 0.5
+      -math.signum(u) * math.log(1.0 - 2.0 * math.abs(u)) * b
+    }
+    val noiseSum = lap(1, 2.0 * (hi - lo) / eps)
+    val noiseN = lap(2, 2.0 / eps)
+    val clipped = least(greatest(col(c).cast("double"), lit(lo)), lit(hi))
+    df.agg(sum(clipped).as("__s"), count(col(c)).as("__n"))
+      .select(
+        (coalesce(col("__s"), lit(0.0)) + lit(noiseSum)).as("noisy_sum"),
+        (col("__n") + lit(noiseN)).as("noisy_n"))
+      .select(col("noisy_sum"), col("noisy_n"),
+        (col("noisy_sum") / greatest(lit(1.0), col("noisy_n"))).as("mean_released"))
+  }
+
   /** V4 lightweight synthetic sampler (`modules/privacy.py:33-53`):
     * column-independent synthesis, correlations intentionally destroyed.
     * Numeric → 50% bootstrap resample + 50% Normal(μ, σ or 1); categorical

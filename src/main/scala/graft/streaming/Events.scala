@@ -136,6 +136,18 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Session-length distribution: how many sessions contain exactly k
+    * events — the engagement histogram beside [[sessionize]]'s per-
+    * session rows and [[topPaths]]'s sequences. Shares the sessionizer's
+    * single user-partitioned sort; the distribution is one further
+    * hash aggregate over the (already session-sized) frame, output
+    * bounded by the longest session. */
+  def sessionLengthDist(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_events"))
+
   /** Top session paths — path analysis over the sessionized stream:
     * the `maxLen`-prefix of each session's ordered event-type sequence,
     * counted across all sessions, top `k`. "What do users actually DO in

@@ -73,6 +73,20 @@ class PrivacySpec extends SparkSpec {
     assert(keys == Set("a", "NA"))
   }
 
+  test("dpMean: deterministic, ε→∞ recovers the clipped mean, clipping binds") {
+    val df = (Seq.fill(100)(10.0) ++ Seq(1000.0)).toDF("x") // outlier clips to hi
+    val r1 = Privacy.dpMean(df, "x", lo = 0.0, hi = 20.0, epsilon = 1.0).collect()(0)
+    val r2 = Privacy.dpMean(df.repartition(7), "x", lo = 0.0, hi = 20.0, epsilon = 1.0)
+      .collect()(0)
+    assert(r1.toSeq == r2.toSeq, "release must be partition-invariant")
+    // ε huge → noise ~0 → exact clipped mean (100·10 + 1·20)/101
+    val exact = Privacy.dpMean(df, "x", lo = 0.0, hi = 20.0, epsilon = 1e12)
+      .collect()(0).getDouble(2)
+    assert(math.abs(exact - 1020.0 / 101.0) < 1e-6, s"got $exact")
+    // ε=1 release stays within a generous Laplace envelope of the truth
+    assert(math.abs(r1.getDouble(2) - 1020.0 / 101.0) < 5.0)
+  }
+
   test("syntheticSample: huge money values don't overflow the moment accumulators") {
     // cents ≈ 3.5e9 / 4.2e9: cents² exceeds Long.MaxValue, so a naive
     // long Σcents² wraps negative and collapses σ to the 1.0 fallback
