@@ -380,6 +380,11 @@ object ExtCatalog {
       TextStats.tokenizerFertility(Tables.documents(s, d), "text", "lang")),
     "x_curation_funnel" -> ((s, d) =>
       TextStats.curationFunnel(Tables.documents(s, d), "text", "doc_id")),
+    "x_pack_bins" -> ((s, d) =>
+      // declared mode (sequential FFD not SQL-expressible) — rows-only;
+      // ChunkingSpec pins capacity/completeness/determinism/fill floor
+      Chunking.packBins(Tables.documents(s, d), "text", "doc_id",
+        budget = 128, groups = 8)),
     "x_doc_novelty" -> ((s, d) =>
       Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>

@@ -14,6 +14,65 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Document-preserving bin packing — the THIRD context-window strategy
+    * beside [[tokenChunks]] (split with overlap) and [[packSequences]]
+    * (concat-and-chunk, splits at window boundaries): pack whole
+    * documents into `budget`-token bins, never splitting a document —
+    * the layout instruction-tuning and retrieval-training corpora need,
+    * where a document torn across sequences is a corrupted example.
+    *
+    * Strategy: deterministic hash-grouped first-fit-decreasing. Docs
+    * hash into `groups` independent packing groups; within each, FFD
+    * (sort by tokens desc then id, first bin that fits) runs
+    * sequentially over that group alone — packing is inherently
+    * sequential, so the parallelism unit is the GROUP, and group size
+    * (corpus/groups) is the bounded in-memory working set: at 100 TB
+    * `groups` scales with the corpus and each `flatMapGroups` task
+    * packs a bounded slice. FFD waste is ≤ ~22% of optimal per group
+    * (classic bound); docs larger than the budget get a single-doc
+    * overflow bin, flagged. Everything (assignment, bin ids, fills) is
+    * a pure function of (ids, token counts, groups, budget).
+    *
+    * Declared mode: sequential FFD is not SQL-expressible —
+    * ChunkingSpec pins capacity, completeness, overflow flagging,
+    * determinism, and the fill-factor floor. */
+  def packBins(df: DataFrame, textCol: String, idCol: String,
+               budget: Int = 512, groups: Int = 32): DataFrame = {
+    require(budget > 0 && groups > 0, "budget and groups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      pmod(xxhash64(col(idCol).cast("long")), lit(groups.toLong)).cast("int").as("grp"))
+      .as[(Long, Int, Int)]
+    base.groupByKey(_._3)
+      .flatMapGroups { (grp, it) =>
+        val docs = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+        // bins: (remainingTokens, binIdx); linear first-fit scan — bins
+        // per group are bounded by the group's token mass / budget
+        val remaining = scala.collection.mutable.ArrayBuffer.empty[Int]
+        docs.iterator.map { case (id, n, _) =>
+          if (n > budget) {
+            // oversized doc: its own flagged overflow bin
+            remaining += 0
+            (id, n, grp, remaining.length - 1, true)
+          } else {
+            var b = 0
+            while (b < remaining.length && remaining(b) < n) b += 1
+            if (b == remaining.length) remaining += budget
+            remaining(b) -= n
+            (id, n, grp, b, false)
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "grp", "bin_in_group", "overflow")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("grp").cast("long") * 1000000L + col("bin_in_group")).as("bin_id"),
+        col("overflow"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping fixed-size token chunks (the RAG / long-doc-training
     * splitter): chunk i covers tokens [i·stride, i·stride + chunkSize);
     * consecutive chunks overlap by chunkSize − stride tokens; the last

@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 
 class ChunkingSpec extends SparkSpec {
 
+  test("packBins: capacity respected, every doc packed once, overflow flagged, deterministic") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val budget = 128
+    val out = Chunking.packBins(docs, "text", "doc_id", budget = budget, groups = 8)
+      .cache()
+    try {
+      // completeness: every doc assigned exactly once
+      assert(out.count() == docs.count())
+      assert(out.select("doc_id").distinct().count() == docs.count())
+      // capacity: no non-overflow bin exceeds the budget; overflow bins
+      // hold exactly one oversized doc
+      val bins = out.groupBy("bin_id")
+        .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n"),
+          max(col("overflow").cast("int")).as("ov"))
+      assert(bins.filter(col("ov") === 0 && col("fill") > budget).count() == 0)
+      assert(bins.filter(col("ov") === 1 && col("n") =!= 1).count() == 0)
+      assert(out.filter(col("overflow") && col("n_tokens") <= budget).count() == 0)
+      // FFD packs reasonably tight: mean fill of full (non-overflow,
+      // non-last-per-group) bins well above half the budget
+      val nBins = bins.filter(col("ov") === 0).count().toDouble
+      val totTok = out.filter(!col("overflow")).agg(sum("n_tokens"))
+        .head().getLong(0).toDouble
+      assert(nBins <= 2.0 * math.ceil(totTok / budget) + 8,
+        s"bin count $nBins vs token mass ${totTok / budget}")
+      // pure function of the input
+      val again = Chunking.packBins(docs.repartition(13), "text", "doc_id",
+        budget = budget, groups = 8)
+      assert(again.collect().map(_.toSeq).toSeq == out.collect().map(_.toSeq).toSeq)
+    } finally out.unpersist()
+  }
+
   test("token chunks cover every token at the declared stride and reassemble exactly") {
     val docs = graft.Tables.documents(spark, Sf)
     val chunks = Chunking.tokenChunks(docs, "text", "doc_id", 32, 24).collect()
