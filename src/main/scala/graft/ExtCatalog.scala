@@ -88,6 +88,26 @@ object ExtCatalog {
       // output-identical to the driver union-find, same oracle
       Dedup.dedupClustersDistributed(
         Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+    "x_dedup_cluster_sizes" -> ((s, d) => {
+      // the dedup AUDIT view: how big are the duplicate clusters?
+      // (many size-2 clusters = organic near-dups; one giant cluster =
+      // boilerplate/template contamination). Singletons derived by
+      // subtraction — never a scan of unclustered docs.
+      val docs = Tables.documents(s, d)
+      val cl = Dedup.dedupClusters(
+        Dedup.nearDupPairsAuto(docs, "text", "doc_id", 3, 0.6))
+      val hist = cl.groupBy(col("survivor_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters"))
+      val singles = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(cl.agg(count(lit(1)).as("m")))
+        .select(lit(1L).as("cluster_size"), (col("n") - col("m")).as("n_clusters"))
+      hist.union(singles)
+        .groupBy("cluster_size").agg(sum(col("n_clusters")).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
     "x_soft_dedup" -> ((s, d) => {
       // duplicate-aware weighting: every doc kept at 1/cluster_size
       val docs = Tables.documents(s, d)
@@ -1052,6 +1072,17 @@ object ExtCatalog {
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_dedup_clusters" -> clustersSql,
     "x_dedup_clusters_dist" -> clustersSql,
+    "x_dedup_cluster_sizes" ->
+      s"""WITH cl AS ($clustersSql),
+         |sz AS (SELECT survivor_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1),
+         |hist AS (SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |                COUNT(*) AS n_clusters FROM sz GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents) -
+         |               (SELECT COUNT(*) FROM cl) AS singles)
+         |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+         |FROM (SELECT cluster_size, n_clusters FROM hist
+         |      UNION ALL SELECT CAST(1 AS BIGINT), singles FROM tot) u
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "x_leakage_split" -> leakageSplitSql,
     "x_soft_dedup" -> softDedupSql,
     "x_novelty_yield" ->
