@@ -98,6 +98,7 @@ object Bench {
     val scaleupMode = sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "auto")
     val runScaleup = scaleupMode == "on" ||
       (scaleupMode == "auto" && sfDir.matches(".*sf0\\.1/?$"))
+    var scaleupTotals: Option[(Int, Double, Double)] = None
     val scaleupJson =
       if (!runScaleup) ""
       else try {
@@ -111,6 +112,7 @@ object Bench {
         val big = ScaleUp.timeHeadline(spark, dst)
         val baseTotal = big.map { case (k, _) => base.getOrElse(k, 0.0) }.sum
         val bigTotal = big.map(_._2).sum
+        scaleupTotals = Some((copies, baseTotal, bigTotal))
         val perQ = big.map { case (k, v) =>
           "\"" + k + "\":{\"base\":" + base.getOrElse(k, -1.0) + ",\"x4\":" + v + "}"
         }.mkString("{", ",", "}")
@@ -127,6 +129,17 @@ object Bench {
     // so a consumer that greps the raw line has a clean fallback.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
     catch { case _: Throwable => () }
+    // The driver archives only the LAST ~2000 chars of stdout; with a
+    // 175-query catalog the full line above no longer fits, so rounds 5–7
+    // shipped a mid-JSON fragment (`parsed: null`). Print a compact,
+    // complete summary LAST — totals, failure list, and a pointer to the
+    // full per-query map (BENCH_SELF.json, committed per round) — so the
+    // archived tail always ends in one parseable JSON line.
+    val scaleupBrief = scaleupTotals.map { case (copies, b, x) =>
+      s""","scaleup":{"copies":$copies,"total_base":$b,"total_x$copies":$x,"ratio":${x / math.max(b, 1e-9)}}"""
+    }.getOrElse("")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_SELF.json"$scaleupBrief}""")
     spark.stop()
   }
 }

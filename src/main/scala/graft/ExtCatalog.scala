@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Chunking, Dedup, Multimodal, SimSearch, Sketches, TextStats}
 import graft.ops.{Profile, Snapshot}
@@ -31,6 +31,11 @@ object ExtCatalog {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)),
     "x_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id", 3, 32, 8, 0.6)),
+    "x_minhash_lsh_auto" -> ((s, d) =>
+      // the dispatch consumers should default to: uncapped banding below
+      // the input ceiling (oracle-EXACT there), bucket-capped skew guard
+      // above it — x_minhash_lsh stays as the pinned raw uncapped form
+      Dedup.minhashLshAuto(Tables.documents(s, d), "text", "doc_id", 3, 32, 8, 0.6)),
     "x_minhash_capped" -> ((s, d) =>
       // the crawl-scale operating point: coarser banding (16 bands × 2
       // rows — higher recall, bigger buckets) held safe by the bucket
@@ -72,6 +77,38 @@ object ExtCatalog {
       // greedy k-center diversity selection — rows-only (selection not
       // SQL-expressible); SimSearchSpec pins coverage/monotonicity
       SimSearch.coresetSample(Tables.embeddings(s, d), 16)),
+    "x_coreset_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_coreset_sample: the greedy
+      // SELECTION isn't SQL-expressible, but the ASSIGNMENT contract is —
+      // every vector's reported distance must be its distance to its
+      // assigned center AND the minimum over the chosen center set. The
+      // re-verification recomputes unit vectors and distances in plain
+      // column expressions (independent of the operator's UDF path) and
+      // publishes one boolean per vector; the DuckDB oracle expects TRUE
+      // for every vec_id, so any assignment defect hash-mismatches.
+      val e = Tables.embeddings(s, d)
+      val assign = SimSearch.coresetSample(e, 16)
+      val nrm = sqrt(SimSearch.norm2(col("embedding")))
+      val u = when(nrm > 0, transform(col("embedding"), x => x.cast("double") / nrm))
+        .otherwise(transform(col("embedding"), _ => lit(0.0)))
+      val unit = e.select(col("vec_id"), u.as("u"))
+      def dist2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+      val centers = assign.select(col("center_id")).distinct()
+        .join(unit.select(col("vec_id").as("center_id"), col("u").as("cu")),
+          "center_id")
+      val dmin = unit.crossJoin(broadcast(centers))
+        .groupBy("vec_id").agg(min(dist2(col("u"), col("cu"))).as("dmin2"))
+      assign.join(unit, "vec_id")
+        .join(broadcast(centers), "center_id")
+        .select(col("vec_id"), col("l2_dist"), dist2(col("u"), col("cu")).as("da"))
+        .join(dmin, "vec_id")
+        .select(col("vec_id"),
+          (abs(col("l2_dist") * col("l2_dist") - col("da")) <= 1e-9 &&
+            col("da") <= col("dmin2") + lit(1e-9)).as("assign_ok"))
+        .orderBy("vec_id")
+    }),
     "x_cluster_summary" -> ((s, d) =>
       // seeded k-means mixture view — rows-only (no oracle), spec-gated
       SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),
@@ -392,6 +429,34 @@ object ExtCatalog {
       TextStats.textStats(Tables.documents(s, d), "text", "doc_id")),
     "t_flesch" -> ((s, d) =>
       TextStats.readability(Tables.documents(s, d), "text", "doc_id")),
+    "x_group_quantiles_approx_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_group_quantiles_approx:
+      // QuantileSummaries' CONTRACT is a rank-error envelope — the
+      // returned value q for probability p must have rank within
+      // ε·n = n/accuracy of p·n. The envelope IS SQL-checkable even
+      // though the sketch isn't: recount ranks of the returned values
+      // against the raw data in-plan, publish one boolean per
+      // (group, probability); the oracle recomputes per-group n and
+      // expects every boolean TRUE. (±1 slack absorbs the open/closed
+      // rank-boundary convention.)
+      val acc = 10000
+      val vals = Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n"))
+      val approx = vals.groupBy("lang")
+        .agg(percentile_approx(col("n"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("q"))
+      val eps = 1.0 / acc
+      def le(i: Int) = sum((col("n") <= col("q")(i)).cast("long"))
+      def lt(i: Int) = sum((col("n") < col("q")(i)).cast("long"))
+      def ok(i: Int, p: Double) =
+        (le(i) >= floor((lit(p) - eps) * count(lit(1))) - 1) &&
+          (lt(i) <= ceil((lit(p) + eps) * count(lit(1))) + 1)
+      vals.join(broadcast(approx), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), ok(0, 0.25).as("p25_ok"),
+          ok(1, 0.5).as("median_ok"), ok(2, 0.75).as("p75_ok"))
+        .orderBy("lang")
+    }),
     "x_source_card" -> ((s, d) =>
       TextStats.sourceCard(Tables.documents(s, d), "text", "source", "lang")),
     "t_code_detect" -> ((s, d) =>
@@ -405,6 +470,40 @@ object ExtCatalog {
       // ChunkingSpec pins capacity/completeness/determinism/fill floor
       Chunking.packBins(Tables.documents(s, d), "text", "doc_id",
         budget = 128, groups = 8)),
+    "x_pack_bins_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_pack_bins: the bin LAYOUT
+      // is FFD-sequential (no SQL form), but its invariants are plain
+      // SQL over the output — every doc packed exactly once (n_docs,
+      // tokens_total), overflow = exactly the docs over budget, no
+      // non-overflow bin over capacity, and the bin count between the
+      // token-mass lower bound and the first-fit half-full upper bound
+      // (≤ one bin per group may end ≤ half full). Counts are genuinely
+      // recomputed by the DuckDB oracle; the booleans hash-mismatch the
+      // oracle's TRUE on any packing defect. Runs the AUTO groups path,
+      // so the plan-stats group derivation is itself under the gate.
+      val budget = 128
+      val packed = Chunking.packBins(Tables.documents(s, d), "text", "doc_id",
+        budget = budget)
+      val bins = packed.filter(!col("overflow"))
+        .groupBy("bin_id").agg(sum("n_tokens").as("fill"))
+      val binStats = bins.agg(
+        count(lit(1)).as("n_bins"),
+        coalesce(max("fill"), lit(0L)).as("max_fill"),
+        coalesce(sum("fill"), lit(0L)).as("mass"),
+        coalesce(count_distinct(floor(col("bin_id") /
+          Chunking.BinIdStride.toDouble)), lit(0L)).as("n_grps"))
+      packed.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_total"),
+          coalesce(sum(col("overflow").cast("long")), lit(0L)).as("n_overflow"))
+        .crossJoin(binStats)
+        .select(col("n_docs"), col("tokens_total"), col("n_overflow"),
+          (col("max_fill") <= budget).as("capacity_ok"),
+          (col("n_bins") >= ceil(col("mass").cast("double") / budget))
+            .as("bins_lb_ok"),
+          (col("n_bins") <=
+            floor(col("mass") * 2.0 / budget) + col("n_grps")).as("bins_ub_ok"))
+    }),
     "x_doc_novelty" -> ((s, d) =>
       Dedup.docNovelty(Tables.documents(s, d), "text", "doc_id")),
     "x_quality_classifier" -> ((s, d) =>
@@ -962,6 +1061,24 @@ object ExtCatalog {
     "x_ngram_jaccard" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_minhash_capped" -> minhashSqlAt(bands = 16, cap = 4),
+    // below the dispatch ceiling at verify scale the auto form IS the
+    // uncapped banding — same oracle
+    "x_minhash_lsh_auto" -> minhashSql,
+    // structural oracles: counts recomputed genuinely; the booleans are
+    // the contract — any engine-side invariant violation flips one and
+    // hash-mismatches the oracle's TRUE row
+    "x_pack_bins_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  TRUE AS capacity_ok, TRUE AS bins_lb_ok, TRUE AS bins_ub_ok
+        |FROM documents""".stripMargin,
+    "x_coreset_audit" ->
+      """SELECT vec_id, TRUE AS assign_ok FROM embeddings ORDER BY vec_id""",
+    "x_group_quantiles_approx_audit" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS p25_ok, TRUE AS median_ok, TRUE AS p75_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_bm25_search" -> bm25Sql,
     "x_zorder_stats" -> zorderSql,
     "x_simhash_pairs" -> simhashSql,

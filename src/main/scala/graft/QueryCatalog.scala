@@ -86,6 +86,19 @@ object QueryCatalog {
       // pins determinism + the ε→∞ recovery limit)
       Privacy.dpMean(Tables.lineitem(s, d), "l_quantity",
         lo = 0.0, hi = 60.0, epsilon = 1.0)),
+    // STRUCTURAL ORACLES for the declared DP releases, at ε → ∞: the
+    // Laplace scale collapses below one ulp of every released quantity,
+    // so the SAME code path (hash-noise projection / driver draws
+    // included) must reproduce the exact counts and clipped mean — the
+    // exact-recovery limit, now hash-gated against DuckDB instead of
+    // only spec-pinned. Any defect in the noise plumbing (wrong sign,
+    // scale, or a noise term applied twice) breaks recovery and fails
+    // the gate.
+    "v_dp_histogram_inf" -> ((s, d) =>
+      Privacy.dpHistogram(Tables.lineitem(s, d), "l_returnflag", epsilon = 1e18)),
+    "v_dp_mean_inf" -> ((s, d) =>
+      Privacy.dpMean(Tables.lineitem(s, d), "l_quantity",
+        lo = 0.0, hi = 60.0, epsilon = 1e18)),
     "v8_k_anonymity" -> ((s, d) =>
       Privacy.kAnonymity(Tables.lineitem(s, d),
         Seq("l_quantity", "l_discount", "l_returnflag"), k = 5)),
@@ -439,9 +452,8 @@ object QueryCatalog {
        |  LEAD(v) OVER (ORDER BY v) AS nxt FROM counts)
        |SELECT '$c' AS "column",
        |  CASE WHEN ta > 0 AND tb > 0 THEN
-       |    CAST(SUM(CAST(ABS(cuma * tb - cumb * ta) AS HUGEINT) *
-       |      CAST(COALESCE(CAST((CAST(nxt AS DECIMAL(18,2)) - CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT), 0) AS HUGEINT)) AS DOUBLE)
-       |    / ta / tb / 100.0 END AS w1
+       |    SUM(CAST(ABS(cuma * tb - cumb * ta) AS DOUBLE) *
+       |      COALESCE(nxt - v, 0)) / ta / tb END AS w1
        |FROM cdfs GROUP BY ta, tb""".stripMargin
 
   /** chi²-like SQL mirror (reference formula verbatim incl. the 1e-9). */
@@ -624,6 +636,19 @@ object QueryCatalog {
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  CAST(SUM(CAST(${Exact.centsSql("l_extendedprice")} AS DECIMAL(19,0))) AS DOUBLE) AS sum_cents
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ε→∞ structural oracles for the declared DP releases: noise scale
+    // < 1 ulp of every released value, so the noisy path must reproduce
+    // the exact aggregates bit-for-bit
+    "v_dp_histogram_inf" ->
+      """SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NA') AS category,
+        |  CAST(COUNT(*) AS BIGINT) AS n_released
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v_dp_mean_inf" ->
+      """WITH s AS (SELECT
+        |  SUM(LEAST(GREATEST(CAST(l_quantity AS DOUBLE), 0.0), 60.0)) AS cs,
+        |  CAST(COUNT(l_quantity) AS DOUBLE) AS cn FROM lineitem)
+        |SELECT COALESCE(cs, 0.0) AS noisy_sum, cn AS noisy_n,
+        |  COALESCE(cs, 0.0) / GREATEST(1.0, cn) AS mean_released FROM s""".stripMargin,
     "d_psi" -> psiSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_wasserstein" -> wassersteinSql("l_extendedprice", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1"),
     "d_drift_panel" -> {

@@ -44,7 +44,11 @@ object ScaleUp {
     // late-r7 curation ops with a domain-keyed join in the plan: novelty
     // joins the shingle-dfreq domain back to docs; the card joins the
     // normalized-text domain — both must stay key-domain-sized at N×
-    "x_doc_novelty", "x_source_card")
+    "x_doc_novelty", "x_source_card",
+    // r8: the capped-banding dispatch — at Nx the bucket cap engages, so
+    // its curvature (vs the pinned raw x_minhash_lsh) is the record that
+    // the skew guard actually bounds the mega-bucket fan-out
+    "x_minhash_lsh_auto")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the

@@ -26,25 +26,36 @@ object Chunking {
     * (sort by tokens desc then id, first bin that fits) runs
     * sequentially over that group alone — packing is inherently
     * sequential, so the parallelism unit is the GROUP, and group size
-    * (corpus/groups) is the bounded in-memory working set: at 100 TB
-    * `groups` scales with the corpus and each `flatMapGroups` task
-    * packs a bounded slice. FFD waste is ≤ ~22% of optimal per group
-    * (classic bound); docs larger than the budget get a single-doc
-    * overflow bin, flagged. Everything (assignment, bin ids, fills) is
-    * a pure function of (ids, token counts, groups, budget).
+    * (corpus/groups) is the bounded in-memory working set. `groups`
+    * defaults to AUTO (≤ 0): derived from the optimizer's scan-size
+    * estimate so that each group's input slice stays under
+    * [[GroupTargetInputBytes]] — the per-task working set is then a
+    * CONSTANT in corpus size (a fixed 32 would grow it as corpus/32),
+    * the same plan-stats dispatch idiom as the driver-fit ceilings. FFD
+    * waste is ≤ ~22% of optimal per group (classic bound); docs larger
+    * than the budget get a single-doc overflow bin, flagged. Everything
+    * (assignment, bin ids, fills) is a pure function of (ids, token
+    * counts, groups, budget). Composite bin ids use a 10⁹ stride
+    * (grp·10⁹ + bin_in_group) and the packer FAILS LOUDLY if any group
+    * needs ≥ 10⁹ bins — ids can never silently collide across groups
+    * (with the auto `groups` bound that would take a single group
+    * holding ≥ 10⁹·budget tokens, far past the slice ceiling anyway).
     *
     * Declared mode: sequential FFD is not SQL-expressible —
     * ChunkingSpec pins capacity, completeness, overflow flagging,
-    * determinism, and the fill-factor floor. */
+    * determinism, and the fill-factor floor; the oracle-gated
+    * `x_pack_bins_audit` catalog entry re-verifies capacity /
+    * completeness / bin-count bounds in plain SQL over this output. */
   def packBins(df: DataFrame, textCol: String, idCol: String,
-               budget: Int = 512, groups: Int = 32): DataFrame = {
-    require(budget > 0 && groups > 0, "budget and groups must be positive")
+               budget: Int = 512, groups: Int = -1): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val nGroups = if (groups > 0) groups else autoGroups(df)
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(
       col(idCol).cast("long").as("doc_id"),
       size(split(col(textCol), " ")).as("n_tokens"),
-      pmod(xxhash64(col(idCol).cast("long")), lit(groups.toLong)).cast("int").as("grp"))
+      pmod(xxhash64(col(idCol).cast("long")), lit(nGroups.toLong)).cast("int").as("grp"))
       .as[(Long, Int, Int)]
     base.groupByKey(_._3)
       .flatMapGroups { (grp, it) =>
@@ -53,6 +64,11 @@ object Chunking {
         // per group are bounded by the group's token mass / budget
         val remaining = scala.collection.mutable.ArrayBuffer.empty[Int]
         docs.iterator.map { case (id, n, _) =>
+          if (remaining.length >= BinIdStride)
+            throw new IllegalStateException(
+              s"packBins: group $grp needs more than $BinIdStride bins — " +
+                "composite bin ids would collide across groups. Raise `groups` " +
+                "(or leave it on auto) so each group packs a smaller slice.")
           if (n > budget) {
             // oversized doc: its own flagged overflow bin
             remaining += 0
@@ -68,10 +84,32 @@ object Chunking {
       }
       .toDF("doc_id", "n_tokens", "grp", "bin_in_group", "overflow")
       .select(col("doc_id"), col("n_tokens"),
-        (col("grp").cast("long") * 1000000L + col("bin_in_group")).as("bin_id"),
+        (col("grp").cast("long") * BinIdStride + col("bin_in_group")).as("bin_id"),
         col("overflow"))
       .orderBy(col("doc_id"))
   }
+
+  /** Composite-bin-id stride: bin_id = grp·stride + bin_in_group. 10⁹
+    * leaves room for ~9.2·10⁹ groups in a Long while making per-group
+    * overflow (guarded above) unreachable under the auto slice bound. */
+  private[graft] val BinIdStride = 1000000000L
+
+  /** Auto `groups` derivation for [[packBins]]: one packing group per
+    * [[GroupTargetInputBytes]] of optimizer-estimated input, floored at
+    * 32 (keep every core busy even on small corpora). At ~500 B/doc of
+    * text that bounds a group's in-memory tuple slice to a few tens of
+    * MB regardless of corpus size. Plan statistics — free, no job. */
+  private[graft] def autoGroups(df: DataFrame): Int =
+    autoGroups(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  private[graft] def autoGroups(bytes: BigInt): Int = {
+    val derived = (bytes / GroupTargetInputBytes).toLong + 1
+    math.max(32L, math.min(derived, 1L << 30)).toInt
+  }
+
+  /** Input bytes per packing group under auto sizing (~256 MB of scanned
+    * text ≈ 500 K docs ≈ ~12 MB of (id, count, grp) tuples per task). */
+  private[graft] val GroupTargetInputBytes = 256L << 20
 
   /** Overlapping fixed-size token chunks (the RAG / long-doc-training
     * splitter): chunk i covers tokens [i·stride, i·stride + chunkSize);

@@ -810,6 +810,37 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Below this optimizer input estimate [[minhashLshAuto]] runs the
+    * banding UNCAPPED (every band collision self-joins — lossless w.r.t.
+    * the banding itself); above it the [[MinhashBucketCapDefault]] skew
+    * guard engages. Plan statistics — free to evaluate, no job. */
+  val MinhashUncappedMaxInputBytes: Long = 4L << 20
+
+  /** Default bucket cap for the dispatched capped form: per-bucket
+    * candidate work ≤ cap² = 4096 pairs however skewed the corpus; a
+    * genuine near-dup pair survives unless ALL its shared buckets exceed
+    * the cap — an exact-dup-grade mega-cluster upstream dedup owns. */
+  val MinhashBucketCapDefault: Int = 64
+
+  /** [[minhashLshPairs]] behind the SCALE DISPATCH downstream consumers
+    * should default to (the [[nearDupPairsAuto]] pattern): below
+    * `maxUncappedBytes` of optimizer-estimated input the uncapped
+    * banding runs — bit-identical to the classic form, oracle-EXACT;
+    * above it the bucket cap engages, bounding the one superlinear term
+    * in the banded path (mega-bucket m²/2 candidate fan-out) at cap²
+    * per bucket. Both sides share (numPerms, bands) and exact
+    * verification, so the dispatch changes WHICH candidates are
+    * examined under skew, never the correctness of an emitted pair. */
+  def minhashLshAuto(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.6,
+                     maxUncappedBytes: Long = MinhashUncappedMaxInputBytes,
+                     bucketCap: Int = MinhashBucketCapDefault): DataFrame = {
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxUncappedBytes
+    minhashLshPairs(df, textCol, idCol, n, numPerms, bands, threshold,
+      bucketCap = if (small) 0 else bucketCap)
+  }
+
   /** Incremental batch-vs-corpus dedup via MINHASH BANDING — the sketch
     * sibling of [[neardupDelta]] for continuous ingestion at scale: the
     * corpus side carries only its banded signatures (bands·(perms/bands)

@@ -255,10 +255,26 @@ object SimSearch {
     * overhead (16 fits × ~13 k-means|| jobs), none of it data. */
   private val PqFitSampleCap = 65536
 
+  /** Fail FAST (analysis time, clear message) when a driver-side-fit
+    * operator gets a non-integral id column: the fit paths collect ids
+    * as longs and the bounded TopK aggregate keys on (Double, Long), so
+    * a string id would otherwise die mid-job in a ClassCastException
+    * deep inside a task. Integral ids cast up to long losslessly. */
+  private def requireLongId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (byte/short/int/long), " +
+        s"got ${dt.simpleString} — map your ids to longs (e.g. xxhash64 or a " +
+        "dense id spine) before calling this operator")
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              m: Int = 8, ksub: Int = 16, seed: Long = 42L): DataFrame = {
     require(m > 0 && ksub > 1, "need m ≥ 1 subspaces and ksub ≥ 2 centroids")
+    requireLongId(queries, idCol, "pqTopK")
+    requireLongId(corpus, idCol, "pqTopK")
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
@@ -266,11 +282,11 @@ object SimSearch {
       val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
       arr.map(x => if (n == 0) 0.0 else x / n)
     }
-    val c0 = corpus.select(col(idCol).as("cid"), unitArr(col(vecCol)).as("cu"))
+    val c0 = corpus.select(col(idCol).cast("long").as("cid"), unitArr(col(vecCol)).as("cu"))
     val stats = c0.agg(count(lit(1)), max(size(col("cu")))).head()
     val nCorpus = stats.getLong(0)
     if (nCorpus == 0)
-      return topKExplode(queries.select(col(idCol).as("qid")).crossJoin(c0)
+      return topKExplode(queries.select(col(idCol).cast("long").as("qid")).crossJoin(c0)
         .select(col("qid"), col("cid"), lit(0.0).as("__score")), k, "adc_score")
     val dim = stats.getInt(1)
     val sub = math.max(1, (dim + m - 1) / m)
@@ -408,7 +424,7 @@ object SimSearch {
     }
     val codes = c0.select(col("cid"), encode(col("cu")).as("code"))
     val q = queries
-      .select(col(idCol).as("qid"), lut(unitArr(col(vecCol))).as("lut"))
+      .select(col(idCol).cast("long").as("qid"), lut(unitArr(col(vecCol))).as("lut"))
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -441,12 +457,13 @@ object SimSearch {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L): DataFrame = {
     require(k > 0, "need k ≥ 1 centers")
+    requireLongId(df, idCol, "coresetSample")
     val spark = df.sparkSession
     val unitArr = udf { (arr: Seq[Float]) =>
       val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
       arr.map(x => if (n == 0) 0.0 else x / n)
     }
-    val c0 = df.select(col(idCol).as("vec_id"), unitArr(col(vecCol)).as("cu"))
+    val c0 = df.select(col(idCol).cast("long").as("vec_id"), unitArr(col(vecCol)).as("cu"))
     val nCorpus = c0.count()
     if (nCorpus == 0)
       return c0.select(col("vec_id"), col("vec_id").as("center_id"),

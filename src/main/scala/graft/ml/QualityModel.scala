@@ -13,20 +13,41 @@ import org.apache.spark.sql.functions._
   * where the rule thresholds were never tuned.
   *
   * Scale shape: the label pass and the feature pass are both stateless
-  * codegen scans; the LBFGS fit is O(iterations) treeAggregate rounds
-  * over dim-sized gradient vectors (dim = 64 here — constant-size driver
-  * state); scoring broadcasts the coefficient vector into one stateless
-  * projection. Nothing in fit or transform shuffles the corpus itself,
-  * so the operator survives any corpus size the scan survives.
+  * codegen scans. The LBFGS fit runs over a BOUNDED deterministic hash
+  * sample (≤ [[FitSampleCap]] rows — the PQ-codebook idiom): below the
+  * cap the sample is the corpus, above it a hash gate on the id keeps a
+  * fixed-size, partition-invariant subset, and only that sample is
+  * repartitioned down to a few fat partitions (each LBFGS iteration is
+  * a treeAggregate job, so task count, not data size, dominates the fit
+  * at sample scale). Scoring then applies the fitted coefficient vector
+  * — constant-size driver state riding the task closure — as ONE
+  * stateless projection over the FULL corpus at its natural
+  * parallelism: the corpus is never coalesced, cached, or shuffled by
+  * this operator, so scoring survives any corpus size the scan
+  * survives.
   *
   * Declared prop mode (SURVEY §2 contract): MLlib's optimizer output is
   * not SQL-expressible — QualityModelSpec pins that training accuracy
   * beats the label base rate, probabilities are calibrated to [0,1],
-  * and scoring is deterministic within a session. */
+  * scoring is deterministic within a session, and the scoring stage's
+  * partition count tracks the input (the no-corpus-funnel guarantee). */
 object QualityModel {
 
+  /** Fit-sample ceiling: enough rows to saturate a dim=64 linear model
+    * by orders of magnitude, small enough that the sample-side
+    * repartition is always a trivial shuffle. */
+  private val FitSampleCap = 65536L
+
   def qualityClassifier(df: DataFrame, textCol: String, idCol: String,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64): DataFrame =
+    scored(df, textCol, idCol, dim).orderBy(col(idCol))
+
+  /** The unsorted scoring plan behind [[qualityClassifier]] — exposed so
+    * the spec can assert on the partitioning of the stage that actually
+    * scores (the public form's orderBy necessarily ends in a range
+    * exchange). */
+  private[graft] def scored(df: DataFrame, textCol: String, idCol: String,
+                            dim: Int = 64): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val labels = graft.ext.TextStats.gopherRules(df, textCol, idCol)
@@ -36,26 +57,34 @@ object QualityModel {
         .cast("array<double>").as("arr"))
     val data = feats.join(labels, idCol)
       .withColumn("features", array_to_vector(col("arr")))
-      // few fat partitions: each LBFGS iteration is a treeAggregate job,
-      // so task count, not data size, dominates at spec scale (same
-      // rationale as UtilityCheck.evalOne)
-      .coalesce(4)
-      .cache()
+    val n = data.count()
+    // Deterministic hash sample for the fit (never the scoring): the
+    // gate is a pure function of the id, so the sample — and therefore
+    // the model — is identical under any partitioning. repartition (a
+    // real exchange), NOT coalesce: coalesce is narrow, so it would pull
+    // the upstream join itself into 4 tasks — the full-corpus funnel
+    // this operator must never create.
+    val fitData = (
+      if (n <= FitSampleCap) data
+      else data.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit(math.max(1L, (FitSampleCap.toDouble / n * 1e6).toLong)))
+    ).repartition(4).cache()
     try {
-      val classes = data.select(count_distinct(col("label"))).head().getLong(0)
+      val classes = fitData.select(count_distinct(col("label"))).head().getLong(0)
       if (classes < 2)
-        // degenerate corpus (all-pass or all-fail): the heuristic IS the
-        // classifier — echo it with probability 0/1, same schema
+        // degenerate corpus (all-pass or all-fail in the fit sample):
+        // the heuristic IS the classifier — echo it with probability
+        // 0/1, same schema, still over the full corpus
         return data.select(col(idCol), col("label"),
           col("label").as("p_pass"), col("label").as("prediction"))
-          .orderBy(col(idCol))
       val model = new LogisticRegression()
-        .setMaxIter(100).setTol(1e-4).fit(data)
+        .setMaxIter(100).setTol(1e-4).fit(fitData)
+      // transform = broadcast-coefficient stateless projection: adds
+      // columns to `data` without repartitioning it
       model.transform(data)
         .select(col(idCol), col("label"),
           vector_to_array(col("probability")).getItem(1).as("p_pass"),
           col("prediction"))
-        .orderBy(col(idCol))
-    } finally data.unpersist()
+    } finally fitData.unpersist()
   }
 }

@@ -207,35 +207,46 @@ object Drift {
     * to a dense index: the (group, value) histogram shuffles the VALUE
     * DOMAIN per group, cumulative counts stay exact integers, and every
     * stage parallelizes across (group, bucket) — no per-group job loop,
-    * ONE plan for all segments. Groups are assumed dimension-like
-    * (collected once for the index + output spine); a group missing the
-    * ≥5-row floor on either side reports null, and a group with no
+    * ONE plan for all segments. Groups are assumed dimension-like; the
+    * spine collect is CAPPED at `maxGroups` (limit-bounded — the driver
+    * never holds more than maxGroups+1 rows even when the cap trips) and
+    * a higher-cardinality group column fails loudly with the remedy,
+    * like every other driver-side fit in this engine. A group missing
+    * the ≥5-row floor on either side reports null, and a group with no
     * non-null values appears in the spine with null — absence is
-    * reported, not dropped. */
+    * reported, not dropped. The group→index mapping is a BROADCAST JOIN
+    * on the spine (codegen, no Scala UDF in the per-row path); a group
+    * unseen at spine-fit time (possible only when the input is
+    * nondeterministic between passes, e.g. a sampled upstream) drops in
+    * the inner join rather than aborting the job. */
   def ksByGroup(before: DataFrame, after: DataFrame, c: String,
                 groupCol: String, buckets: Int = 32,
-                roundTo: Option[Int] = None): DataFrame = {
+                roundTo: Option[Int] = None,
+                maxGroups: Int = 100000): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._
     val gKey = coalesce(col(groupCol).cast("string"), lit("NA"))
-    val groups: Seq[String] = before.select(gKey.as("g"))
+    val capped: Array[String] = before.select(gKey.as("g"))
       .union(after.select(gKey.as("g")))
-      .distinct().orderBy("g").collect().map(_.getString(0)).toSeq
+      .distinct().limit(maxGroups + 1).collect().map(_.getString(0))
+    require(capped.length <= maxGroups,
+      s"ksByGroup: group column '$groupCol' has more than $maxGroups distinct " +
+        "values — the per-group spine would be driver-sized. Bucket or " +
+        "pre-aggregate the group column, or raise maxGroups deliberately.")
+    val groups: Seq[String] = capped.sorted.toSeq
     if (groups.isEmpty)
       return Seq.empty[(String, Option[Double])].toDF("grp", "ks")
-    val bIdx = spark.sparkContext.broadcast(groups.zipWithIndex.toMap)
-    // a group unseen at index-fit time (possible only when the input is
-    // nondeterministic between passes, e.g. a sampled upstream) drops
-    // rather than aborting the job
-    val gi = udf((g: String) => bIdx.value.getOrElse(g, -1))
+    val spine = groups.zipWithIndex.toDF("g", "ci")
     def side(df: DataFrame, ca: Long, cb: Long) = df
-      .select(gi(gKey).as("ci"), col(c).cast("double").as("v"))
-      .filter(col("v").isNotNull && col("ci") >= 0)
+      .select(gKey.as("g"), col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("ca", lit(ca)).withColumn("cb", lit(cb))
     val counts = side(before, 1L, 0L).union(side(after, 0L, 1L))
-      .groupBy("ci", "v").agg(sum("ca").as("na"), sum("cb").as("nb"))
+      .groupBy("g", "v").agg(sum("ca").as("na"), sum("cb").as("nb"))
+      .join(broadcast(spine), Seq("g"))
+      .select("ci", "v", "na", "nb")
     val perIdx = ksFromCounts(counts, buckets, roundTo)
-    groups.zipWithIndex.toDF("grp", "ci")
+    spine.select(col("g").as("grp"), col("ci"))
       .join(perIdx, Seq("ci"), "left_outer")
       .select(col("grp"), col("ks"))
       .orderBy(col("grp"))
@@ -341,14 +352,20 @@ object Drift {
     * distinct-value grid — `scipy.stats.wasserstein_distance` semantics.
     *
     * Exactness: cumulative counts are integers, so each segment's factor
-    * |cum₁·t₂ − cum₂·t₁| is an exact Long; widths become exact cents via
-    * the DECIMAL(18,2) policy (`Relational.money`); their products sum in
-    * DECIMAL(38,0) and ONE normalization (÷t₁÷t₂÷100) happens in double
-    * space — bit-reproducible under any partitioning. Long headroom:
-    * cum·t stays exact below ~3·10⁹ rows per side; beyond that this
-    * dispatches to decimal promotion territory (not needed at any bench
-    * SF and flagged here rather than silently wrong — ANSI mode faults
-    * the overflow instead of wrapping).
+    * |cum₁·t₂ − cum₂·t₁| is an exact Long; segment widths are computed in
+    * DOUBLE (`nxt − v` over the exact sample doubles — identical bits in
+    * any engine reading the same values), NOT quantized to a decimal
+    * grid: an earlier cents (DECIMAL(18,2)) width policy silently rounded
+    * sub-cent gaps to zero, under-reading W₁ on ratio/probability-scaled
+    * columns — a money-only assumption this general API must not make.
+    * Each term |Δcum|·width is therefore bit-identical across engines
+    * (the Long is exact as a double below 2⁵³, i.e. per-side n ≲ 9·10⁷;
+    * past that the cast rounds at relative 1e-16 — noise far below the
+    * metric's meaning). The one seam left is the final Σterm: terms are
+    * all ≥ 0, so any summation order agrees to ≤ n·ε relative (~1e-11 at
+    * 10⁵ distinct values) — inside the oracle gate's 1e-9 tolerance and
+    * irrelevant to consumers, while every input-dependent quantity stays
+    * exact.
     *
     * Scale shape mirrors [[ksFromCounts]]: range-partition the distinct
     * grid, per-bucket cumulative windows, broadcast per-bucket prefix
@@ -374,10 +391,8 @@ object Drift {
     val wCum = Window.partitionBy("bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLead = Window.partitionBy("bucket").orderBy("v")
-    val money = (x: Column) => x.cast(DecimalType(18, 2))
     val nxt = coalesce(lead(col("v"), 1).over(wLead), col("next_vmin"))
-    val widthCents = coalesce(
-      ((money(nxt) - money(col("v"))) * 100).cast("long"), lit(0L))
+    val width = coalesce(nxt - col("v"), lit(0.0))
     val num = abs((col("pa") + col("offa")) * col("tb") -
       (col("pb") + col("offb")) * col("ta"))
     parts
@@ -385,13 +400,12 @@ object Drift {
       .withColumn("pb", sum("nb").over(wCum))
       .join(broadcast(offsets), Seq("bucket"))
       .select(col("ta"), col("tb"),
-        (num.cast(DecimalType(19, 0)) *
-          widthCents.cast(DecimalType(19, 0))).as("term"))
+        (num.cast("double") * width).as("term"))
       .groupBy("ta", "tb")
       .agg(sum(col("term")).as("s"))
       .select(lit(c).as("column"),
         when(col("ta") > 0 && col("tb") > 0,
-          col("s").cast("double") / col("ta") / col("tb") / lit(100.0))
+          col("s") / col("ta") / col("tb"))
           .as("w1"))
   }
 

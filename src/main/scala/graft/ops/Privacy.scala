@@ -186,7 +186,17 @@ object Privacy {
     * release). One partial+final hash aggregate; the noise rides the
     * final projection. Declared seeded mode (the oracle cannot express
     * Spark's xxhash64); PrivacySpec pins determinism-under-repartition,
-    * the ε→∞ exact-recovery limit, and the noise-scale envelope. */
+    * the ε→∞ exact-recovery limit, and the noise-scale envelope.
+    *
+    * NOT a production DP mechanism under repeated release: because the
+    * noise is a pure function of (category, seed), two releases over
+    * EVOLVING data reuse identical per-key noise — differencing them
+    * recovers exact count deltas, and anyone holding the seed can
+    * denoise exactly. The fixed default seed exists for reproducible
+    * benchmarking and auditability of a SINGLE release. For real
+    * adversarial privacy, supply a FRESH seed per release (each
+    * release is then ε-DP on its own; sequential composition across
+    * releases applies as usual) and treat seeds as secrets. */
   def dpHistogram(df: DataFrame, c: String, epsilon: Double = 1.0,
                   seed: Long = 42L): DataFrame = {
     val b = 1.0 / math.max(epsilon, 1e-6)

@@ -37,6 +37,29 @@ class ChunkingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("packBins auto groups: plan-stats-derived, so the per-group slice is bounded, not corpus/32") {
+    val docs = graft.Tables.documents(spark, Sf)
+    // small corpus → the floor (keep all cores busy)
+    assert(Chunking.autoGroups(docs) == 32)
+    // groups grow linearly with the scan estimate: a frame whose
+    // optimizer size estimate is ~N group-targets derives ~N groups, so
+    // docs-per-group stays CONSTANT as the corpus scales (the old fixed
+    // 32 grew the per-task slice as corpus/32)
+    val t = Chunking.GroupTargetInputBytes
+    assert(Chunking.autoGroups(BigInt(1)) == 32)
+    assert(Chunking.autoGroups(BigInt(t) * 100) == 101)
+    assert(Chunking.autoGroups(BigInt(t) * 1000000) == 1000001)
+    // a 100 TB corpus derives ~400k groups → per-task slice stays ~256 MB
+    assert(Chunking.autoGroups(BigInt(100L * (1L << 40))) == 409601)
+    // the auto path packs correctly end to end (same invariants as the
+    // fixed-groups case: complete + capacity-clean)
+    val out = Chunking.packBins(docs, "text", "doc_id", budget = 128)
+    assert(out.count() == docs.count())
+    val badBins = out.filter(!col("overflow")).groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill")).filter(col("fill") > 128).count()
+    assert(badBins == 0)
+  }
+
   test("token chunks cover every token at the declared stride and reassemble exactly") {
     val docs = graft.Tables.documents(spark, Sf)
     val chunks = Chunking.tokenChunks(docs, "text", "doc_id", 32, 24).collect()

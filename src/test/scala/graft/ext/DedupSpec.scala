@@ -402,6 +402,24 @@ class DedupSpec extends SparkSpec {
       s"mega-cluster pairs must be capped away, got $capped")
   }
 
+  test("minhashLshAuto: uncapped below the ceiling, capped skew-guard above it") {
+    // below (default ceiling ≫ fixture): bit-identical to the raw form
+    val auto = Dedup.minhashLshAuto(docs, "text", "doc_id", 3, 32, 8, 0.6)
+      .collect().map(_.toSeq).toSeq
+    val raw = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.6)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == raw)
+    // above (forced 0-byte ceiling): the dispatch selects the capped
+    // operating point — identical to calling the capped form directly
+    val capped = Dedup.minhashLshAuto(docs, "text", "doc_id", 3, 32, 8, 0.6,
+        maxUncappedBytes = 0L)
+      .collect().map(_.toSeq).toSeq
+    val expect = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 32, 8, 0.6,
+        bucketCap = Dedup.MinhashBucketCapDefault)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == expect)
+  }
+
   test("minhash bucketCap: recall holds on the fixture via band redundancy") {
     // sf0.001 corpus at the 16-band operating point: capping drops the
     // oversized buckets yet every verified pair is recalled through its

@@ -24,6 +24,25 @@ class SimSearchSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - 0.9 / math.sqrt(0.82)) < 1e-6) // inputs are float32
   }
 
+  test("driver-fit ANN paths fail fast on non-integral id columns") {
+    // pqTopK / coresetSample collect ids as longs — a string id must die
+    // at analysis time with the remedy, not mid-job in a ClassCastException
+    val strIds = Seq(("a", vec(1, 0, 0, 0)), ("b", vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      SimSearch.pqTopK(strIds, strIds, 1)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SimSearch.coresetSample(strIds, 2)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // int ids cast up losslessly instead of failing getLong mid-collect
+    val intIds = Seq((1, vec(1, 0, 0, 0)), (2, vec(0, 1, 0, 0)), (3, vec(0.5, 0.5, 0, 0)))
+      .toDF("vec_id", "embedding")
+    assert(SimSearch.coresetSample(intIds, 2).count() == 3)
+  }
+
   test("cosine handles self-exclusion") {
     val out = SimSearch.cosineTopK(emb.filter(col("vec_id") === 0), emb, 10, dim = 4).collect()
     assert(!out.map(_.getLong(2)).contains(0L))

@@ -37,6 +37,34 @@ class QualityModelSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("scoring runs at input parallelism — the corpus is never funneled") {
+    // Regression for the full-corpus coalesce(4): only the bounded fit
+    // sample may run on few fat partitions; the SCORING stage must keep
+    // the corpus's own parallelism. AQE off + no auto-broadcast so the
+    // join's partition count is deterministic for the assertion.
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    val bc0 = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "11")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, Sf).repartition(13)
+      val out = QualityModel.scored(docs, "text", "doc_id")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Coalesce"), s"corpus coalesced in scoring plan:\n$plan")
+      val parts = out.rdd.getNumPartitions
+      // 11 (shuffle join) or 13 (broadcast-join streamed side) — the
+      // old funnel gave 4 here regardless of input
+      assert(parts >= 11, s"scoring ran at $parts partitions for a 13-partition input")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+    }
+  }
+
   test("degenerate single-class corpus echoes the heuristic verdict") {
     import spark.implicits._
     // texts engineered to all FAIL the word-count rule → one class

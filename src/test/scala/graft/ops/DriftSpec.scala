@@ -90,6 +90,35 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(w - 7.0 / 6.0) < 1e-12, s"W1 = $w")
   }
 
+  test("wasserstein: sub-cent value gaps are measured, not rounded away") {
+    // Regression for the DECIMAL(18,2) width policy: a pure 0.003 shift
+    // on a probability-scaled column must read as W1 = 0.003, not 0
+    // (cents quantization rounded every width to zero here).
+    val a = Seq(0.001, 0.002, 0.004).toDF("x")
+    val b = Seq(0.004, 0.005, 0.007).toDF("x")
+    val w = Drift.wasserstein(a, b, "x").collect()(0).getDouble(1)
+    assert(math.abs(w - 0.003) < 1e-15, s"sub-cent shift W1 = $w")
+  }
+
+  test("ksByGroup: group-cardinality guard trips loudly; under the cap results are unchanged") {
+    val a = (1 to 40).map(i => (i % 20, i.toDouble)).toDF("g", "x")
+    val b = (1 to 40).map(i => (i % 20, i.toDouble + 1)).toDF("g", "x")
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksByGroup(a, b, "x", "g", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+    // same inputs under the cap: the spine covers every group
+    val ok = Drift.ksByGroup(a, b, "x", "g", maxGroups = 20).collect()
+    assert(ok.length == 20)
+  }
+
+  test("ksByGroup plan maps groups by broadcast join — no Scala UDF in the row path") {
+    val a = Seq(("u", 1.0), ("u", 2.0), ("v", 3.0)).toDF("g", "x")
+    val plan = Drift.ksByGroup(a, a, "x", "g")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"scala UDF in ksByGroup plan:\n$plan")
+  }
+
   test("wasserstein: empty side → null") {
     val a = Seq(1.0, 2.0).toDF("x")
     val e = Seq.empty[Double].toDF("x")
