@@ -82,8 +82,15 @@ object Drift {
   /** Below this per-side optimizer size estimate the KS fit collects the
     * raw columns and merge-walks the CDFs on the driver (the computation
     * scipy itself performs); above it, the fused scale-safe histogram
-    * plan runs. Free to evaluate — plan statistics, no job. */
-  private val KsDriverMaxBytes = BigInt(8L) << 30
+    * plan ([[ksFromCounts]]) runs. Free to evaluate — plan statistics,
+    * no job. The ceiling is a MEASURED crossover (DevKsPath, 7 lineitem
+    * columns, local[32]): at ~11 MB of stats the driver merge-walk wins
+    * 1.0 s vs 2.8 s (Spark job floor), at ~170 MB it loses 8.5 s vs
+    * 4.0 s — the collect + single-threaded sorts are the r7 x16 tail
+    * (ratio 13.8). 64 MB keeps the small-side win and dispatches the
+    * value-domain work to the parallel bucketed plan before the driver
+    * becomes the bottleneck; both paths are bit-identical. */
+  private val KsDriverMaxBytes = BigInt(64L) << 20
 
   /** Same ceiling for the PSI decile-edge fit (one collected double
     * column per numeric input while the scan estimate stays under it). */
