@@ -16,6 +16,16 @@ object ExtCatalog {
     * the oracle so the scored term set can never diverge. */
   val KeywordTerms: Seq[String] = Seq("spark", "query", "join")
 
+  /** x_ann_recall_audit floors: recall@5 MEASURED on the sf0.01 fixture
+    * at the catalog operating points (DevAnnRecall: ivf 0.72, lsh 0.94,
+    * pq 0.60), each backed off to ~55-65% of the measurement — the
+    * result is a pure function of (fixture, seed), so the gate is
+    * deterministic, and a real recall regression (wrong banding, broken
+    * ADC table, bad list probing) still trips the oracle. */
+  val AnnRecallFloorIvf: Double = 0.4
+  val AnnRecallFloorLsh: Double = 0.6
+  val AnnRecallFloorPq: Double = 0.35
+
   /** x_hybrid_search operating point, shared with the oracle: the query
     * embedding's id, the per-side candidate depth, and the fused top-k. */
   val HybridQueryVec: Long = 7L
@@ -112,6 +122,81 @@ object ExtCatalog {
     "x_cluster_summary" -> ((s, d) =>
       // seeded k-means mixture view — rows-only (no oracle), spec-gated
       SimSearch.clusterSummary(Tables.embeddings(s, d), 16)),
+    "x_cluster_summary_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_cluster_summary: seeded
+      // k-means assignments aren't SQL-expressible, but the partition
+      // contract is — member counts sum to the corpus size (recomputed
+      // genuinely by DuckDB), ≤ k non-empty clusters, and every cluster's
+      // mean cosine-to-centroid within [-1, 1+ulp].
+      val cs = SimSearch.clusterSummary(Tables.embeddings(s, d), 16)
+      cs.agg(
+          coalesce(sum("n_members"), lit(0L)).as("n_total"),
+          count(lit(1)).as("k"),
+          coalesce(min("n_members"), lit(1L)).as("minm"),
+          coalesce(max(abs(col("avg_cos_to_centroid"))), lit(0.0)).as("maxcos"))
+        .select(col("n_total"),
+          (col("k") <= 16 && col("minm") >= 1).as("partition_ok"),
+          (col("maxcos") <= lit(1.0) + lit(1e-9)).as("cohesion_ok"))
+    }),
+    "x_embed_pca_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_embed_pca: component SIGN
+      // is BLAS-indeterminate (why the projection itself is rows-only),
+      // but the spectral contract is sign-invariant and SQL-checkable —
+      // one projected coordinate row per input vector (n recomputed by
+      // DuckDB) and per-component variance non-increasing in component
+      // index (the defining property of a PCA basis).
+      val pr = SimSearch.pcaProject(Tables.embeddings(s, d), 8)
+      val comps = pr
+        .select(posexplode(split(col("pc_csv"), ","))) // (pos, coord)
+        .select(col("pos"), col("col").cast("double").as("x"))
+      val byComp = comps.groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x") * col("x")) / count(lit(1)) -
+            (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))).as("v2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("pos")
+      byComp
+        .select(col("pos"), col("n"),
+          (col("v2") <= coalesce(lag("v2", 1).over(w), col("v2")) + lit(1e-6))
+            .as("variance_ordered"))
+        .orderBy("pos")
+    }),
+    "x_ann_recall_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the three declared ANN paths (lsh / ivf /
+      // pq at the catalog operating points): per method, (a) result-shape
+      // validity — ≤k dense ranks per query, no self-matches, no
+      // duplicate or non-corpus neighbor ids — and (b) recall@5 against
+      // the in-plan exact brute-force top-k above a measured fixture
+      // floor. n_queries is recomputed genuinely by DuckDB; the booleans
+      // hash-gate shape and recall (seeds fixed ⇒ deterministic).
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val k = 5
+      val brute = SimSearch.cosineTopK(q, e, k).select(col("qid"), col("cid"))
+      val nq = q.select(count(lit(1)).as("n_queries"))
+      def one(name: String, res: DataFrame, floor: Double): DataFrame = {
+        val ids = res.select(col("qid"), col("rk").cast("long").as("rk"), col("cid"))
+        val bad = ids.join(e.select(col("vec_id").as("cid")), Seq("cid"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+        val shape = ids.groupBy("qid")
+          .agg(count(lit(1)).as("n"), count_distinct(col("cid")).as("ndist"),
+            sum((col("cid") === col("qid")).cast("long")).as("selfh"),
+            min("rk").as("mn"), max("rk").as("mx"))
+          .agg(coalesce(bool_and(col("n") <= k && col("ndist") === col("n") &&
+            col("selfh") === 0 && col("mn") === 1 && col("mx") === col("n")),
+            lit(false)).as("shape_ok"))
+        val hits = ids.join(brute, Seq("qid", "cid")).agg(count(lit(1)).as("nhit"))
+        val nb = brute.agg(count(lit(1)).as("nb"))
+        shape.crossJoin(bad).crossJoin(hits).crossJoin(nb).crossJoin(nq)
+          .select(lit(name).as("method"), col("n_queries"),
+            (col("shape_ok") && col("n_bad") === 0).as("ids_ok"),
+            (col("nhit").cast("double") / col("nb") >= floor).as("recall_ok"))
+      }
+      one("ivf", SimSearch.ivfTopK(q, e, k), AnnRecallFloorIvf)
+        .unionByName(one("lsh", SimSearch.lshTopK(q, e, k), AnnRecallFloorLsh))
+        .unionByName(one("pq", SimSearch.pqTopK(q, e, k, m = 16, ksub = 32),
+          AnnRecallFloorPq))
+        .orderBy("method")
+    }),
     "x_dedup_clusters" -> ((s, d) =>
       // pairs → connected components → survivor per cluster. The pair
       // source auto-dispatches: lossless AllPairs while the corpus is
@@ -223,6 +308,41 @@ object ExtCatalog {
       // per-source HLL distinct-doc estimates + merged __ALL__ row —
       // rows-only, SketchesSpec pins the error vs exact distincts
       Sketches.distinctSketchMerge(Tables.documents(s, d), "text", "source")),
+    "x_vocab_cms_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_vocab_cms: the count-min
+      // CONTRACT is SQL-checkable even though the sketch isn't — for
+      // every probed token, est ≥ exact (CMS never undercounts) and
+      // est ≤ exact + ε·N (the width guarantee, ε = 1e-4 of the total
+      // token stream). Exact top-30 counts recomputed by DuckDB via the
+      // x_vocab_topk formula; the booleans hash-gate the envelope.
+      val docs = Tables.documents(s, d)
+      val cms = Sketches.vocabCms(docs, "text", 30)
+      val nTokens = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit(TextStats.BpeTokenPattern), lit(0))).as("t")).count()
+      cms.select(col("token"), col("n_exact"),
+          (col("n_est") >= col("n_exact")).as("never_under"),
+          (col("n_est") <= col("n_exact") + lit(math.ceil(1e-4 * nTokens).toLong))
+            .as("within_eps"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+    "x_distinct_sketch_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared x_distinct_sketch: each HLL
+      // estimate (per source AND the sketch-merged __ALL__ row) must sit
+      // within a 5% relative envelope (+2 absolute at tiny cardinality)
+      // of the exact distinct count, which DuckDB recomputes genuinely.
+      val docs = Tables.documents(s, d)
+      val est = Sketches.distinctSketchMerge(docs, "text", "source")
+      val exPer = docs.groupBy(col("source").cast("string").as("group"))
+        .agg(count_distinct(col("text")).as("n_exact"))
+        .withColumn("is_total", lit(false))
+      val exAll = docs.agg(count_distinct(col("text")).as("n_exact"))
+        .select(lit("__ALL__").as("group"), col("n_exact"), lit(true).as("is_total"))
+      est.join(exPer.unionByName(exAll), Seq("group", "is_total"))
+        .select(col("group"), col("n_exact"), col("is_total"),
+          (abs(col("n_distinct_est") - col("n_exact")) <=
+            greatest(lit(2L), (col("n_exact") * 0.05).cast("long"))).as("within_envelope"))
+        .orderBy("is_total", "group")
+    }),
     "x_snapshot_diff" -> ((s, d) => {
       // two simulated corpus versions: 1-in-11 docs are new arrivals,
       // 1-in-13 were dropped, 1-in-5 had their text rewritten
@@ -1075,6 +1195,34 @@ object ExtCatalog {
         |FROM documents""".stripMargin,
     "x_coreset_audit" ->
       """SELECT vec_id, TRUE AS assign_ok FROM embeddings ORDER BY vec_id""",
+    "x_vocab_cms_audit" ->
+      s"""WITH toks AS (SELECT UNNEST(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS token
+         |  FROM documents)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  TRUE AS never_under, TRUE AS within_eps
+         |FROM toks GROUP BY token ORDER BY n_exact DESC, token LIMIT 30""".stripMargin,
+    "x_distinct_sketch_audit" ->
+      """WITH per AS (SELECT CAST(source AS VARCHAR) AS "group",
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, FALSE AS is_total
+        |  FROM documents GROUP BY 1),
+        |al AS (SELECT '__ALL__', CAST(COUNT(DISTINCT text) AS BIGINT), TRUE
+        |  FROM documents)
+        |SELECT "group", n_exact, is_total, TRUE AS within_envelope
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+        |ORDER BY is_total, "group"""".stripMargin,
+    "x_cluster_summary_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  TRUE AS partition_ok, TRUE AS cohesion_ok FROM embeddings""".stripMargin,
+    "x_embed_pca_audit" ->
+      """SELECT CAST(t.pos AS INTEGER) AS pos,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+        |  TRUE AS variance_ordered
+        |FROM (SELECT UNNEST(range(0, 8)) AS pos) t ORDER BY pos""".stripMargin,
+    "x_ann_recall_audit" ->
+      """SELECT m AS method,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 10) AS n_queries,
+        |  TRUE AS ids_ok, TRUE AS recall_ok
+        |FROM (SELECT UNNEST(['ivf', 'lsh', 'pq']) AS m) ORDER BY method""".stripMargin,
     "x_group_quantiles_approx_audit" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  TRUE AS p25_ok, TRUE AS median_ok, TRUE AS p75_ok

@@ -71,6 +71,54 @@ object QueryCatalog {
     "v3_dp_noise" -> ((s, d) =>
       Privacy.dpNoise(Tables.lineitem(s, d), Seq("l_quantity"), epsilon = 1.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    "v3_dp_noise_inf" -> ((s, d) =>
+      // ε→∞ structural oracle for the declared v3 path: the Laplace scale
+      // (1e-18) is below half an ulp of every l_quantity value (≥ 1), so
+      // the SAME rand(seed)-noise projection must return the raw column
+      // bit-for-bit — wrong scale/sign/double-application fails the gate
+      Privacy.dpNoise(Tables.lineitem(s, d), Seq("l_quantity"), epsilon = 1e18)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    "a1_profile_approx_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared a1_profile_approx: the sketch
+      // outputs (HLL distincts, KLL-style quantiles) aren't
+      // SQL-expressible, but their CONTRACTS are — HLL within a relative
+      // envelope of the exact distinct count, percentile_approx within
+      // its rank-error guarantee (ε = 1/accuracy), both recounted
+      // in-plan; exact per-column row counts recomputed by DuckDB.
+      val li = Tables.lineitem(s, d)
+      val accuracy = 2000
+      val eps = 1.0 / accuracy
+      val ap = Profile.profileApprox(li, accuracy)
+        .select(col("column"), col("n_total"),
+          (col("n_total") - col("n_missing")).as("n_nonnull"),
+          col("n_unique"), col("p25"), col("median"), col("p75"))
+      val ex = Profile.distinctCounts(li).withColumnRenamed("n_unique", "nd")
+      val numCols = LiNumeric.map(_._1)
+      val vals = li.select(explode(array(numCols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("e"))
+        .select(col("e.column").as("column"), col("e.v").as("v"))
+        .filter(col("v").isNotNull)
+      def le(q: String) = sum((col("v") <= col(q)).cast("long"))
+      def lt(q: String) = sum((col("v") < col(q)).cast("long"))
+      val ranks = vals
+        .join(broadcast(ap.select(col("column"), col("p25"), col("median"), col("p75"))),
+          "column")
+        .groupBy("column")
+        .agg(count(lit(1)).as("nn"),
+          le("p25").as("le25"), lt("p25").as("lt25"),
+          le("median").as("le50"), lt("median").as("lt50"),
+          le("p75").as("le75"), lt("p75").as("lt75"))
+      def rankOk(lec: String, ltc: String, p: Double) =
+        (col(lec) >= floor((lit(p) - eps) * col("nn")) - 1) &&
+          (col(ltc) <= ceil((lit(p) + eps) * col("nn")) + 1)
+      ap.join(ex, "column").join(ranks, Seq("column"), "left")
+        .select(col("column"), col("n_total"), col("n_nonnull"),
+          (abs(col("n_unique") - col("nd")) <=
+            greatest(lit(4L), (col("nd") * 0.1).cast("long"))).as("uniq_ok"),
+          coalesce(rankOk("le25", "lt25", 0.25) && rankOk("le50", "lt50", 0.5) &&
+            rankOk("le75", "lt75", 0.75), lit(true)).as("q_ok"))
+        .orderBy("column")
+    }),
     "v4_synthetic" -> ((s, d) =>
       // n omitted → source row count, derived inside the fused stats pass
       // (no separate count job).
@@ -636,6 +684,15 @@ object QueryCatalog {
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  CAST(SUM(CAST(${Exact.centsSql("l_extendedprice")} AS DECIMAL(19,0))) AS DOUBLE) AS sum_cents
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v3_dp_noise_inf" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "a1_profile_approx_audit" -> (
+      (LiNumeric.map(_._1) ++ LiString ++ LiTs).sorted.map(c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_total,
+           |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |  TRUE AS uniq_ok, TRUE AS q_ok FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n") + "\nORDER BY \"column\""),
     // ε→∞ structural oracles for the declared DP releases: noise scale
     // < 1 ulp of every released value, so the noisy path must reproduce
     // the exact aggregates bit-for-bit
