@@ -631,6 +631,25 @@ object ExtCatalog {
       // QualityModelSpec pins accuracy > base rate + calibration
       graft.ml.QualityModel.qualityClassifier(
         Tables.documents(s, d), "text", "doc_id")),
+    "x_quality_audit" -> ((s, d) => {
+      // STRUCTURAL ORACLE over the declared quality classifier: one
+      // scored row per document (n recomputed genuinely by DuckDB),
+      // probabilities inside [0,1], and train accuracy at or above the
+      // majority-class rate of the (SQL-expressible, t_gopher_rules-
+      // oracle-EXACT) heuristic labels — a model that can't beat the
+      // constant predictor has learned nothing and fails the gate.
+      val out = graft.ml.QualityModel.qualityClassifier(
+        Tables.documents(s, d), "text", "doc_id")
+      out.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(bool_and(col("p_pass") >= 0.0 && col("p_pass") <= 1.0),
+            lit(false)).as("probs_ok"),
+          avg(col("label")).as("base"),
+          avg((col("prediction") === col("label")).cast("double")).as("acc"))
+        .select(col("n_docs"), col("probs_ok"),
+          (col("acc") >= greatest(col("base"), lit(1.0) - col("base")) - lit(1e-12))
+            .as("beats_majority"))
+    }),
     "t_lang_id" -> ((s, d) =>
       TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
     "t_gopher_rules" -> ((s, d) =>
@@ -1210,6 +1229,9 @@ object ExtCatalog {
         |SELECT "group", n_exact, is_total, TRUE AS within_envelope
         |FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
         |ORDER BY is_total, "group"""".stripMargin,
+    "x_quality_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS probs_ok, TRUE AS beats_majority FROM documents""".stripMargin,
     "x_cluster_summary_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
         |  TRUE AS partition_ok, TRUE AS cohesion_ok FROM embeddings""".stripMargin,

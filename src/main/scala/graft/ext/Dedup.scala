@@ -817,10 +817,15 @@ object Dedup {
   val MinhashUncappedMaxInputBytes: Long = 4L << 20
 
   /** Default bucket cap for the dispatched capped form: per-bucket
-    * candidate work ≤ cap² = 4096 pairs however skewed the corpus; a
+    * candidate work ≤ cap² = 1024 pairs however skewed the corpus; a
     * genuine near-dup pair survives unless ALL its shared buckets exceed
-    * the cap — an exact-dup-grade mega-cluster upstream dedup owns. */
-  val MinhashBucketCapDefault: Int = 64
+    * the cap — an exact-dup-grade mega-cluster upstream dedup owns.
+    * Operating point MEASURED on the x16 rehearsal fixture
+    * (DevMinhashCap): caps {0, 64, 32, 16} all emit the IDENTICAL 4096
+    * verified pairs (banding redundancy carries every true pair) at
+    * 4.49 / 3.63 / 2.90 / 2.62 s — 32 takes most of the win while
+    * staying 2× above the point where the fixture shows any risk. */
+  val MinhashBucketCapDefault: Int = 32
 
   /** [[minhashLshPairs]] behind the SCALE DISPATCH downstream consumers
     * should default to (the [[nearDupPairsAuto]] pattern): below

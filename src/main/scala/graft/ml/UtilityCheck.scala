@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object UtilityCheck {
 
+  /** Fit/eval sample ceiling (deterministic hash gate over the feature
+    * tuple): far past where a linear model's accuracy estimate
+    * saturates, small enough that the repartitioned split is always a
+    * trivial shuffle — the check's cost is CONSTANT in table size. */
+  private val FitSampleCap = 262144L
+
   def modelUtility(before: DataFrame, after: DataFrame, target: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -49,24 +55,37 @@ object UtilityCheck {
     if (feats.isEmpty) return (Double.NaN, Double.NaN)
     val base = df.select((feats :+ target).map(col): _*)
       .withColumn("label", col(target).cast("double")).na.drop(Seq("label"))
-    // ONE aggregate fits the class count and every feature's impute mean
-    // (the previous per-feature imputeMean was k+1 separate scans).
-    val aggs = count_distinct(col("label")).as("__k") +:
+    // ONE aggregate fits the class count, the row count, and every
+    // feature's impute mean (the previous per-feature imputeMean was k+1
+    // separate scans).
+    val aggs = Seq(count_distinct(col("label")).as("__k"),
+      count(lit(1)).as("__n")) ++
       feats.map(c => avg(col(c)).as(s"${c}__mu"))
     val st = base.agg(aggs.head, aggs.tail: _*).head()
     if (st.getLong(0) < 2) return (Double.NaN, Double.NaN)
+    val nRows = st.getLong(1)
     val imputed = feats.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
-      val m = if (st.isNullAt(i + 1)) 0.0 else st.getDouble(i + 1)
+      val m = if (st.isNullAt(i + 2)) 0.0 else st.getDouble(i + 2)
       d.withColumn(c, coalesce(col(c).cast("double"), lit(m)))
     }
-    // Few fat partitions: every LBFGS iteration is a treeAggregate job
-    // over the train set, so task-count, not data size, dominates at this
-    // scale (200 iters × 32 tasks vs × 4). Deterministic — coalesce only
-    // narrows the partitioning.
+    // Bounded deterministic hash sample for the fit/eval (the
+    // QualityModel idiom): impute means come from the FULL table (one
+    // agg), but the train/test frame itself is capped, so the split and
+    // the LBFGS iterations never funnel an unbounded corpus. Then
+    // repartition — a real exchange of ≤cap rows — NOT coalesce:
+    // coalesce is narrow and would pull the upstream scan into 4 tasks.
+    // Few fat partitions because every LBFGS iteration is a
+    // treeAggregate job: task-count, not data size, dominates at sample
+    // scale (200 iters × 32 tasks vs × 4).
+    val sampled =
+      if (nRows <= FitSampleCap) imputed
+      else imputed.filter(pmod(
+        xxhash64((feats :+ "label").map(col): _*), lit(1000000L)) <
+        lit(math.max(1L, (FitSampleCap.toDouble / nRows * 1e6).toLong)))
     val assembled = new VectorAssembler()
       .setInputCols(feats.toArray).setOutputCol("features")
-      .transform(imputed)
-      .coalesce(4)
+      .transform(sampled)
+      .repartition(4)
     val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed = 42L)
     if (train.isEmpty || test.isEmpty) return (Double.NaN, Double.NaN)
 
