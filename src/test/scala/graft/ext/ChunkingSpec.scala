@@ -60,6 +60,26 @@ class ChunkingSpec extends SparkSpec {
     assert(badBins == 0)
   }
 
+  test("packBins bin-count bounds hold on the adversarial half-full workload") {
+    import spark.implicits._
+    // items of budget/2 + 1 tokens: no two fit one bin, so EVERY bin ends
+    // just over half full — the worst case for the audit's first-fit
+    // upper bound (n_bins ≤ 2·mass/budget + groups). 40 docs of 65
+    // tokens, budget 128 → 40 bins, mass 2600, bound = 40 + groups.
+    val docs = (1L to 40L).map(i => (i, Seq.fill(65)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.packBins(docs, "text", "doc_id", budget = 128, groups = 4)
+    val bins = out.filter(!col("overflow")).groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"))
+    val nBins = bins.count()
+    assert(nBins == 40, s"one 65-token doc per 128-budget bin, got $nBins bins")
+    assert(bins.filter(col("fill") > 128).count() == 0)
+    val mass = 40L * 65L
+    assert(nBins <= math.floor(mass * 2.0 / 128).toLong + 4,
+      "first-fit half-full upper bound must cover the adversarial case")
+    assert(nBins >= math.ceil(mass / 128.0).toLong)
+  }
+
   test("token chunks cover every token at the declared stride and reassemble exactly") {
     val docs = graft.Tables.documents(spark, Sf)
     val chunks = Chunking.tokenChunks(docs, "text", "doc_id", 32, 24).collect()
