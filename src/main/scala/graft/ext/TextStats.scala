@@ -743,8 +743,22 @@ object TextStats {
     import graft.ops.Exact
     val t1 = 1.0 / 3
     val t2 = 2.0 / 3
+    // Materialize the SCORE frame once (doc_id, double — 16 bytes/doc,
+    // never the text): both the tertile fit and the bucket projection
+    // consume it, and without this the whole bigram-LM pipeline (two
+    // count-table shuffles + per-doc windows over the full text corpus)
+    // executes TWICE — the dominant term in this operator's cost and its
+    // x16 curvature. localCheckpoint, NOT persist: a persisted frame
+    // registers in the CacheManager by logical plan, so a REPEATED
+    // invocation (bench reruns, retried jobs) would silently time a
+    // cache hit instead of the operator; the checkpoint shares work
+    // within one invocation only and is GC-cleaned after. (Cluster
+    // caveat, as at the dedup label-prop sites: localCheckpoint RDDs
+    // don't survive executor loss — the narrow frame is cheap to
+    // recompute from a retry of the whole query.)
     val lp = bigramLogProb(df, textCol, idCol)
       .select(col("doc_id"), col("avg_logprob"))
+      .localCheckpoint()
     // Dispatch on the cheap INPUT cardinality (parquet metadata count):
     // the score frame has at most one row per input doc, so the input
     // bound certifies the collect without executing the LM pipeline twice
