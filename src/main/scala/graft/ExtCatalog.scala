@@ -171,7 +171,12 @@ object ExtCatalog {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
       val k = 5
+      // localCheckpoint: the 50-row brute-force reference feeds a hit
+      // join per method plus the denominator count — four executions of
+      // the exact scorer without it (persist would let bench reruns
+      // time a CacheManager hit instead of the operator)
       val brute = SimSearch.cosineTopK(q, e, k).select(col("qid"), col("cid"))
+        .localCheckpoint()
       val nq = q.select(count(lit(1)).as("n_queries"))
       def one(name: String, res: DataFrame, floor: Double): DataFrame = {
         val ids = res.select(col("qid"), col("rk").cast("long").as("rk"), col("cid"))

@@ -89,10 +89,15 @@ object QueryCatalog {
       val li = Tables.lineitem(s, d)
       val accuracy = 2000
       val eps = 1.0 / accuracy
+      // localCheckpoint: the 11-row approx-profile frame feeds BOTH the
+      // final join and the broadcast rank recount — without it the wide
+      // sketch aggregate (the expensive scan) executes twice per run
+      // (and persist would let bench reruns time a CacheManager hit)
       val ap = Profile.profileApprox(li, accuracy)
         .select(col("column"), col("n_total"),
           (col("n_total") - col("n_missing")).as("n_nonnull"),
           col("n_unique"), col("p25"), col("median"), col("p75"))
+        .localCheckpoint()
       val ex = Profile.distinctCounts(li).withColumnRenamed("n_unique", "nd")
       val numCols = LiNumeric.map(_._1)
       val vals = li.select(explode(array(numCols.map(c =>
