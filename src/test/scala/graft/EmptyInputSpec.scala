@@ -112,7 +112,15 @@ class EmptyInputSpec extends SparkSpec {
           ext.Multimodal.attachBinary(emptyDocs, "text", "doc_id")).collect()),
       "sceneCuts" -> (() =>
         ext.Multimodal.sceneCuts(
-          ext.Multimodal.attachBinary(emptyDocs, "text", "doc_id")).collect())
+          ext.Multimodal.attachBinary(emptyDocs, "text", "doc_id")).collect()),
+      // r8: the auto-groups packer (plan-stats derivation must tolerate
+      // an empty scan estimate) and the capped-banding dispatch
+      "packBins auto-groups" -> (() =>
+        ext.Chunking.packBins(emptyDocs, "text", "doc_id", budget = 128).collect()),
+      "minhashLshAuto" -> (() =>
+        ext.Dedup.minhashLshAuto(emptyDocs, "text", "doc_id").collect()),
+      "perplexityBuckets" -> (() =>
+        ext.TextStats.perplexityBuckets(emptyDocs, "text", "doc_id").collect())
     )
     val failures = cases.flatMap { case (name, run) =>
       try { run(); None }
