@@ -82,6 +82,32 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window over the distinct-values frame:\n${df.queryExecution.executedPlan}")
   }
 
+  test("catalog-wide sweep: no CartesianProduct in any of the 192 query plans") {
+    // CartesianProductExec is the non-broadcast cross join — the one
+    // join shape that is NEVER right at 100 TB (a broadcast cross of a
+    // 1-row fit frame plans as BroadcastNestedLoopJoin and is fine).
+    // Allowlist = the documented bounded exceptions; anything new that
+    // plans a cartesian fails here before it can ship.
+    val allow: Set[String] = Set(
+      // V6 exact linkage: the guarded small-N cross join (dispatch sends
+      // big inputs to the LSH path; `Linkage.scala` documents the ceiling)
+      "v6_linkage_risk",
+      // bounded-id brute-force near-dup: documented O(subset²) tool
+      "x_embed_neardup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct") && !allow(name)) Some(name)
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name [plan construction failed: ${e.getMessage}]")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products (or plan failures) in: ${offenders.mkString("; ")}")
+  }
+
   test("contamination broadcasts the probe index; the corpus never self-joins") {
     val plan = formatted("x_contamination")
     assert(plan.contains("BroadcastHashJoin"),
