@@ -19,7 +19,11 @@ object DevScale {
     Bucketing.writeBucketed(Tables.orders(spark, sfDir), "devscale_o", "o_orderkey", 8)
     val joined = Bucketing.bucketJoin(spark, "devscale_li", "devscale_o",
       "l_orderkey", "o_orderkey")
-    val shuffles = joined.queryExecution.executedPlan.collect {
+    val shuffles = (joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).collect {
       case e: ShuffleExchangeExec => e
     }
     println(s"[devscale] bucket join rows=${joined.count()} shuffleExchanges=${shuffles.size}")

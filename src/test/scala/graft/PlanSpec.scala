@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
       li.select(col("l_extendedprice")), li.select(col("l_extendedprice")),
       Seq("l_extendedprice"))
     val df = graft.ops.Drift.ksFromCounts(counts, buckets = 32, roundTo = None)
-    val bigSingleTaskWindows = df.queryExecution.executedPlan.collect {
+    val bigSingleTaskWindows = physicalPlan(df).collect {
       // every Window in the CDF plan must carry a partition spec — the
       // tiny offsets frame partitions by ci, the cumulative pass by
       // (bucket, ci); an empty spec would serialize |distinct| rows
@@ -120,7 +120,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.ops.Privacy.sdcSuppressBroadcast(
       Tables.supplier(spark, Sf).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
-    val shuffles = df.queryExecution.executedPlan.collect {
+    val shuffles = physicalPlan(df).collect {
       case s: ShuffleExchangeExec => s
     }
     // the only exchange feeds the tiny rare-set aggregate, never the fact scan

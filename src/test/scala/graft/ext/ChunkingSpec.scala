@@ -157,9 +157,11 @@ class ChunkingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     val df = Chunking.packSequences(
       graft.Tables.documents(spark, Sf), "text", "doc_id", 256)
-    val unpart = df.queryExecution.executedPlan.collect {
+    val unpart = physicalPlan(df).collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
+    assert(unpart.nonEmpty,
+      "expected the offsets-frame window in the plan — a zero hit means the sweep went vacuous")
     // the ≤buckets-row offsets frame may sort on one task; the corpus
     // cumulative pass must not
     unpart.foreach { w =>

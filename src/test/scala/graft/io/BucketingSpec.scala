@@ -12,7 +12,7 @@ class BucketingSpec extends SparkSpec {
       Bucketing.writeBucketed(Tables.lineitem(spark, Sf), "li_b", "l_orderkey", 8)
       Bucketing.writeBucketed(Tables.orders(spark, Sf), "o_b", "o_orderkey", 8)
       val joined = Bucketing.bucketJoin(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
-      val shuffles = joined.queryExecution.executedPlan.collect {
+      val shuffles = physicalPlan(joined).collect {
         case e: ShuffleExchangeExec => e
       }
       assert(shuffles.isEmpty, s"expected shuffle-free bucket join, got: $shuffles")
