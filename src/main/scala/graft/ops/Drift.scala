@@ -93,7 +93,16 @@ object Drift {
   private val KsDriverMaxBytes = BigInt(64L) << 20
 
   /** Same ceiling for the PSI decile-edge fit (one collected double
-    * column per numeric input while the scan estimate stays under it). */
+    * column per numeric input while the scan estimate stays under it).
+    * Deliberately NOT lowered to [[KsDriverMaxBytes]]' 64 MB: the r8
+    * crossover rehearsal measured the transfer and it does NOT hold —
+    * at x16 the cents-histogram edge fit is SLOWER than the driver
+    * collect (d_drift_extended 8.7 → 11.1 s warm, d_psi 1.5 → 2.8 s),
+    * because PSI consumes only `bins−1` edges from the fit (the
+    * domain-shuffle buys nothing downstream), whereas KS consumes the
+    * ENTIRE per-distinct-value CDF (the shuffle IS the computation).
+    * The driver path here stays the winner until the collect itself is
+    * the bottleneck, far past these scales. */
   private val PsiDriverFitMaxBytes = BigInt(8L) << 30
 
   /** Collect columns as primitive doubles KEEPING NaN/±Inf (they are real
