@@ -41,6 +41,14 @@ object ExtCatalog {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.6)),
     "x_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id", 3, 32, 8, 0.6)),
+    "x_neardup_auto" -> ((s, d) =>
+      // the dispatch row for the WHOLE-corpus pair source (the
+      // neardupDeltaAuto pattern): lossless AllPairs below the input
+      // ceiling (oracle-EXACT there — same rows as x_ngram_jaccard),
+      // banded minhash with exact verification above it. This is what
+      // clustering/split consumers call; the raw x_ngram_jaccard row
+      // stays as the pinned exact small-N tool.
+      Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6)),
     "x_minhash_lsh_auto" -> ((s, d) =>
       // the dispatch consumers should default to: uncapped banding below
       // the input ceiling (oracle-EXACT there), bucket-capped skew guard
@@ -1203,6 +1211,9 @@ object ExtCatalog {
         |  FROM documents GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))) t
         |ORDER BY keep_id""".stripMargin,
     "x_ngram_jaccard" -> jaccardSql,
+    // below the AllPairs ceiling at verify scale the auto pair source IS
+    // the lossless exact form — same oracle
+    "x_neardup_auto" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
     "x_minhash_capped" -> minhashSqlAt(bands = 16, cap = 4),
     // below the dispatch ceiling at verify scale the auto form IS the

@@ -47,8 +47,10 @@ object ScaleUp {
     "x_doc_novelty", "x_source_card",
     // r8: the capped-banding dispatch — at Nx the bucket cap engages, so
     // its curvature (vs the pinned raw x_minhash_lsh) is the record that
-    // the skew guard actually bounds the mega-bucket fan-out
-    "x_minhash_lsh_auto")
+    // the skew guard actually bounds the mega-bucket fan-out — and the
+    // whole-corpus pair-source dispatch (exact below the ceiling, banded
+    // above), the twin record for the raw x_ngram_jaccard tail
+    "x_minhash_lsh_auto", "x_neardup_auto")
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
