@@ -642,7 +642,7 @@ object Dedup {
     // so Σlabel strictly drops on any change — one cheap aggregate per
     // round replaces a node-by-node join comparison. (Σ ids fits a Long
     // well past 10⁹ nodes; sum as decimal if ids exceed 2³².)
-    var lastSum = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var lastSum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -651,7 +651,7 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       converged = nextSum == lastSum
       lastSum = nextSum
       labels = next

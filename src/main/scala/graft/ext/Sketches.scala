@@ -35,7 +35,7 @@ object Sketches {
         lit(TextStats.BpeTokenPattern), lit(0))).as("token"))
     val bytes = toks
       .agg(count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed)))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     val exact = TextStats.vocabTopK(df, textCol, k).collect()

@@ -319,7 +319,7 @@ object Profile {
     // per-row hot path; behind a few-split scan they'd run 1-core, so
     // spread them (no-op when the scan already has real splits)
     val wide = Par.widen(df).agg(aggs.head, aggs.tail: _*)
-    val rowStructs: Seq[Column] = fields.map { f =>
+    val rowStructs: Seq[Column] = fields.toSeq.map { f =>
       val c = f.name
       val base = Seq(
         lit(c).as("column"),
