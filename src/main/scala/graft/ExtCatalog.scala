@@ -211,12 +211,14 @@ object ExtCatalog {
         .orderBy("method")
     }),
     "x_dedup_clusters" -> ((s, d) =>
-      // pairs → connected components → survivor per cluster. The pair
-      // source auto-dispatches: lossless AllPairs while the corpus is
-      // small, banded minhash (exact-verified collisions) past the
-      // ceiling — the quadratic AllPairs candidate volume is the one
-      // scale-killer in the clusters family.
-      Dedup.dedupClusters(
+      // pairs → connected components → survivor per cluster. BOTH stages
+      // auto-dispatch: the pair source runs lossless AllPairs while the
+      // corpus is small and banded minhash (exact-verified collisions)
+      // past the ceiling, and the component search runs a driver
+      // union-find below the measured edge ceiling or distributed
+      // min-label propagation above it — no unguarded driver collect
+      // anywhere in the family.
+      Dedup.dedupClustersAuto(
         Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
     "x_dedup_clusters_dist" -> ((s, d) =>
       // same pairs, the distributed min-label-propagation scale path —
@@ -229,7 +231,7 @@ object ExtCatalog {
       // boilerplate/template contamination). Singletons derived by
       // subtraction — never a scan of unclustered docs.
       val docs = Tables.documents(s, d)
-      val cl = Dedup.dedupClusters(
+      val cl = Dedup.dedupClustersAuto(
         Dedup.nearDupPairsAuto(docs, "text", "doc_id", 3, 0.6))
       val hist = cl.groupBy(col("survivor_id"))
         .agg(count(lit(1)).as("cluster_size"))

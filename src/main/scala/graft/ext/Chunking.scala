@@ -98,9 +98,44 @@ object Chunking {
     * [[GroupTargetInputBytes]] of optimizer-estimated input, floored at
     * 32 (keep every core busy even on small corpora). At ~500 B/doc of
     * text that bounds a group's in-memory tuple slice to a few tens of
-    * MB regardless of corpus size. Plan statistics — free, no job. */
-  private[graft] def autoGroups(df: DataFrame): Int =
-    autoGroups(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    * MB regardless of corpus size. Plan statistics — free, no job.
+    *
+    * The byte estimate is only trusted when the optimizer actually HAS
+    * one: plans over non-file sources (and some post-join shapes)
+    * surface the `spark.sql.defaultSizeInBytes` sentinel — Long.MaxValue
+    * scale — which would saturate `groups` at 2³⁰, leave ~0–1 docs per
+    * group, and silently collapse FFD to one bin per doc. Estimates at
+    * or beyond the sentinel fall back to the 32-group floor with a
+    * logged warning (callers who know their corpus pass `groups`
+    * explicitly); when the optimizer has a ROW estimate it cross-checks
+    * the byte-derived answer, capping groups at one per
+    * [[GroupTargetRowsFloor]] rows so a wildly inflated byte estimate
+    * can never starve groups of docs. */
+  private[graft] def autoGroups(df: DataFrame): Int = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (stats.sizeInBytes >= sentinel) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "packBins: no usable optimizer size estimate (default-size sentinel) — " +
+          "falling back to 32 packing groups; pass `groups` explicitly for " +
+          "large corpora from non-file sources")
+      32
+    } else {
+      val byBytes = autoGroups(stats.sizeInBytes)
+      stats.rowCount match {
+        case Some(rows) =>
+          val byRows = math.max(32L,
+            math.min((rows / GroupTargetRowsFloor).toLong + 1, 1L << 30)).toInt
+          math.min(byBytes, byRows)
+        case None => byBytes
+      }
+    }
+  }
+
+  /** Row floor per packing group under the [[autoGroups]] row
+    * cross-check: never slice finer than ~4K docs per group, however
+    * inflated the byte estimate — FFD needs a populated slice to pack. */
+  private[graft] val GroupTargetRowsFloor = 4096L
 
   private[graft] def autoGroups(bytes: BigInt): Int = {
     val derived = (bytes / GroupTargetInputBytes).toLong + 1

@@ -29,6 +29,18 @@ object Dedup {
     * broadcast under ~50 MB of (hash, df) pairs. */
   val DfreqBroadcastMaxInputBytes: Long = 16L << 20
 
+  /** Broadcast `df` only while the optimizer's size estimate says it
+    * fits — the shared size-gate behind every "small side SHOULD
+    * broadcast, but must not be FORCED to" join in this module. Above
+    * the ceiling the frame joins unhinted and the planner picks a
+    * shuffle join, which is the shape that survives the side growing
+    * to corpus order. Plan statistics — free to evaluate, no job. */
+  private[graft] def maybeBroadcast(df: DataFrame,
+      maxBytes: Long = DfreqBroadcastMaxInputBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(df)
+    else df
+
   /** Input-size ceiling for the EXACT AllPairs path in
     * [[nearDupPairsAuto]]. AllPairs is lossless but its pair OUTPUT (and
     * the candidate set feeding it) grows quadratically with
@@ -575,6 +587,46 @@ object Dedup {
       .toDF("doc_id", "survivor_id")
   }
 
+  /** Edge-count ceiling for [[dedupClustersAuto]]'s driver union-find
+    * path: 2²⁴ ≈ 16.8M edges. The driver's transient peak is the
+    * collected `Array[Row]` plus the tuple array (~100 B/edge → ~1.7 GB
+    * at the ceiling) and the union-find map (~48 B/node) — comfortable
+    * inside a conventional 8–16 GB cluster driver with headroom, while
+    * far above any organic near-dup edge output at the fixture scales
+    * (sf0.1 measures 256 edges; the capped banded detector bounds edge
+    * growth to O(corpus)). Above the ceiling the min-label-propagation
+    * twin takes over — output-identical, so the dispatch can never
+    * change a result, only where the component search runs. */
+  val ClusterDriverMaxEdges: Long = 1L << 24
+
+  /** [[dedupClusters]] behind the SCALE DISPATCH downstream consumers
+    * default to (the [[minhashLshAuto]] pattern): the edge frame is
+    * persisted (every path consumes it at least once, so this
+    * materializes the pair detection exactly once), its TRUE cardinality
+    * measured with one count over the cached longs — post-join optimizer
+    * estimates are off by orders of magnitude here (measured 4.6·10¹⁶
+    * estimated bytes for 28 actual edges, DevClusterStats), so the
+    * dispatch counts rather than trusts plan stats — and the component
+    * search runs on the driver below `maxDriverEdges`
+    * ([[ClusterDriverMaxEdges]]) or as distributed label propagation
+    * above it. A template-contaminated corpus whose detector emits a
+    * giant pair set can therefore never OOM the driver: it trips the
+    * ceiling and propagates labels executor-side instead. */
+  def dedupClustersAuto(pairs: DataFrame, idaCol: String = "ida",
+                        idbCol: String = "idb",
+                        maxDriverEdges: Long = ClusterDriverMaxEdges): DataFrame = {
+    val edges = pairs.select(col(idaCol).cast("long").as("ida"),
+      col(idbCol).cast("long").as("idb")).persist()
+    try {
+      val n = edges.count()
+      if (n <= maxDriverEdges) dedupClusters(edges)
+      else dedupClustersDistributed(edges)
+    } finally
+      // both branches are EAGER (the union-find collects; the propagation
+      // loop localCheckpoints its labels), so the cache is spent by now
+      edges.unpersist()
+  }
+
   /** Soft dedup — duplicate-aware WEIGHTING instead of dropping: every
     * document survives carrying weight 1/|its near-dup cluster|, so a
     * passage repeated k times contributes one document's worth of
@@ -585,18 +637,24 @@ object Dedup {
     * Output: (doc_id, cluster_size, weight) for EVERY input document
     * (singletons at weight 1.0).
     *
-    * Scale shape: cluster membership is the detector's small edge
-    * output run through the union-find, so the doc→(size) map is a
-    * BROADCAST join onto the one corpus scan — same shape as
-    * [[graft.ext.Sampling.leakageSafeSplit]]. */
-  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
-                       idCol: String): DataFrame = {
-    val reps = dedupClusters(pairs)
+    * Scale shape: cluster membership is the detector's edge output run
+    * through [[dedupClustersAuto]], and the doc→(size) map joins onto
+    * the one corpus scan BROADCAST only while its optimizer estimate
+    * fits [[DfreqBroadcastMaxInputBytes]] — same shape as
+    * [[graft.ext.Sampling.leakageSafeSplit]]. Cluster membership scales
+    * with duplicate MASS, not a constant: at a crawl-like 30–50% dup
+    * rate the rep map is corpus-order, and an unconditional broadcast
+    * hint would OOM executors where the optimizer picks a shuffle join;
+    * the size gate keeps the broadcast exactly where it is safe (the
+    * driver-union-find regime, whose LocalRelation stats are exact). */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       maxBcBytes: Long = DfreqBroadcastMaxInputBytes): DataFrame = {
+    val reps = dedupClustersAuto(pairs)
       .select(col("doc_id"), col("survivor_id").as("rep"))
     val sizes = reps.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
     val repSized = reps.join(sizes, Seq("rep")).select("doc_id", "cluster_size")
     docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(repSized), Seq("doc_id"), "left")
+      .join(maybeBroadcast(repSized, maxBcBytes), Seq("doc_id"), "left")
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("weight", lit(1.0) / col("cluster_size"))
       .orderBy("doc_id")

@@ -345,17 +345,24 @@ object Sampling {
     * (n_docs, n_groups = distinct representatives, n_dup_docs = docs
     * riding a representative other than themselves).
     *
-    * Scale shape: `pairs` is a near-dup detector's OUTPUT (orders of
-    * magnitude smaller than the corpus), so the doc→representative map
-    * from the union-find is a BROADCAST join onto the one corpus scan;
-    * the gate itself stays a pure codegen projection. Nothing here adds
-    * a corpus-sized shuffle beyond the final 3-row aggregate. */
+    * Scale shape: the doc→representative map comes from
+    * [[graft.ext.Dedup.dedupClustersAuto]] (driver union-find below the
+    * measured edge ceiling, distributed label propagation above), and it
+    * joins onto the one corpus scan BROADCAST only while its optimizer
+    * estimate fits the [[graft.ext.Dedup.DfreqBroadcastMaxInputBytes]]
+    * gate — cluster membership scales with duplicate MASS, so at a
+    * crawl-like dup rate the rep map is corpus-order and a forced
+    * broadcast hint would OOM executors where the planner's shuffle
+    * join is the right call. The gate itself stays a pure codegen
+    * projection; nothing here adds a corpus-sized shuffle beyond the
+    * final 3-row aggregate. */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
-                       trainPerMille: Int, validPerMille: Int): DataFrame = {
-    val reps = Dedup.dedupClusters(pairs)
+                       trainPerMille: Int, validPerMille: Int,
+                       maxBcBytes: Long = Dedup.DfreqBroadcastMaxInputBytes): DataFrame = {
+    val reps = Dedup.dedupClustersAuto(pairs)
       .select(col("doc_id"), col("survivor_id").as("rep"))
     val withRep = docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(reps), Seq("doc_id"), "left")
+      .join(Dedup.maybeBroadcast(reps, maxBcBytes), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("rep"), col("doc_id")))
     withRep
       .withColumn("split", splitColumn(col("rep"), trainPerMille, validPerMille))

@@ -57,20 +57,46 @@ object QualityModel {
         .cast("array<double>").as("arr"))
     val data = feats.join(labels, idCol)
       .withColumn("features", array_to_vector(col("arr")))
-    val n = data.count()
+    // Row count for the fit-sample fraction comes from the INPUT frame,
+    // never from `data`: the join is inner 1:1 on the id (labels derive
+    // from the same rows), so the counts are equal — but counting `df`
+    // costs a metadata-pruned zero-column scan (parquet answers it from
+    // row-group footers), while the earlier `data.count()` executed the
+    // hash-embed + gopher-rules join over the whole corpus once per
+    // scoring run just to pick a fraction. CBO row stats win outright
+    // when present. The fraction tolerates estimate slack anyway — the
+    // hash gate is approximate by construction.
+    val n = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
     // Deterministic hash sample for the fit (never the scoring): the
     // gate is a pure function of the id, so the sample — and therefore
     // the model — is identical under any partitioning. repartition (a
     // real exchange), NOT coalesce: coalesce is narrow, so it would pull
     // the upstream join itself into 4 tasks — the full-corpus funnel
     // this operator must never create.
-    val fitData = (
-      if (n <= FitSampleCap) data
-      else data.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-        lit(math.max(1L, (FitSampleCap.toDouble / n * 1e6).toLong)))
-    ).repartition(4).cache()
+    def sampled(cap: Long) =
+      (if (n <= cap) data
+       else data.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+         lit(math.max(1L, (cap.toDouble / n * 1e6).toLong)))
+      ).repartition(4).cache()
+    var fitData = sampled(FitSampleCap)
     try {
-      val classes = fitData.select(count_distinct(col("label"))).head().getLong(0)
+      var classes = fitData.select(count_distinct(col("label"))).head().getLong(0)
+      if (classes < 2 && n > FitSampleCap) {
+        // The SAMPLE is single-class but the corpus may not be: a rare
+        // minority class can miss a ≤65536-row sample entirely, and
+        // silently downgrading a healthy corpus to the heuristic echo
+        // would be wrong. One retry at 16× the cap (still bounded)
+        // recovers any minority class down to ~1-in-10⁴ prevalence;
+        // only then does the degenerate path engage, loudly.
+        fitData.unpersist()
+        fitData = sampled(FitSampleCap * 16)
+        classes = fitData.select(count_distinct(col("label"))).head().getLong(0)
+        if (classes < 2)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"qualityClassifier: fit sample single-class at ${FitSampleCap * 16} " +
+              "rows — scoring degrades to the heuristic echo (p_pass ∈ {0,1})")
+      }
       if (classes < 2)
         // degenerate corpus (all-pass or all-fail in the fit sample):
         // the heuristic IS the classifier — echo it with probability

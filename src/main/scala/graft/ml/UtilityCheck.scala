@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   */
 object UtilityCheck {
 
-  /** Fit/eval sample ceiling (deterministic hash gate over the feature
-    * tuple): far past where a linear model's accuracy estimate
+  /** Fit/eval sample ceiling (per-row hash gate over every source
+    * column plus a row-id disambiguator — see the gate note in
+    * [[evalOne]]): far past where a linear model's accuracy estimate
     * saturates, small enough that the repartitioned split is always a
     * trivial shuffle — the check's cost is CONSTANT in table size. */
   private val FitSampleCap = 262144L
@@ -53,7 +54,25 @@ object UtilityCheck {
 
     val feats = numericFeatures(df, target)
     if (feats.isEmpty) return (Double.NaN, Double.NaN)
-    val base = df.select((feats :+ target).map(col): _*)
+    // Per-row sample gate, computed BEFORE projecting down to the
+    // feature columns: hashing only the (features, label) tuple keeps or
+    // drops duplicate tuples together, and on a low-cardinality feature
+    // space (binary/flag columns) that made the cap unenforceable — the
+    // selection was all-or-nothing per DISTINCT tuple, could skew class
+    // balance, and in the extreme hashed every tuple out, silently
+    // reporting (NaN, NaN) on a healthy table. Hashing every original
+    // column picks up any natural row key, and the
+    // monotonically_increasing_id term guarantees row-level granularity
+    // even on fully duplicated rows. The id term makes sample MEMBERSHIP
+    // depend on partitioning — acceptable here and only here because the
+    // very next step, randomSplit(seed=42), is already partition-order-
+    // dependent: D4's declared match mode is prop (bounds-tested), never
+    // hash-compared.
+    val base = df
+      .withColumn("__gate", pmod(
+        xxhash64(df.columns.toSeq.map(col) :+ monotonically_increasing_id(): _*),
+        lit(1000000L)))
+      .select((feats :+ target :+ "__gate").map(col): _*)
       .withColumn("label", col(target).cast("double")).na.drop(Seq("label"))
     // ONE aggregate fits the class count, the row count, and every
     // feature's impute mean (the previous per-feature imputeMean was k+1
@@ -77,11 +96,11 @@ object UtilityCheck {
     // Few fat partitions because every LBFGS iteration is a
     // treeAggregate job: task-count, not data size, dominates at sample
     // scale (200 iters × 32 tasks vs × 4).
-    val sampled =
+    val sampled = (
       if (nRows <= FitSampleCap) imputed
-      else imputed.filter(pmod(
-        xxhash64((feats :+ "label").map(col): _*), lit(1000000L)) <
+      else imputed.filter(col("__gate") <
         lit(math.max(1L, (FitSampleCap.toDouble / nRows * 1e6).toLong)))
+      ).drop("__gate")
     val assembled = new VectorAssembler()
       .setInputCols(feats.toArray).setOutputCol("features")
       .transform(sampled)

@@ -367,17 +367,20 @@ object Drift {
     * W₁ = Σᵢ |F₁(vᵢ) − F₂(vᵢ)| · (vᵢ₊₁ − vᵢ) over the merged
     * distinct-value grid — `scipy.stats.wasserstein_distance` semantics.
     *
-    * Exactness: cumulative counts are integers, so each segment's factor
-    * |cum₁·t₂ − cum₂·t₁| is an exact Long; segment widths are computed in
-    * DOUBLE (`nxt − v` over the exact sample doubles — identical bits in
-    * any engine reading the same values), NOT quantized to a decimal
-    * grid: an earlier cents (DECIMAL(18,2)) width policy silently rounded
-    * sub-cent gaps to zero, under-reading W₁ on ratio/probability-scaled
-    * columns — a money-only assumption this general API must not make.
-    * Each term |Δcum|·width is therefore bit-identical across engines
-    * (the Long is exact as a double below 2⁵³, i.e. per-side n ≲ 9·10⁷;
-    * past that the cast rounds at relative 1e-16 — noise far below the
-    * metric's meaning). The one seam left is the final Σterm: terms are
+    * Exactness: cumulative counts are integers, and the segment factor
+    * |cum₁·t₂ − cum₂·t₁| is computed in DOUBLE — exact (bit-identical to
+    * integer arithmetic in any engine) while the products sit below 2⁵³,
+    * i.e. per-side n ≲ 9·10⁷; past that it rounds at relative 1e-16 —
+    * noise far below the metric's meaning. (Long products would be exact
+    * slightly further but hard-fault on ANSI overflow past ~3·10⁹ rows
+    * per side; double arithmetic never faults.) Segment widths are
+    * likewise computed in DOUBLE (`nxt − v` over the exact sample
+    * doubles — identical bits in any engine reading the same values),
+    * NOT quantized to a decimal grid: an earlier cents (DECIMAL(18,2))
+    * width policy silently rounded sub-cent gaps to zero, under-reading
+    * W₁ on ratio/probability-scaled columns — a money-only assumption
+    * this general API must not make.
+    * The one seam left is the final Σterm: terms are
     * all ≥ 0, so any summation order agrees to ≤ n·ε relative (~1e-11 at
     * 10⁵ distinct values) — inside the oracle gate's 1e-9 tolerance and
     * irrelevant to consumers, while every input-dependent quantity stays
@@ -409,14 +412,20 @@ object Drift {
     val wLead = Window.partitionBy("bucket").orderBy("v")
     val nxt = coalesce(lead(col("v"), 1).over(wLead), col("next_vmin"))
     val width = coalesce(nxt - col("v"), lit(0.0))
-    val num = abs((col("pa") + col("offa")) * col("tb") -
-      (col("pb") + col("offb")) * col("ta"))
+    // cum·t products in DOUBLE, not Long: the cumulative counts and the
+    // totals are each ~n, so a Long product hard-faults (ANSI overflow)
+    // past ~3·10⁹ rows per side — double arithmetic is bit-identical to
+    // the Long form while products sit below 2⁵³ (per-side n ≲ 9·10⁷,
+    // every fixture) and degrades to relative-1e-16 rounding beyond,
+    // never a fault.
+    val num = abs((col("pa") + col("offa")).cast("double") * col("tb") -
+      (col("pb") + col("offb")).cast("double") * col("ta"))
     parts
       .withColumn("pa", sum("na").over(wCum))
       .withColumn("pb", sum("nb").over(wCum))
       .join(broadcast(offsets), Seq("bucket"))
       .select(col("ta"), col("tb"),
-        (num.cast("double") * width).as("term"))
+        (num * width).as("term"))
       .groupBy("ta", "tb")
       .agg(sum(col("term")).as("s"))
       .select(lit(c).as("column"),

@@ -176,6 +176,73 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupClusters(Seq.empty[(Long, Long)].toDF("ida", "idb")).isEmpty)
   }
 
+  test("dedupClustersAuto: driver path below the edge ceiling, distributed above — same output") {
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("ida", "idb")
+    val expect = Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L)
+    def localRelation(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      }.nonEmpty
+    // default ceiling (≫ 3 edges): the driver union-find runs — its
+    // output is a LocalRelation (driver-materialized)
+    val viaDriver = Dedup.dedupClustersAuto(pairs)
+    assert(localRelation(viaDriver), "below the ceiling the driver path must run")
+    assert(viaDriver.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    // zero ceiling trips the dispatch: label propagation runs (no
+    // LocalRelation — the labels ride a checkpointed RDD), same rows
+    val viaDist = Dedup.dedupClustersAuto(pairs, maxDriverEdges = 0L)
+    assert(!localRelation(viaDist), "above the ceiling the distributed path must run")
+    assert(viaDist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
+  test("rep-map broadcast is size-gated, not forced: strategy flips across the ceiling") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable the planner's own auto-broadcast so the physical join
+      // strategy reflects ONLY our hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def strategies(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect() // finalize the adaptive plan
+        physicalPlan(df).toString
+      }
+      val hinted = strategies(Dedup.softDedupWeights(docs, pairs, "doc_id"))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"small rep map must broadcast:\n$hinted")
+      val unhinted = strategies(
+        Dedup.softDedupWeights(docs, pairs, "doc_id", maxBcBytes = 0L))
+      assert(!unhinted.contains("BroadcastHashJoin"),
+        s"rep map above the ceiling must NOT be force-broadcast:\n$unhinted")
+      val split = strategies(graft.ext.Sampling.leakageSafeSplit(
+        docs, pairs, "doc_id", 800, 100, maxBcBytes = 0L))
+      assert(!split.contains("BroadcastHashJoin"),
+        s"leakage-split rep map above the ceiling must NOT be force-broadcast:\n$split")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("verify fixtures sit below the near-dup dispatch ceilings (pin, not assumption)") {
+    // x_neardup_auto / x_minhash_lsh_auto reuse the EXACT oracles on the
+    // premise that the fixtures dispatch to the lossless path; if a
+    // fixture's plan-stats estimate ever crosses a ceiling the engine
+    // would silently band/cap while the oracle still expects exact — a
+    // confusing fail-closed break. Pin the premise so fixture/ceiling
+    // drift fails loudly HERE instead.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val est = graft.Tables.documents(spark, dir)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(est <= Dedup.AllPairsExactMaxInputBytes,
+        s"$dir documents estimate $est crossed the AllPairs ceiling " +
+          s"${Dedup.AllPairsExactMaxInputBytes}: x_neardup_auto would band while " +
+          "its oracle expects exact — re-point the oracle or raise the ceiling")
+      assert(est <= Dedup.MinhashUncappedMaxInputBytes,
+        s"$dir documents estimate $est crossed the minhash uncapped ceiling " +
+          s"${Dedup.MinhashUncappedMaxInputBytes}: x_minhash_lsh_auto would cap while " +
+          "its oracle expects uncapped")
+    }
+  }
+
   test("distributed label propagation equals the driver union-find") {
     // a long path (worst case for propagation: diameter = edge count), a
     // star, a triangle with a multi-edge, and reversed-order edges
