@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Driver-side scan statistics read from FILE METADATA — no Spark job.
+  *
+  * A dispatch decision (driver-fit vs distributed, broadcast vs shuffle)
+  * often needs a ROW count, which plan statistics only carry under CBO;
+  * without it the fallback is a probe job. But when the optimized plan
+  * is a pure column-pruned scan, the exact row count is already sitting
+  * in the parquet footers (one block-metadata record per row group) —
+  * the same statistics the scan itself will use — and reading them is a
+  * few milliseconds of driver IO per file. Callers keep their probe-job
+  * fallback for every other plan shape (filters, joins, non-parquet
+  * sources), so this is a pure fast path, never a new failure mode. */
+object ScanStats {
+
+  /** Exact row count when `df`'s optimized plan is a parquet scan with
+    * no row-changing operator on top (column-pruning Projects and
+    * aliases are fine; any Filter/Join/Aggregate is not). None means
+    * "can't answer from metadata — use your fallback". Callers should
+    * bound their own exposure first (the existing plan-stats byte
+    * short-circuits): footer reads are per-file driver IO, right for
+    * the ≲1 GiB plans dispatch decisions actually probe. */
+  def parquetScanRowCount(df: DataFrame): Option[Long] = {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      // a Project can only prune/rename columns — row-preserving
+      case Project(exprs, child) if exprs.forall(_.deterministic) => unwrap(child)
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other => other
+    }
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          try {
+            var total = 0L
+            fs.location.inputFiles.foreach { f =>
+              val reader = ParquetFileReader.open(
+                HadoopInputFile.fromPath(new Path(f), conf))
+              try total += reader.getRecordCount
+              finally reader.close()
+            }
+            Some(total)
+          } catch { case _: Exception => None } // unreadable footer → fallback
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+}

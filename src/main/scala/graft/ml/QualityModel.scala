@@ -59,15 +59,17 @@ object QualityModel {
       .withColumn("features", array_to_vector(col("arr")))
     // Row count for the fit-sample fraction comes from the INPUT frame,
     // never from `data`: the join is inner 1:1 on the id (labels derive
-    // from the same rows), so the counts are equal — but counting `df`
-    // costs a metadata-pruned zero-column scan (parquet answers it from
-    // row-group footers), while the earlier `data.count()` executed the
-    // hash-embed + gopher-rules join over the whole corpus once per
-    // scoring run just to pick a fraction. CBO row stats win outright
-    // when present. The fraction tolerates estimate slack anyway — the
-    // hash gate is approximate by construction.
-    val n = df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(df.count())
+    // from the same rows), so the counts are equal — and for the common
+    // parquet-scan input the count is read from row-group footers
+    // driver-side (ScanStats — no job), while the earlier `data.count()`
+    // executed the hash-embed + gopher-rules join over the whole corpus
+    // once per scoring run just to pick a fraction. CBO row stats win
+    // outright when present; a zero-column count job is the last resort.
+    // The fraction tolerates estimate slack anyway — the hash gate is
+    // approximate by construction.
+    val n = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      .orElse(graft.io.ScanStats.parquetScanRowCount(df))
+      .getOrElse(df.count())
     // Deterministic hash sample for the fit (never the scoring): the
     // gate is a pure function of the id, so the sample — and therefore
     // the model — is identical under any partitioning. repartition (a

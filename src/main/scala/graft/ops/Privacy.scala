@@ -437,7 +437,12 @@ object Privacy {
     val stats = df.queryExecution.optimizedPlan.stats
     if (stats.sizeInBytes > (BigInt(1) << 30)) return false
     val cap = DriverFitMaxCells / math.max(1, nCols)
-    stats.rowCount.map(_.toLong) match {
+    stats.rowCount.map(_.toLong)
+      // Pure parquet-scan plans answer from footers driver-side — no
+      // probe JOB at all (the common catalog shape: Tables.* scans).
+      // The 1 GiB byte short-circuit above already bounds the footer
+      // IO this can trigger.
+      .orElse(graft.io.ScanStats.parquetScanRowCount(df)) match {
       case Some(rows) => rows <= cap
       case None =>
         // No CBO row estimate: per-partition capped count over unit rows.
