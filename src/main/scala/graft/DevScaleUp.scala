@@ -2,14 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: the sf1-rehearsal harness. Times the [[ScaleUp.Headline]]
-  * set at the base scale factor and at an N× key-offset copy (default
-  * 16 — sf0.1 × 16 ≈ sf1.6 rows for lineitem), printing per-query
-  * ratios. Usage: runMain graft.DevScaleUp <sfDir> [copies]
+/** Dev-only: the sf1-rehearsal harness AND the scale-regression GATE.
+  * Times the [[ScaleUp.Headline]] set at the base scale factor and at an
+  * N× key-offset copy (default 16 — sf0.1 × 16 ≈ sf1.6 rows for
+  * lineitem), printing per-query ratios, then asserts each ratio against
+  * [[ScaleUp.RatioCeilings]] (recorded round-8 ratio × slack): a breach
+  * exits NONZERO, so a scale-shape regression fails as loudly as a
+  * correctness regression fails Verify. A headline query without a
+  * recorded ceiling only warns — its first measured ratio becomes the
+  * next round's record. Also writes SCALE_SELF.json (the SCALE_r{N}
+  * artifact format) directly — no log parsing needed.
+  * Usage: runMain graft.DevScaleUp <sfDir> [copies]
   *
   * Method matches [[Bench]]: one untimed base pass compiles every plan
   * (janino/C2), then the timed base and N× passes run fully
-  * materialized behind per-query GC barriers. */
+  * materialized behind per-query GC barriers, min-of-2 each. */
 object DevScaleUp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
@@ -25,12 +32,54 @@ object DevScaleUp {
     val big = ScaleUp.timeHeadline(spark, dst)
     var baseTotal = 0.0
     var bigTotal = 0.0
-    big.foreach { case (n, v) =>
+    val ratios = big.map { case (n, v) =>
       val b = base.getOrElse(n, -1.0)
       baseTotal += b; bigTotal += v
-      println(f"[scaleup] $n%-26s base $b%7.2f  x$copies%-3d $v%7.2f  ratio ${v / math.max(b, 1e-9)}%6.2f")
+      val r = v / math.max(b, 1e-9)
+      println(f"[scaleup] $n%-26s base $b%7.2f  x$copies%-3d $v%7.2f  ratio $r%6.2f")
+      (n, b, v, r)
     }
     println(f"[scaleup] TOTAL base $baseTotal%.2f x$copies $bigTotal%.2f ratio ${bigTotal / math.max(baseTotal, 1e-9)}%.2f (linear = $copies)")
+
+    // ---- regression gate ----
+    val breaches = ratios.flatMap { case (n, _, _, r) =>
+      ScaleUp.RatioCeilings.get(n) match {
+        case Some(c) if r > c =>
+          println(f"[scaleup] BREACH $n ratio $r%.2f > ceiling $c%.2f " +
+            f"(recorded ${ScaleUp.RecordedRatios(n)}%.2f x slack ${ScaleUp.CeilingSlack})")
+          Some(n)
+        case Some(_) => None
+        case None =>
+          println(s"[scaleup] WARN no recorded ceiling for $n — ratio becomes next round's record")
+          None
+      }
+    }
+
+    // SCALE_SELF.json — same shape scale_json.py produced from the logs
+    val qJson = ratios.map { case (n, b, v, r) =>
+      f""""$n": {"base": $b%.2f, "x$copies": $v%.2f, "ratio": $r%.2f}"""
+    }.mkString(",\n    ")
+    val gateJson =
+      if (breaches.isEmpty) "\"pass\""
+      else breaches.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    val doc =
+      f"""{
+         |  "copies": $copies,
+         |  "sf": "$sfDir",
+         |  "linear_ratio": $copies.0,
+         |  "total_base": $baseTotal%.2f,
+         |  "total_x$copies": $bigTotal%.2f,
+         |  "total_ratio": ${bigTotal / math.max(baseTotal, 1e-9)}%.2f,
+         |  "gate": $gateJson,
+         |  "ceiling_rule": "recorded r8 ratio x ${ScaleUp.CeilingSlack}, floor ${ScaleUp.CeilingFloor}; breach = nonzero exit",
+         |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales; fixture = key-offset copies with per-copy doc markers and disjoint per-copy user populations (ScaleUp.ensure docmark-v3)",
+         |  "queries": {
+         |    $qJson
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SELF.json"), doc)
+    println(s"[scaleup] wrote SCALE_SELF.json; gate=${if (breaches.isEmpty) "pass" else s"FAIL ${breaches.mkString(",")}"}")
     spark.stop()
+    if (breaches.nonEmpty) sys.exit(1)
   }
 }

@@ -520,11 +520,15 @@ object QueryCatalog {
   }
 
   private def p8Sql: String = {
-    def z(src: String, alias: String) = {
-      val mu = s"(CAST(${Exact.s1Sql(src)} AS DOUBLE) / 100.0 / COUNT($src))"
-      val sd = Exact.stdPopSql(src)
-      (mu, sd, alias)
-    }
+    // σ=0 (constant column) falls back to 1.0 — sklearn's `scale_ = 1`
+    // rule, the engine's documented convention (RowTransforms.standardize);
+    // FuzzSpec seed 4 caught the oracle dividing by zero instead. An
+    // empty/all-null fit leaves s1 NULL → μ NULL → z NULL, matching the
+    // engine's null-column output.
+    def sd(n: String, s1: String, s2: String) =
+      s"SQRT(GREATEST(0.0, CAST(CAST($n AS DECIMAL(10,0)) * $s2 - $s1 * $s1 AS DOUBLE) / $n / $n / 10000.0))"
+    def sdSafe(n: String, s1: String, s2: String) =
+      s"(CASE WHEN ${sd(n, s1, s2)} = 0 THEN 1.0 ELSE ${sd(n, s1, s2)} END)"
     s"""WITH f AS (
        |  SELECT
        |    ${Exact.s1Sql("l_quantity")} AS s1q, ${Exact.s2Sql("l_quantity")} AS s2q, COUNT(l_quantity) AS nq,
@@ -532,26 +536,40 @@ object QueryCatalog {
        |  FROM lineitem)
        |SELECT l.l_orderkey, l.l_linenumber,
        |  (CAST(l.l_quantity AS DOUBLE) - (CAST(f.s1q AS DOUBLE) / 100.0 / f.nq))
-       |    / SQRT(GREATEST(0.0, CAST(CAST(f.nq AS DECIMAL(10,0)) * f.s2q - f.s1q * f.s1q AS DOUBLE) / f.nq / f.nq / 10000.0)) AS z_qty,
+       |    / ${sdSafe("f.nq", "f.s1q", "f.s2q")} AS z_qty,
        |  (CAST(l.l_extendedprice AS DOUBLE) - (CAST(f.s1p AS DOUBLE) / 100.0 / f.np))
-       |    / SQRT(GREATEST(0.0, CAST(CAST(f.np AS DECIMAL(10,0)) * f.s2p - f.s1p * f.s1p AS DOUBLE) / f.np / f.np / 10000.0)) AS z_price
+       |    / ${sdSafe("f.np", "f.s1p", "f.s2p")} AS z_price
        |FROM lineitem l, f
        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
   }
 
   private def v2Sql: String = {
     val probs = (0 to 10).map(i => (i.toDouble / 10).toString).mkString(", ")
-    s"""WITH q AS (SELECT quantile_cont(l_extendedprice, [$probs]) AS qs FROM lineitem),
+    // bins come from the DISTINCT quantile values (the engine dedupes
+    // edges before labeling — Privacy.generalizeNumeric:100); duplicate
+    // quantiles on heavy-mass columns otherwise leave the oracle with
+    // phantom empty bins AND the wrong closed-bracket bin, and a
+    // single-distinct-edge (constant) column must label every row NULL
+    // on both sides (FuzzSpec seed 4: the engine's <2-edges guard vs the
+    // oracle's raw 11-edge grid disagreed on a constant column).
+    s"""WITH q AS (SELECT UNNEST(quantile_cont(l_extendedprice, [$probs])) AS v FROM lineitem),
+       |e AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS i, COUNT(*) OVER () AS k
+       |      FROM (SELECT DISTINCT v FROM q WHERE v IS NOT NULL)),
        |bins AS (
-       |  SELECT i, q.qs[i + 1] AS lo, q.qs[i + 2] AS hi
-       |  FROM q, range(10) t(i)),
+       |  SELECT a.i, a.v AS lo, b.v AS hi, a.k - 2 AS last_i
+       |  FROM e a JOIN e b ON b.i = a.i + 1),
        |labeled AS (
        |  SELECT l.l_orderkey, l.l_linenumber,
-       |    CASE WHEN b.i = 9 THEN printf('[%.2f, %.2f]', b.lo, b.hi)
-       |         ELSE printf('[%.2f, %.2f)', b.lo, b.hi) END AS l_extendedprice
+       |    CASE WHEN b.i = b.last_i THEN printf('[%.2f, %.2f]', b.lo, b.hi)
+       |         WHEN b.i IS NOT NULL THEN printf('[%.2f, %.2f)', b.lo, b.hi)
+       |         END AS l_extendedprice
+       |  -- LEFT join: a NULL price has no bin but KEEPS its row with a
+       |  -- NULL label (pandas qcut NaN semantics, the engine's labelExpr
+       |  -- fall-through) — FuzzSpec seed 3 caught the inner join
+       |  -- silently dropping every null-price row from the oracle
        |  FROM lineitem l
-       |  JOIN bins b ON l.l_extendedprice >= b.lo
-       |    AND (l.l_extendedprice < b.hi OR (b.i = 9 AND l.l_extendedprice <= b.hi)))
+       |  LEFT JOIN bins b ON l.l_extendedprice >= b.lo
+       |    AND (l.l_extendedprice < b.hi OR (b.i = b.last_i AND l.l_extendedprice <= b.hi)))
        |SELECT * FROM labeled ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 

@@ -52,6 +52,45 @@ object ScaleUp {
     // above), the twin record for the raw x_ngram_jaccard tail
     "x_minhash_lsh_auto", "x_neardup_auto")
 
+  /** Per-query x16-ratio RECORD (round-8 definitive min-of-2 run,
+    * SCALE_r8.json) — the measured scaling curvature each headline plan
+    * actually has. [[RatioCeilings]] derives the regression GATE from it:
+    * recorded ratio × [[CeilingSlack]], floored at [[CeilingFloor]] (a
+    * sub-2× ratio is mostly job-floor constant, where run-to-run noise is
+    * proportionally largest — the floor keeps the gate meaningful without
+    * flapping). A breach fails DevScaleUp loudly, the way a correctness
+    * regression already fails Verify: scale-shape regressions stop being
+    * a narrative observation and become a gate. Rows above 8 are the
+    * deliberately-raw exact tools kept beside their dispatched twins
+    * (their quadratic candidate growth is the documented record, not a
+    * defect). */
+  val RecordedRatios: Map[String, Double] = Map(
+    "q1_pricing_summary" -> 1.07, "q5_local_supplier_volume" -> 1.69,
+    "a1_profile_lineitem" -> 3.89, "d1_ks_statistic" -> 3.43,
+    "d3_drift_all" -> 2.83, "v2_generalize" -> 3.76, "v4_synthetic" -> 6.10,
+    "v5_smart_suggest" -> 1.49, "x_minhash_lsh" -> 10.29,
+    "x_ngram_jaccard" -> 11.63, "x_corpus_clean" -> 2.34,
+    "s_sessionize" -> 1.77, "q_asof_join" -> 2.06, "d_psi" -> 2.56,
+    "x_vocab_topk" -> 4.92, "x_snapshot_diff" -> 3.15,
+    "x_embed_centroid" -> 1.79, "x_distinct_sketch" -> 1.86,
+    "q_salted_agg" -> 1.49, "a_corr_matrix" -> 4.48,
+    "d_drift_extended" -> 3.60, "x_bpe_pairs" -> 3.73, "s_funnel" -> 2.00,
+    "x_leakage_split" -> 2.49, "x_neardup_delta" -> 8.11,
+    "q_nearest_event" -> 2.26, "s_attribution" -> 2.08,
+    "x_neardup_delta_auto" -> 1.62, "x_source_overlap" -> 1.60,
+    "x_ppl_buckets" -> 5.65, "q18_large_orders" -> 1.31,
+    "q_enrich_events" -> 1.29, "q7_volume_shipping" -> 2.64,
+    "x_doc_novelty" -> 4.83, "x_source_card" -> 1.91,
+    "x_minhash_lsh_auto" -> 5.32, "x_neardup_auto" -> 2.45)
+
+  val CeilingSlack = 2.0
+  val CeilingFloor = 4.0
+
+  val RatioCeilings: Map[String, Double] =
+    RecordedRatios.map { case (q, r) =>
+      q -> math.max(r * CeilingSlack, CeilingFloor)
+    }
+
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
     * fixture instead of rewriting ~4× the data each round. */

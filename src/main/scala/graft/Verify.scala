@@ -10,17 +10,29 @@ object Verify {
     }
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), appName = "graft-verify")
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body behind [[main]], callable in-process (FuzzSpec runs it
+    * against generated fixtures with the suite's shared session). Returns
+    * the names that FAILED to produce output. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           only: Set[String]): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = selected.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
-    }
+    }.toSeq
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -36,6 +48,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    failed
   }
 }

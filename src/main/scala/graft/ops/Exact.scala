@@ -158,19 +158,27 @@ object Exact {
 
   /** mean = S1/100/n with fixed double op order. */
   def meanFromMoments(s1: Column, n: Column): Column =
-    s1.cast("double") / 100.0 / n
+    // n = 0 → NULL without dividing (ANSI double-division fault; DuckDB
+    // NULL parity — see [[stdFromMoments]])
+    when(n >= 1, s1.cast("double") / 100.0 / n)
 
   /** Sample std (ddof=1, pandas `std()` convention) from exact moments:
     * sqrt(max(0, (n·S2 − S1²)/n/(n−1)/10000)). */
   def stdFromMoments(s1: Column, s2: Column, n: Column): Column = {
     val num = (n.cast(DecimalType(10, 0)) * s2 - s1 * s1).cast("double")
-    sqrt(greatest(lit(0.0), num / n / (n - lit(1)) / 10000.0))
+    // n < 2 → NULL, never a division: Spark 4 ANSI faults on DOUBLE
+    // division by zero too (FuzzSpec single-row seed killed a whole
+    // profile job through this), and DuckDB's x/0 is NULL — the guard is
+    // both the crash fix and the oracle's exact semantics. CaseWhen
+    // evaluates the branch lazily, so the division never runs at n < 2.
+    when(n >= 2, sqrt(greatest(lit(0.0), num / n / (n - lit(1)) / 10000.0)))
   }
 
-  /** Population std (ddof=0, sklearn StandardScaler convention). */
+  /** Population std (ddof=0, sklearn StandardScaler convention). n = 0 →
+    * NULL (no division — see the ANSI note in [[stdFromMoments]]). */
   def stdPopFromMoments(s1: Column, s2: Column, n: Column): Column = {
     val num = (n.cast(DecimalType(10, 0)) * s2 - s1 * s1).cast("double")
-    sqrt(greatest(lit(0.0), num / n / n / 10000.0))
+    when(n >= 1, sqrt(greatest(lit(0.0), num / n / n / 10000.0)))
   }
 
   /** Exact linear-interpolated quantiles of a ≤2-decimal column via a
@@ -562,9 +570,14 @@ object Exact {
   def meanSql(c: String): String =
     s"CAST(${s1Sql(c)} AS DOUBLE) / 100.0 / COUNT($c)"
 
+  // The n-guards mirror std{,Pop}FromMoments: DuckDB's x/0 is NULL, but
+  // GREATEST(0.0, NULL) IGNORES the null (both engines' greatest does),
+  // silently turning an undefined std into 0.0 — FuzzSpec caught the
+  // oracle reporting σ = 0 for an all-null column where pandas (and the
+  // engine) say NaN/NULL.
   def stdSql(c: String): String =
-    s"SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / (COUNT($c) - 1) / 10000.0))"
+    s"(CASE WHEN COUNT($c) >= 2 THEN SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / (COUNT($c) - 1) / 10000.0)) END)"
 
   def stdPopSql(c: String): String =
-    s"SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / COUNT($c) / 10000.0))"
+    s"(CASE WHEN COUNT($c) >= 1 THEN SQRT(GREATEST(0.0, CAST(CAST(COUNT($c) AS DECIMAL(10,0)) * ${s2Sql(c)} - ${s1Sql(c)} * ${s1Sql(c)} AS DOUBLE) / COUNT($c) / COUNT($c) / 10000.0)) END)"
 }

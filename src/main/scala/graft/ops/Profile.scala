@@ -783,7 +783,16 @@ object Profile {
       sqrt(nd * d("syy") - d("sy") * d("sy"))
     val colA = element_at(array(pairs.map(p => lit(p._1)): _*), col("pi") + 1)
     val colB = element_at(array(pairs.map(p => lit(p._2)): _*), col("pi") + 1)
-    g.select(colA.as("col_a"), colB.as("col_b"), col("n"),
+    // Static pair SPINE left-joined back in (the distinctCounts idiom):
+    // an EMPTY input explodes to zero entries and would drop every pair
+    // row, where pandas `df.corr()` (and the oracle's unconditional pair
+    // grid) reports each pair with no observations — C(k,2) rows, n = 0,
+    // corr NULL. The spine is ≤ C(k,2) rows, so the join is free.
+    val spine = spark.range(pairs.length.toLong)
+      .select(col("id").cast("int").as("pi"))
+    spine.join(g, Seq("pi"), "left")
+      .select(colA.as("col_a"), colB.as("col_b"),
+        coalesce(col("n"), lit(0L)).as("n"),
         when(col("n") >= 2, round(num / nullif(den, lit(0.0)), 6)).as("corr"))
       .orderBy("col_a", "col_b")
   }

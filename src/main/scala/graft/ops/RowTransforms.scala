@@ -68,10 +68,18 @@ object RowTransforms {
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val s1 = row.getDecimal(3 * i)
       val n = row.getLong(3 * i + 2)
-      val mu = Exact.meanDouble(s1, n)
-      val sd = Exact.stdPopDouble(s1, row.getDecimal(3 * i + 1), n)
-      val sdSafe = if (sd == 0.0 || sd.isNaN) 1.0 else sd
-      d.withColumn(c, (col(c).cast("double") - mu) / sdSafe)
+      if (n == 0L || s1 == null)
+        // fit saw NO values (empty frame / all-null column): the mean is
+        // undefined, so the z-score is NULL for every row — the oracle's
+        // NULL propagation ((x − NULL)/σ), found by FuzzSpec seed 1/5;
+        // the previous code NPE'd on the null moment sum
+        d.withColumn(c, lit(null).cast("double"))
+      else {
+        val mu = Exact.meanDouble(s1, n)
+        val sd = Exact.stdPopDouble(s1, row.getDecimal(3 * i + 1), n)
+        val sdSafe = if (sd == 0.0 || sd.isNaN) 1.0 else sd
+        d.withColumn(c, (col(c).cast("double") - mu) / sdSafe)
+      }
     }
   }
 

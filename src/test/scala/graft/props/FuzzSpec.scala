@@ -1,0 +1,188 @@
+package graft.props
+
+import graft.{SparkSpec, Verify}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Randomized DIFFERENTIAL testing against the DuckDB oracle — the same
+  * (query, oracleSql) catalog pairs the driver gate runs on the fixed
+  * fixtures, re-run on seeded adversarial tables: empty, single-row,
+  * all-null columns, constant columns, duplicate-heavy domains, unicode
+  * and empty strings, the literal "NA" category colliding with the null
+  * sentinel, negative money, min/max-magnitude money values. Fixed
+  * fixtures can never show that the engine and the oracle AGREE on these
+  * edges — both engines sharing a wrong formula passes any fixed gate,
+  * but a shared formula still diverges on edge inputs whenever the
+  * IMPLEMENTATIONS differ (null handling, rounding, overflow, ordering).
+  *
+  * Shape: each seed deterministically generates lineitem/orders/supplier
+  * with the production schemas (other tables symlink to the sf0.001
+  * fixture), runs the catalog subset through Verify.dump, and hands the
+  * result to dev/check.py — the SAME comparator the driver uses (column
+  * canonicalization, type-family audit, 1e-9 float tolerance). Every
+  * divergence therefore reproduces exactly as the driver would see it,
+  * keyed by seed. Skips (never fails) when python3+duckdb is absent. */
+class FuzzSpec extends SparkSpec {
+
+  private lazy val duckdbOk =
+    try scala.sys.process.Process(Seq("python3", "-c", "import duckdb")).! == 0
+    catch { case _: Exception => false }
+
+  /** Catalog queries reading only lineitem/orders/supplier/customer —
+    * the profile, drift, transform, privacy and relational families. */
+  private val FuzzQueries = Set(
+    "q1_pricing_summary", "q18_large_orders",
+    "a1_profile_lineitem", "a2_value_counts", "a3_mode", "a4_rare_categories",
+    "a5_distinct_counts", "a8_mu_sigma", "a9_category_pmf", "a_corr_matrix",
+    // p9_onehot excluded: its pivot COLUMNS are data-dependent while the
+    // static oracle necessarily pins the fixture alphabet (A/N/R) — on a
+    // random alphabet the schemas can never agree; its data-derived
+    // vocabulary is spec-gated instead (RowTransformsSpec).
+    "p_row_transforms", "p8_standardize", "p_winsorize", "p_robust_scale",
+    "v1_sdc_suppress", "v2_generalize", "v5_smart_suggest",
+    "d1_ks_statistic", "d2_chi2_drift", "d3_drift_all", "d_psi", "d_wasserstein")
+
+  private val liSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    // NTZ like the driver fixture (pyarrow writes isAdjustedToUTC=false):
+    // an adjusted TIMESTAMP here made a1's dtype row read 'timestamp'
+    // while the oracle (running on real-fixture-shaped views) said
+    // 'timestamp_ntz' — fixture fidelity, not an engine defect
+    StructField("l_shipdate", TimestampNTZType)))
+  private val ordSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType)))
+  private val supSchema = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  /** Per-seed generation profile. Seeds 1-5 pin the named edge shapes;
+    * higher seeds draw everything from the RNG. */
+  private case class Profile(rows: Int, nullRate: Double, constNum: Boolean,
+                             allNullNum: Boolean, domain: Int, alphabet: Seq[String])
+
+  private val uni = Seq("Σ-flag", "旗", "", "NA", "ä", "n/a", "R")
+
+  private def profileFor(seed: Int, r: scala.util.Random): Profile = seed match {
+    case 1 => Profile(0, 0, constNum = false, allNullNum = false, 10, Seq("A", "B"))
+    case 2 => Profile(1, 0, constNum = false, allNullNum = false, 10, Seq("A"))
+    case 3 => Profile(60, 0.5, constNum = false, allNullNum = false, 8, uni)
+    case 4 => Profile(300, 0.1, constNum = true, allNullNum = false, 4, Seq("只"))
+    case 5 => Profile(300, 0.15, constNum = false, allNullNum = true, 6, uni)
+    case _ => Profile(
+      rows = Seq(2, 37, 200, 500)(r.nextInt(4)),
+      nullRate = Seq(0.0, 0.05, 0.3, 0.6)(r.nextInt(4)),
+      constNum = r.nextBoolean() && r.nextBoolean(),
+      allNullNum = false,
+      domain = 1 + r.nextInt(40),
+      alphabet = r.shuffle(uni ++ Seq("AB", "C", "D")).take(1 + r.nextInt(5)))
+  }
+
+  // money with EXACT cents (both engines quantize identically), spanning
+  // negative values, sub-cent-free tiny values and ~1e6 magnitudes
+  private def money(r: scala.util.Random, const: Boolean): Double =
+    if (const) 42.42
+    else r.nextInt(6) match {
+      case 0 => 0.01
+      case 1 => -0.01
+      case 2 => (r.nextInt(200000001) - 100000000) / 100.0 // ±1e6
+      case _ => (r.nextInt(2000001) - 1000000) / 100.0     // ±1e4
+    }
+
+  private def maybeNull[A](r: scala.util.Random, p: Profile)(v: => A): Any =
+    if (r.nextDouble() < p.nullRate) null else v
+
+  private def ts(r: scala.util.Random): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      700000000L + r.nextInt(300000000), 0, java.time.ZoneOffset.UTC) // 1992..2001
+
+  private def genTables(seed: Int): (DataFrame, DataFrame, DataFrame) = {
+    val r = new scala.util.Random(seed * 7919L)
+    val p = profileFor(seed, r)
+    val li = (0 until p.rows).map { i =>
+      Row(
+        maybeNull(r, p)(r.nextInt(math.max(1, p.rows / 2)).toLong + 1L),
+        maybeNull(r, p)(r.nextInt(p.domain).toLong + 1L),
+        maybeNull(r, p)(r.nextInt(10).toLong + 1L),
+        maybeNull(r, p)(r.nextInt(7) + 1),
+        if (p.allNullNum) null else maybeNull(r, p)(money(r, p.constNum)),
+        if (p.allNullNum) null else maybeNull(r, p)(money(r, p.constNum)),
+        maybeNull(r, p)((r.nextInt(100)) / 100.0),
+        maybeNull(r, p)((r.nextInt(9)) / 100.0),
+        maybeNull(r, p)(p.alphabet(r.nextInt(p.alphabet.length))),
+        maybeNull(r, p)(p.alphabet(r.nextInt(p.alphabet.length))),
+        maybeNull(r, p)(ts(r)))
+    }
+    val ord = (0 until p.rows / 2).map { i =>
+      Row(
+        // overlap the lineitem key domain so joins hit, plus misses
+        maybeNull(r, p)(r.nextInt(math.max(1, p.rows)).toLong + 1L),
+        r.nextInt(150).toLong + 1L, // real sf0.001 customer key domain
+        maybeNull(r, p)(p.alphabet(r.nextInt(p.alphabet.length))),
+        maybeNull(r, p)(money(r, const = false)),
+        maybeNull(r, p)(ts(r)),
+        maybeNull(r, p)(p.alphabet(r.nextInt(p.alphabet.length))))
+    }
+    val sup = (0 until math.min(p.rows, 80)).map { i =>
+      Row(i.toLong + 1L,
+        maybeNull(r, p)(p.alphabet(r.nextInt(math.max(1, p.alphabet.length / 2)))),
+        maybeNull(r, p)(r.nextInt(25)),
+        maybeNull(r, p)(money(r, const = false)))
+    }
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(li.asJava, liSchema),
+      spark.createDataFrame(ord.asJava, ordSchema),
+      spark.createDataFrame(sup.asJava, supSchema))
+  }
+
+  private def materializeFixture(seed: Int): String = {
+    val dir = s"/tmp/graft_fuzz/seed$seed"
+    val path = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(path.toFile)
+    java.nio.file.Files.createDirectories(path)
+    val (li, ord, sup) = genTables(seed)
+    // single FILES, not Spark part-directories: check.py's DuckDB views
+    // read '<dir>/<t>.parquet' exactly like the driver fixture layout
+    def writeFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dir/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      java.nio.file.Files.move(part.toPath, path.resolve(s"$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    writeFile(li, "lineitem")
+    writeFile(ord, "orders")
+    writeFile(sup, "supplier")
+    // the rest symlink to the real fixture (check.py builds views for all)
+    Seq("region", "nation", "customer", "part", "events", "documents",
+      "embeddings").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        path.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$Sf/$t.parquet"))
+    }
+    dir
+  }
+
+  for (seed <- 1 to 6)
+    test(s"differential fuzz seed $seed: ${FuzzQueries.size} catalog queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      val dir = materializeFixture(seed)
+      val out = s"/tmp/graft_fuzz/out$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val failed = Verify.dump(spark, dir, out, FuzzQueries)
+      assert(failed.isEmpty, s"queries threw on seed $seed: $failed")
+      val buf = new StringBuilder
+      val logger = scala.sys.process.ProcessLogger(l => buf.append(l).append('\n'))
+      val code = scala.sys.process.Process(
+        Seq("python3", "dev/check.py", dir, out),
+        new java.io.File("/root/repo")).!(logger)
+      assert(code == 0, s"oracle divergence at seed $seed:\n$buf")
+    }
+}
