@@ -61,10 +61,24 @@ def compare(sdf, ddf):
     return f"MISMATCH first at col={first_bad[0]} row={first_bad[1]}: spark={first_bad[2]!r} duck={first_bad[3]!r}"
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> appends driver-format per-query records
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sfdir, outdir = args[0], args[1]
+    records = {}
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleUp fixtures are Spark
+        # part-directories - glob the parts in that case
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     result_dirs = sorted(glob.glob(f"{outdir}/*/"))
     names = [p.rstrip("/").split("/")[-1] for p in result_dirs]
@@ -72,18 +86,29 @@ def main():
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"{name:35s} NO-OUTPUT"); failures += 1; continue
+            print(f"{name:35s} NO-OUTPUT"); failures += 1
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": "no_output"}
+            continue
         sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
         if name not in oracle:
             print(f"{name:35s} rows-only: {len(sdf)} rows" + (" (EMPTY!)" if len(sdf) == 0 else ""))
             if len(sdf) == 0: failures += 1
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             rel = con.sql(oracle[name])
             dtypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
             ddf = rel.df()
         except Exception as e:
-            print(f"{name:35s} ORACLE-SQL-ERROR {e}"); failures += 1; continue
+            print(f"{name:35s} ORACLE-SQL-ERROR {e}"); failures += 1
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"oracle_sql_error: {e}"}
+            continue
         # Driver-faithful strictness (round-3 lesson): the driver reads the
         # SPARK parquet via pyarrow→pandas (DECIMAL → object(Decimal)) but
         # the ORACLE via duckdb .df() (DECIMAL and HUGEINT → float64), then
@@ -113,11 +138,21 @@ def main():
         if baddt:
             print(f"{name:35s} TYPE-MISMATCH (spark,oracle)={baddt}")
             failures += 1
+            records[name] = {"rows_match": len(sdf) == len(ddf),
+                             "schema_match": False, "hash_match": False,
+                             "spark_rows": len(sdf), "oracle_rows": len(ddf),
+                             "err": f"type_mismatch: {baddt}"}
             continue
         verdict = compare(sdf, ddf)
         print(f"{name:35s} {verdict}")
         if verdict.startswith(("MISMATCH", "SCHEMA", "ROWCOUNT")):
             failures += 1
+        records[name] = {
+            "rows_match": not verdict.startswith(("ROWCOUNT", "SCHEMA")),
+            "schema_match": not verdict.startswith("SCHEMA"),
+            "hash_match": verdict == "EXACT",
+            "spark_rows": len(sdf), "oracle_rows": len(ddf),
+            "err": None if verdict == "EXACT" else verdict}
     # Oracle entries with no result dir only count as failures on a full
     # Verify run; a filtered run (graft.Verify <sf> <out> name...) writes a
     # subset of results but always the complete oracle_sql.json.
@@ -127,6 +162,10 @@ def main():
     else:
         for name in extra:
             print(f"{name:35s} ORACLE-WITHOUT-RESULT"); failures += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"(wrote {json_out}: {len(records)} records)")
     print(f"\n{'FAIL' if failures else 'OK'}: {failures} failing of {len(names)} queries")
     sys.exit(1 if failures else 0)
 

@@ -54,8 +54,19 @@ object Drift {
     * the tiny offsets frame. Returns (ci, ks). */
   private[graft] def ksFromCounts(counts: DataFrame, buckets: Int,
                                   roundTo: Option[Int]): DataFrame = {
+    // localCheckpoint FREEZES the bucket ids: `parts` feeds two plan
+    // branches (offsets and the cumulative join), and column pruning
+    // makes their exchange subtrees non-identical, so ReuseExchange does
+    // NOT dedup them — each branch would instantiate its OWN range
+    // exchange whose partitioner samples split points seeded by RDD id,
+    // and the two bucketings can disagree, silently misaligning every
+    // prefix offset. Found by the r9 x16 oracle run: d3's multi-KS was
+    // nondeterministic at exactly the scale where this path dispatches
+    // (the driver path runs below 64 MB, so no smaller gate could see
+    // it). The checkpointed frame is value-domain-sized, never the data.
     val parts = counts.repartitionByRange(buckets, col("ci"), col("v"))
       .withColumn("bucket", spark_partition_id())
+      .localCheckpoint()
     val wPre = Window.partitionBy("ci").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCi = Window.partitionBy("ci")
@@ -394,8 +405,12 @@ object Drift {
   def wasserstein(before: DataFrame, after: DataFrame, c: String,
                   buckets: Int = 32): DataFrame = {
     val counts = ksCountsFrame(before, after, Seq(c))
+    // localCheckpoint freezes bucket ids — the two consumers (offsets,
+    // cumulative join) must see ONE range partitioning; see the
+    // ksFromCounts note (same x16-found defect class)
     val parts = counts.repartitionByRange(buckets, col("v"))
       .withColumn("bucket", spark_partition_id())
+      .localCheckpoint()
     val wPre = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -309,13 +309,22 @@ object Exact {
         when(col("v") <=> col("v").cast(DecimalType(18, 2)).cast("double"), 0L).otherwise(1L))
       .withColumn("b", cents(col("v")))
     // Persist BEFORE repartitionByRange: the range partitioner's sampling
-    // pass and the three downstream consumers (offsets, cumulative join,
-    // summary) would otherwise each recompute the scan + histogram shuffle.
+    // pass would otherwise recompute the scan + histogram shuffle.
     val hist = exploded.groupBy("ci", "b")
       .agg(count(lit(1)).as("cnt"), sum("bad").as("bad"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint FREEZES the bucket ids for the three downstream
+    // consumers (offsets, cumulative join, summary): their pruned
+    // exchange subtrees are non-identical, so without one shared
+    // materialization each would instantiate its own range exchange with
+    // independently-sampled split points — the r9 x16 oracle run caught
+    // a1's at-scale median off by 0.8% through exactly this (the driver
+    // sort runs below the cell ceiling, so no smaller gate could see
+    // it). Checkpoint is eager, so hist's cache is spent right after.
     val parts = hist.repartitionByRange(buckets, col("ci"), col("b"))
       .withColumn("bucket", spark_partition_id())
+      .localCheckpoint()
+    hist.unpersist(blocking = false)
     val wPre = Window.partitionBy("ci").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCi = Window.partitionBy("ci")
@@ -359,9 +368,7 @@ object Exact {
       max("badci").as("badci"),
       lit(null).cast("long").as("blo"), lit(null).cast("long").as("bhi"),
       sum("nbins").as("bins"))
-    val rows =
-      try crossings.unionByName(summary).collect()
-      finally hist.unpersist(blocking = false)
+    val rows = crossings.unionByName(summary).collect()
     val byCi = rows.groupBy(_.getInt(0))
     cols.zipWithIndex.map { case (c, i) =>
       val rs = byCi.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
