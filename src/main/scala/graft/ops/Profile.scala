@@ -901,8 +901,15 @@ object Profile {
     val wAll = Window.partitionBy()
     val wCum = Window.partitionBy().orderBy("x", "y")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = (col("n") * col("cxy") - col("cx") * col("cy")).cast("double")
-    val term = d * d / (col("n") * col("cx") * col("cy")).cast("double")
+    // χ² factors in DOUBLE, not Long: n·cx·cy overflows a Long past
+    // ~10⁷ rows on a small grid (the x16 oracle run ANSI-faulted here —
+    // 9.6M rows × two ~3.2M marginals ≈ 10²⁰). Double products are
+    // bit-exact below 2⁵³ and round at relative 1e-16 beyond — invisible
+    // under the 6-dp output rounding, and never a fault.
+    val d = (col("n").cast("double") * col("cxy") -
+      col("cx").cast("double") * col("cy"))
+    val term = d * d /
+      (col("n").cast("double") * col("cx") * col("cy"))
     grid
       .withColumn("n", sum("cxy").over(wAll))
       .withColumn("cx", sum("cxy").over(Window.partitionBy("x")))

@@ -68,6 +68,72 @@ class FuzzSpec extends SparkSpec {
 
   private val uni = Seq("Σ-flag", "旗", "", "NA", "ä", "n/a", "R")
 
+  /** Text-family catalog queries over documents (stateless scans and
+    * exact dedup — no size-dispatch in the plan, so their static oracles
+    * hold on any corpus content). */
+  private val TextFuzzQueries = Set(
+    "t_token_count", "t_text_stats", "t_flesch", "t_code_detect",
+    "t_gopher_rules", "t_lang_id", "t_fingerprint", "t_entropy",
+    "t_repetition", "t_fertility", "t_token_histogram", "t_freq_spectrum",
+    "t_bigram_logprob", "t_tfidf_topk", "t_pii_scan", "t_pii_redact",
+    "t_lang_mismatch", "x_dedup_exact", "x_dedup_norm", "x_token_chunks")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Adversarial token pool: unicode words, code-ish fragments, PII-like
+    * strings, numbers, punctuation runs — the shapes language-ID,
+    * quality scoring, code detection and PII scanning branch on. */
+  private val tokenPool = Seq(
+    "the", "data", "spark", "merge", "вода", "示例", "naïve", "Straße",
+    "x=1;", "def", "{", "}", "return", "//comment", "SELECT",
+    "john@example.com", "123-45-6789", "+1-555-0100", "4111111111111111",
+    "3.14159", "1e308", "0", "-42", "!!!", "...", "?", "word,", "end.",
+    "CamelCase", "snake_case", "UPPER", "a")
+
+  private def genText(r: scala.util.Random, shape: Int): String = shape match {
+    case 0 => "" // empty text
+    case 1 => tokenPool(r.nextInt(tokenPool.length)) // single token
+    case 2 => "   " // whitespace only (split yields empty tokens)
+    case 3 => // repeated token runs (repetition/entropy edges)
+      val t = tokenPool(r.nextInt(tokenPool.length))
+      Seq.fill(3 + r.nextInt(40))(t).mkString(" ")
+    case 4 => // double spaces + leading/trailing space (tokenizer edge)
+      " " + Seq.fill(5 + r.nextInt(10))(
+        tokenPool(r.nextInt(tokenPool.length))).mkString("  ") + " "
+    case _ => // general mixed text
+      Seq.fill(1 + r.nextInt(80))(tokenPool(r.nextInt(tokenPool.length)))
+        .mkString(" ")
+  }
+
+  private def genDocuments(seed: Int): DataFrame = {
+    val r = new scala.util.Random(seed * 104729L)
+    val rows = seed match {
+      case 7 => 40 // tiny corpus, degenerate texts dominate
+      case _ => 120 + r.nextInt(300)
+    }
+    val langs = Seq("en", "es", "zh", "xx", null, "")
+    val sources = Seq("src0", "src1", "src2", "", null)
+    // duplicate-heavy tail: ~20% of docs clone an earlier text so the
+    // exact/norm dedup families have real work
+    val texts = new scala.collection.mutable.ArrayBuffer[String]
+    val docs = (0 until rows).map { i =>
+      val text =
+        if (texts.nonEmpty && r.nextInt(5) == 0) texts(r.nextInt(texts.length))
+        else {
+          val shape = if (seed == 7) r.nextInt(6) else if (r.nextInt(4) == 0) r.nextInt(6) else 5
+          genText(r, shape)
+        }
+      texts += text
+      Row(i.toLong, text, langs(r.nextInt(langs.length)),
+        sources(r.nextInt(sources.length)), text.length.toLong)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(docs.asJava, docSchema)
+  }
+
   private def profileFor(seed: Int, r: scala.util.Random): Profile = seed match {
     case 1 => Profile(0, 0, constNum = false, allNullNum = false, 10, Seq("A", "B"))
     case 2 => Profile(1, 0, constNum = false, allNullNum = false, 10, Seq("A"))
@@ -169,6 +235,43 @@ class FuzzSpec extends SparkSpec {
     }
     dir
   }
+
+  private def materializeDocFixture(seed: Int): String = {
+    val dir = s"/tmp/graft_fuzz/seed$seed"
+    val path = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(path.toFile)
+    java.nio.file.Files.createDirectories(path)
+    val tmp = s"$dir/__tmp_documents"
+    genDocuments(seed).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no part file written for documents"))
+    java.nio.file.Files.move(part.toPath, path.resolve("documents.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        path.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$Sf/$t.parquet"))
+    }
+    dir
+  }
+
+  for (seed <- 7 to 9)
+    test(s"differential text fuzz seed $seed: ${TextFuzzQueries.size} document queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      val dir = materializeDocFixture(seed)
+      val out = s"/tmp/graft_fuzz/out$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val failed = Verify.dump(spark, dir, out, TextFuzzQueries)
+      assert(failed.isEmpty, s"queries threw on seed $seed: $failed")
+      val buf = new StringBuilder
+      val logger = scala.sys.process.ProcessLogger(l => buf.append(l).append('\n'))
+      val code = scala.sys.process.Process(
+        Seq("python3", "dev/check.py", dir, out),
+        new java.io.File("/root/repo")).!(logger)
+      assert(code == 0, s"oracle divergence at seed $seed:\n$buf")
+    }
 
   for (seed <- 1 to 6)
     test(s"differential fuzz seed $seed: ${FuzzQueries.size} catalog queries vs the DuckDB oracle") {
