@@ -593,6 +593,13 @@ object QueryCatalog {
     * distinct-value CDF grid; each segment contributes the exact HUGEINT
     * |cum₁·t₂ − cum₂·t₁| × width-in-cents, summed exactly, then ONE
     * normalization in double space in the identical operand order. */
+  /** Mirrors [[graft.ops.Drift.wasserstein]]'s bit-deterministic sum
+    * op-for-op: the same correctly-rounded double chain
+    * (num/ta/tb·width·2⁶²), the same two-level floor (FLOOR below 2⁵²,
+    * straight integer cast of the already-integer-valued double at or
+    * above), exact HUGEINT accumulation (order-free), and the same
+    * range≤10¹⁵ dispatch back to the plain double sum — so Spark and
+    * DuckDB agree on every bit, not just to 1e-9. */
   private def wassersteinSql(c: String, filterA: String, filterB: String): String =
     s"""WITH a AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterA) AND $c IS NOT NULL),
        |b AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem WHERE ($filterB) AND $c IS NOT NULL),
@@ -602,12 +609,28 @@ object QueryCatalog {
        |  SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
        |  SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
        |  SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb,
-       |  LEAD(v) OVER (ORDER BY v) AS nxt FROM counts)
+       |  MIN(v) OVER () AS vmin, MAX(v) OVER () AS vmax,
+       |  LEAD(v) OVER (ORDER BY v) AS nxt FROM counts),
+       |terms AS (SELECT ta, tb, (vmax - vmin) <= 1.0e15 AS range_ok,
+       |  ABS(CAST(cuma AS DOUBLE) * CAST(tb AS DOUBLE) -
+       |      CAST(cumb AS DOUBLE) * CAST(ta AS DOUBLE)) AS num,
+       |  COALESCE(nxt - v, 0) AS width FROM cdfs),
+       |t4s AS (SELECT ta, tb, range_ok, num * width AS dterm,
+       |  CASE WHEN range_ok AND ta > 0 AND tb > 0 THEN
+       |    num / CAST(ta AS DOUBLE) / CAST(tb AS DOUBLE) * width
+       |      * 4611686018427387904.0
+       |  ELSE 0.0 END AS t4 FROM terms),
+       |q AS (SELECT ta, tb, range_ok, dterm,
+       |  CASE WHEN t4 < 8.6e37 THEN
+       |    CASE WHEN t4 < 4503599627370496.0
+       |      THEN CAST(FLOOR(t4) AS HUGEINT) ELSE CAST(t4 AS HUGEINT) END
+       |  ELSE CAST(0 AS HUGEINT) END AS qi FROM t4s)
        |SELECT '$c' AS "column",
        |  CASE WHEN ta > 0 AND tb > 0 THEN
-       |    SUM(CAST(ABS(cuma * tb - cumb * ta) AS DOUBLE) *
-       |      COALESCE(nxt - v, 0)) / ta / tb END AS w1
-       |FROM cdfs GROUP BY ta, tb""".stripMargin
+       |    CASE WHEN range_ok
+       |      THEN CAST(SUM(qi) AS DOUBLE) / 4611686018427387904.0
+       |      ELSE SUM(dterm) / ta / tb END END AS w1
+       |FROM q GROUP BY ta, tb, range_ok""".stripMargin
 
   /** chi²-like SQL mirror (reference formula verbatim incl. the 1e-9). */
   private def chi2Sql(c: String, filterA: String, filterB: String): String =

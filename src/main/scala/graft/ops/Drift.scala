@@ -391,11 +391,20 @@ object Drift {
     * width policy silently rounded sub-cent gaps to zero, under-reading
     * W₁ on ratio/probability-scaled columns — a money-only assumption
     * this general API must not make.
-    * The one seam left is the final Σterm: terms are
-    * all ≥ 0, so any summation order agrees to ≤ n·ε relative (~1e-11 at
-    * 10⁵ distinct values) — inside the oracle gate's 1e-9 tolerance and
-    * irrelevant to consumers, while every input-dependent quantity stays
-    * exact.
+    * The final Σterm is ORDER-FREE and bit-deterministic, not merely
+    * tolerance-close: each per-segment term is normalized
+    * (num/tₐ/t_b·width — a fixed chain of correctly-rounded IEEE ops,
+    * identical bits in any engine reading the same doubles), scaled by
+    * exactly 2⁶² (a pure exponent shift), floored to an integer, and
+    * summed in DECIMAL(38,0) — exact integer addition in ANY order. A
+    * 583k-term sum at x16 previously drifted at the last ulp between
+    * Spark's shuffle order and the oracle's scan order; the quantized
+    * sum is bit-identical in both. Cost: ≤ m·2⁻⁶² absolute (~1e-13 at
+    * 583k distinct values, ~2e-7 at 10¹² — far below the metric's
+    * meaning), and the integer path engages only when the value range
+    * ≤ 10¹⁵ (keeps Σq ≲ 4.6·10³³, never near the DECIMAL(38) or
+    * HUGEINT ceiling); wider/NaN/infinite ranges fall back to the
+    * plain double sum, which is then the honest ±n·ε answer.
     *
     * Scale shape mirrors [[ksFromCounts]]: range-partition the distinct
     * grid, per-bucket cumulative windows, broadcast per-bucket prefix
@@ -415,13 +424,19 @@ object Drift {
     val wTot = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = parts.groupBy("bucket")
-      .agg(sum("na").as("sa"), sum("nb").as("sb"), min("v").as("vmin"))
+      .agg(sum("na").as("sa"), sum("nb").as("sb"),
+        min("v").as("vmin"), max("v").as("vmaxb"))
       .withColumn("offa", coalesce(sum("sa").over(wPre), lit(0L)))
       .withColumn("offb", coalesce(sum("sb").over(wPre), lit(0L)))
       .withColumn("ta", sum("sa").over(wTot))
       .withColumn("tb", sum("sb").over(wTot))
+      // deterministic-sum dispatch: value range ≤ 10¹⁵ bounds Σq below
+      // any integer-accumulator ceiling; NaN/∞ ranges compare false on
+      // both engines (NaN sorts greatest in Spark AND DuckDB) → legacy
+      .withColumn("range_ok",
+        (max("vmaxb").over(wTot) - min("vmin").over(wTot)) <= lit(1e15))
       .withColumn("next_vmin", lead("vmin", 1).over(Window.orderBy("bucket")))
-      .select("bucket", "offa", "offb", "ta", "tb", "next_vmin")
+      .select("bucket", "offa", "offb", "ta", "tb", "range_ok", "next_vmin")
     val wCum = Window.partitionBy("bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLead = Window.partitionBy("bucket").orderBy("v")
@@ -435,17 +450,38 @@ object Drift {
     // never a fault.
     val num = abs((col("pa") + col("offa")).cast("double") * col("tb") -
       (col("pb") + col("offb")).cast("double") * col("ta"))
+    // Bit-deterministic quantized term (see the exactness note above):
+    // t4 = num/ta/tb·width·2⁶² — every step a correctly-rounded IEEE op
+    // over identical inputs in any engine — floored to an exact integer.
+    // floor(double) yields Long in Spark (ANSI-faults past 2⁶³), so the
+    // floor is two-level: below 2⁵² use floor; at/above 2⁵² the double
+    // IS integer-valued, so a straight decimal cast is exact in both
+    // engines with no round-half ambiguity. The 8.6e37 belt keeps any
+    // pathological row below the DECIMAL(38,0) cast ceiling (the range
+    // gate already bounds legit rows ≲4.6e33). The ta/tb>0 guard sits
+    // INSIDE a CaseWhen branch — Spark 4 ANSI faults double-div-by-zero
+    // and And() does not short-circuit under codegen.
+    val two62 = lit(4.611686018427387904e18) // 2^62, exact
+    val t4 = when(col("range_ok") && col("ta") > 0 && col("tb") > 0,
+      num / col("ta").cast("double") / col("tb").cast("double")
+        * width * two62).otherwise(lit(0.0))
+    val qd = DecimalType(38, 0)
+    val q = when(t4 < lit(8.6e37),
+      when(t4 < lit(4.503599627370496e15), floor(t4).cast(qd))
+        .otherwise(t4.cast(qd)))
+      .otherwise(lit(0L).cast(qd))
     parts
       .withColumn("pa", sum("na").over(wCum))
       .withColumn("pb", sum("nb").over(wCum))
       .join(broadcast(offsets), Seq("bucket"))
-      .select(col("ta"), col("tb"),
-        (num * width).as("term"))
-      .groupBy("ta", "tb")
-      .agg(sum(col("term")).as("s"))
+      .select(col("ta"), col("tb"), col("range_ok"),
+        (num * width).as("term"), q.as("q"))
+      .groupBy("ta", "tb", "range_ok")
+      .agg(sum(col("term")).as("s"), sum(col("q")).as("sq"))
       .select(lit(c).as("column"),
         when(col("ta") > 0 && col("tb") > 0,
-          col("s") / col("ta") / col("tb"))
+          when(col("range_ok"), col("sq").cast("double") / two62)
+            .otherwise(col("s") / col("ta") / col("tb")))
           .as("w1"))
   }
 
