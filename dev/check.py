@@ -68,6 +68,14 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
+    # --subset: the caller declares an intentional filtered Verify run, so
+    # oracle entries without result dirs are ignored regardless of how
+    # large the subset is (the <half heuristic below misfires on e.g. the
+    # 147-of-175 x16 sweep, where the exclusions are deliberate:
+    # above-ceiling dispatch twins and fixture-calibrated audits).
+    declared_subset = "--subset" in args
+    if declared_subset:
+        args.remove("--subset")
     sfdir, outdir = args[0], args[1]
     records = {}
     con = duckdb.connect()
@@ -157,7 +165,7 @@ def main():
     # Verify run; a filtered run (graft.Verify <sf> <out> name...) writes a
     # subset of results but always the complete oracle_sql.json.
     extra = set(oracle) - set(names)
-    if extra and len(names) < len(oracle) // 2:
+    if extra and (declared_subset or len(names) < len(oracle) // 2):
         print(f"(subset run: {len(extra)} oracle entries without results, ignored)")
     else:
         for name in extra:
