@@ -926,13 +926,12 @@ object ExtCatalog {
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
        |      WHERE vec_id <> $HybridQueryVec),
        |cscored AS (SELECT cid,
-       |  (${dotSql("qv", "cv")}) /
-       |  (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+       |  ${cosSql("qv", "cv")} AS cos
        |  FROM c CROSS JOIN q),
        |semr AS (SELECT doc_id, r_sem FROM (
        |  SELECT cid AS doc_id,
        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS INTEGER) AS r_sem
-       |  FROM cscored) t WHERE r_sem <= $HybridDepth),
+       |  FROM cscored WHERE cos IS NOT NULL) t WHERE r_sem <= $HybridDepth),
        |fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, r_lex, r_sem,
        |  COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_sem), 0.0) AS rrf
        |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
@@ -985,16 +984,25 @@ object ExtCatalog {
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
+  /** Guarded cosine mirroring [[graft.ext.SimSearch.cosine]]: NULL when
+    * either side has zero (or NULL) norm. The unguarded 0/0 division
+    * DuckDB happily evaluates yields NaN — and NaN compares GREATER
+    * than any threshold and sorts FIRST under ORDER BY cos DESC, so an
+    * all-zero embedding would rank as everything's nearest neighbor in
+    * the oracle while the engine (correctly) drops the undefined angle. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}) > 0
+       | THEN (${dotSql(a, b)}) / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})) END""".stripMargin
+
   private def topkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
        |scored AS (SELECT qid, cid,
-       |  (${dotSql("qv", "cv")}) /
-       |  (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+       |  ${cosSql("qv", "cv")} AS cos
        |  FROM q CROSS JOIN c WHERE qid <> cid),
        |ranked AS (SELECT qid, cid, cos,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rk
-       |  FROM scored)
+       |  FROM scored WHERE cos IS NOT NULL)
        |SELECT qid, rk, cid, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   /** Bigram-LM CTE chain shared by t_bigram_logprob and x_ppl_buckets:
@@ -1310,8 +1318,7 @@ object ExtCatalog {
       s"""WITH v AS (SELECT vec_id, embedding, $codeSql AS bucket FROM embeddings),
          |d AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE (${dotSql("a.embedding", "b.embedding")}) /
-         |    (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) >= 0.4
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |  GROUP BY 1)
          |SELECT v.vec_id, v.bucket, d.dup_of, d.dup_of IS NULL AS keep
          |FROM v LEFT JOIN d ON v.vec_id = d.id ORDER BY v.vec_id""".stripMargin
@@ -1323,8 +1330,7 @@ object ExtCatalog {
          |c AS (SELECT bucket, vec_id AS cid, embedding AS cv FROM v WHERE vec_id % 5 <> 0),
          |b AS (SELECT bucket, vec_id AS batch_id, embedding AS bv FROM v WHERE vec_id % 5 = 0),
          |p AS (SELECT batch_id, cid,
-         |  (${dotSql("bv", "cv")}) /
-         |  (SQRT(${dotSql("bv", "bv")}) * SQRT(${dotSql("cv", "cv")})) AS cos
+         |  ${cosSql("bv", "cv")} AS cos
          |  FROM b JOIN c USING (bucket))
          |SELECT batch_id, MIN(cid) AS dup_of, COUNT(*) AS n_matches, MAX(cos) AS best_cos
          |FROM p WHERE cos >= 0.4 GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1609,8 +1615,7 @@ object ExtCatalog {
     "x_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
          |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |  (${dotSql("a.embedding", "b.embedding")}) /
-         |  (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})) AS cos
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |  FROM s a CROSS JOIN s b WHERE a.vec_id < b.vec_id)
          |SELECT ida, idb, cos FROM pairs WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
     "x_token_chunks" ->
@@ -1946,7 +1951,7 @@ object ExtCatalog {
         |  CAST(n + 1 AS DOUBLE) / CAST(prev_n + 1 AS DOUBLE) AS lift
         |  FROM wp WHERE prev_n IS NOT NULL),
         |r AS (SELECT hour_start, CAST(ROW_NUMBER() OVER (PARTITION BY hour_start
-        |    ORDER BY lift DESC, event_type) AS INTEGER) AS rk,
+        |    ORDER BY lift DESC, event_type NULLS FIRST) AS INTEGER) AS rk,
         |  event_type, n, prev_n, lift FROM l)
         |SELECT hour_start, rk, event_type, n, prev_n, lift FROM r
         |WHERE rk <= 3 ORDER BY hour_start, rk""".stripMargin,
@@ -1974,16 +1979,18 @@ object ExtCatalog {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS total_cents
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_sliding" ->
       """WITH e AS (SELECT event_type,
-        |  time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS s0 FROM events),
+        |  time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS s0
+        |  FROM events WHERE ts IS NOT NULL),
         |w AS (SELECT event_type, s0 - k * INTERVAL '30 minutes' AS window_start
         |      FROM e, UNNEST(range(0, 2)) AS t(k))
         |SELECT window_start, event_type, COUNT(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |       WHERE ts IS NOT NULL),
         |f AS (SELECT user_id, event_id, ts,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM e),
@@ -1998,7 +2005,8 @@ object ExtCatalog {
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_session_lengths" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |       WHERE ts IS NOT NULL),
         |f AS (SELECT user_id, event_id, ts,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM e),
@@ -2012,7 +2020,8 @@ object ExtCatalog {
         |SELECT n_events, COUNT(*) AS n_sessions
         |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
     "s_top_paths" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |       WHERE ts IS NOT NULL),
         |f AS (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |      FROM e),
         |g AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
@@ -2022,7 +2031,7 @@ object ExtCatalog {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
         |        ORDER BY ts, event_id) AS rn FROM h),
         |p AS (SELECT user_id, sid,
-        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |        string_agg(COALESCE(event_type, 'NA'), '>' ORDER BY rn) AS path
         |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM p
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
@@ -2038,7 +2047,8 @@ object ExtCatalog {
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "s_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
-        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL),
         |c AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY 1)
         |SELECT cohort_day,
         |  CAST(datediff('day', cohort_day, d) AS INTEGER) AS "offset",
@@ -2080,7 +2090,7 @@ object ExtCatalog {
         |  SELECT user_id, event_type, event_id, ts,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) AS rk
-        |  FROM events) t
+        |  FROM events WHERE ts IS NOT NULL) t
         |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 

@@ -119,11 +119,17 @@ object Events {
 
   /** Sessionization: per user, a new session starts after a gap >
     * `gapMinutes`. Batch form of what `flatMapGroupsWithState` does in the
-    * stream: one shuffle on user_id, one ordered pass per user. */
+    * stream: one shuffle on user_id, one ordered pass per user.
+    *
+    * Contract: event-TIME ordering is undefined for an unstamped event,
+    * so null-`ts` rows are excluded up front (the session family ALL
+    * shares this rule — see [[timestamped]]). Leaving them in would make
+    * the result depend on engine null-ordering (Spark sorts nulls first,
+    * DuckDB/ANSI last) and silently fold phantom rows into real sessions. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val flagged = events
+    val flagged = timestamped(events)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -165,7 +171,7 @@ object Events {
                maxLen: Int = 5, k: Int = 20): DataFrame = {
     val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val sess = events
+    val sess = timestamped(events)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -176,9 +182,14 @@ object Events {
         Window.partitionBy("user_id", "session_id")
           .orderBy(col("ts"), col("event_id"))))
       .filter(col("rn") <= maxLen)
+    // a null event_type is a real step whose label is unknown — the 'NA'
+    // sentinel keeps it in the sequence (concat_ws would silently SKIP
+    // nulls, shortening the path, and an all-null session would yield ''
+    // where SQL string_agg yields NULL — engine-dependent path identities)
     sess.groupBy(col("user_id"), col("session_id"))
       .agg(concat_ws(">", transform(
-        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        array_sort(collect_list(struct(col("rn"),
+          coalesce(col("event_type"), lit("NA")).as("event_type")))),
         s => s.getField("event_type"))).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
@@ -250,7 +261,12 @@ object Events {
     * window over that reduced frame, and the final cell count is a
     * grid-domain aggregate. */
   def retention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    // identified users only: a null user_id is not ONE anonymous user but
+    // many unattributable ones — folding them into a single cohort member
+    // (what a null-keyed window partition silently does) overstates
+    // day-0 cohorts and invents retention where none is measurable
     val activity = events
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id", "d").agg(count(lit(1)).as("__n")).drop("__n")
     val wUser = Window.partitionBy("user_id")
@@ -265,15 +281,29 @@ object Events {
 
   /** First-occurrence dedup per (user_id, event_type): the batch analogue
     * of `dropDuplicatesWithinWatermark` with an unbounded watermark —
-    * deterministic first = smallest (ts, event_id). */
+    * deterministic first = smallest (ts, event_id) among TIMESTAMPED
+    * events ([[timestamped]] contract: "earliest" is undefined for a
+    * null-`ts` row, and engine null-ordering would otherwise pick the
+    * winner). */
   def dedupFirst(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))
-    events.withColumn("rk", row_number().over(w))
+    timestamped(events).withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** The event-time contract shared by the ORDER-sensitive family
+    * ([[sessionize]], [[sessionLengthDist]], [[topPaths]],
+    * [[dedupFirst]]): only timestamped events participate — a null `ts`
+    * has no position on the time axis, and its placement would otherwise
+    * follow engine-specific null-ordering (Spark first, ANSI/DuckDB
+    * last), i.e. be nondeterministic across engines. Bucketing ops
+    * (tumbling/gapFill/…) need no filter: a null bucket key drops out of
+    * the spine join identically in every engine. */
+  private def timestamped(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
 }
 
 /** Structured Streaming forms — the same logical transforms declared over

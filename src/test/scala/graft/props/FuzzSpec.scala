@@ -1,6 +1,6 @@
 package graft.props
 
-import graft.{SparkSpec, Verify}
+import graft.{SparkSpec, Tables, Verify}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -256,6 +256,156 @@ class FuzzSpec extends SparkSpec {
     }
     dir
   }
+
+  /** Event-stream catalog queries (all 13 batch forms — every one's
+    * oracle is content-agnostic: tiebreaks are (ts, event_id), spines
+    * derive from the data, no fixture-pinned constants beyond the
+    * view/click/purchase funnel vocabulary the generator includes). */
+  private val EventsFuzzQueries = Set(
+    "s_tumbling", "s_sliding", "s_sessionize", "s_session_lengths",
+    "s_top_paths", "s_dedup_first", "s_attribution", "s_gap_fill",
+    "s_anomaly", "s_funnel", "s_retention", "s_trending", "s_props_json")
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Adversarial event streams: identical timestamps (ordering must
+    * resolve on the (ts, event_id) tiebreak, not engine luck), gaps at
+    * EXACTLY the 30-minute session boundary and ±1µs around it (probes
+    * `>` vs `>=`), null ts/user/type/value/props, single-user floods,
+    * empty-string and unicode event types beside the funnel vocabulary.
+    * props stays JSON-or-null with numeric-or-absent `k` — the fixture
+    * contract (the oracle CASTs `props->>'k'` to BIGINT). */
+  private def genEvents(seed: Int): DataFrame = {
+    val r = new scala.util.Random(seed * 15485863L)
+    val nUsers = seed match { case 10 => 3; case 11 => 6; case _ => 50 }
+    val rows = 250 + r.nextInt(400)
+    val (pNullTs, pNullUser, pNullType) =
+      if (seed == 11) (0.10, 0.15, 0.10) else (0.02, 0.03, 0.02)
+    val types = Seq("view", "click", "purchase", "scroll", "旗", "")
+    val propsPool = Seq("""{"k": 5}""", """{"k": 123456}""", """{"k": -3}""",
+      """{"j": 1}""", "{}", null)
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val cursors = scala.collection.mutable.Map[Long, java.time.LocalDateTime]()
+    val gapsUs = Seq(0L, 1L, 60L * 1000000L,
+      1800L * 1000000L - 1L, 1800L * 1000000L, 1800L * 1000000L + 1L,
+      7200L * 1000000L)
+    val data = (0 until rows).map { i =>
+      val uid = r.nextInt(nUsers).toLong + 1L
+      val cur = cursors.getOrElse(uid, base.plusMinutes(r.nextInt(120).toLong))
+      val advanced = cur.plusNanos(1000L * (
+        if (r.nextInt(3) == 0) gapsUs(r.nextInt(gapsUs.length))
+        else (r.nextDouble() * 3.6e9).toLong))
+      cursors(uid) = advanced
+      Row(
+        i.toLong,
+        if (r.nextDouble() < pNullTs) null else advanced,
+        if (r.nextDouble() < pNullUser) null else uid,
+        if (r.nextDouble() < pNullType) null else types(r.nextInt(types.length)),
+        if (r.nextDouble() < 0.05) null
+        else (r.nextInt(200001) - 100000) / 100.0,
+        propsPool(r.nextInt(propsPool.length)))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(data.asJava, evSchema)
+  }
+
+  /** Embedding-family catalog queries whose oracles hold on any corpus
+    * content (exact cosine forms and stateless per-vector transforms;
+    * the measured-recall ANN audits and MLlib-backed paths stay out —
+    * their floors are fixture-calibrated by design). */
+  private val EmbedFuzzQueries = Set(
+    "x_embed_topk", "x_embed_centroid", "x_embed_quantize",
+    "x_embed_neardup", "x_semdedup", "x_semdedup_delta",
+    "x_hybrid_search", "d_embed_drift")
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Adversarial embeddings (dim 64, float32 like the fixture):
+    * all-zero vectors (undefined cosine — the zero-norm guard on BOTH
+    * sides of the gate), NULL embeddings, exact clones and negated
+    * clones (cos = ±1 ties resolving on id), one-hot and constant
+    * vectors (sign-bucket collisions), 1e-4-magnitude vectors, null
+    * labels. */
+  private def genEmbeddings(seed: Int): DataFrame = {
+    val r = new scala.util.Random(seed * 32452843L)
+    val n = 120 + r.nextInt(280)
+    val prev = new scala.collection.mutable.ArrayBuffer[Array[Float]]
+    def vec(): Array[Float] = {
+      val shape = r.nextInt(20)
+      val v: Array[Float] =
+        if (shape == 0) Array.fill(64)(0f)
+        else if (shape <= 3 && prev.nonEmpty) prev(r.nextInt(prev.length))
+        else if (shape == 4 && prev.nonEmpty) prev(r.nextInt(prev.length)).map(x => -x)
+        else if (shape == 5) { val a = Array.fill(64)(0f); a(r.nextInt(64)) = 1f; a }
+        else if (shape == 6) Array.fill(64)((r.nextInt(5) - 2).toFloat / 2f)
+        else if (shape == 7) Array.fill(64)((r.nextFloat() - 0.5f) * 2e-4f)
+        else Array.fill(64)((r.nextFloat() - 0.5f) * 2f)
+      prev += v
+      v
+    }
+    val data = (0 until n).map { i =>
+      Row(i.toLong,
+        if (r.nextDouble() < 0.02) null else vec().toSeq,
+        if (r.nextDouble() < 0.05) null else r.nextInt(10))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(data.asJava, embSchema)
+  }
+
+  /** Write one fuzzed table as a single parquet file; symlink the rest
+    * of the driver layout from the real fixture. */
+  private def materializeOneTable(seed: Int, name: String, df: DataFrame): String = {
+    val dir = s"/tmp/graft_fuzz/seed$seed"
+    val path = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(path.toFile)
+    java.nio.file.Files.createDirectories(path)
+    val tmp = s"$dir/__tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $name"))
+    java.nio.file.Files.move(part.toPath, path.resolve(s"$name.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Tables.names.filterNot(_ == name).foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        path.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$Sf/$t.parquet"))
+    }
+    dir
+  }
+
+  private def runDifferential(seed: Int, dir: String, queries: Set[String]): Unit = {
+    val out = s"/tmp/graft_fuzz/out$seed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val failed = Verify.dump(spark, dir, out, queries)
+    assert(failed.isEmpty, s"queries threw on seed $seed: $failed")
+    val buf = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(l => buf.append(l).append('\n'))
+    val code = scala.sys.process.Process(
+      Seq("python3", "dev/check.py", dir, out),
+      new java.io.File("/root/repo")).!(logger)
+    assert(code == 0, s"oracle divergence at seed $seed:\n$buf")
+  }
+
+  for (seed <- 10 to 12)
+    test(s"differential events fuzz seed $seed: ${EventsFuzzQueries.size} stream queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeOneTable(seed, "events", genEvents(seed)),
+        EventsFuzzQueries)
+    }
+
+  for (seed <- 13 to 15)
+    test(s"differential embeddings fuzz seed $seed: ${EmbedFuzzQueries.size} similarity queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeOneTable(seed, "embeddings", genEmbeddings(seed)),
+        EmbedFuzzQueries)
+    }
 
   for (seed <- 7 to 9)
     test(s"differential text fuzz seed $seed: ${TextFuzzQueries.size} document queries vs the DuckDB oracle") {
