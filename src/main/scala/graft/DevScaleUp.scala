@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * (janino/C2), then the timed base and N× passes run fully
   * materialized behind per-query GC barriers, min-of-2 each. */
 object DevScaleUp {
+  /** Locale-pinned "%.2f" for the JSON artifact: the f-interpolator
+    * formats via the default JVM locale, so a comma-decimal locale
+    * (de_DE) would emit `"ratio": 3,43` — invalid JSON in a GATE file. */
+  private def jf(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val copies = if (args.length > 1) args(1).toInt else 16
@@ -57,19 +63,19 @@ object DevScaleUp {
 
     // SCALE_SELF.json — same shape scale_json.py produced from the logs
     val qJson = ratios.map { case (n, b, v, r) =>
-      f""""$n": {"base": $b%.2f, "x$copies": $v%.2f, "ratio": $r%.2f}"""
+      s""""$n": {"base": ${jf(b)}, "x$copies": ${jf(v)}, "ratio": ${jf(r)}}"""
     }.mkString(",\n    ")
     val gateJson =
       if (breaches.isEmpty) "\"pass\""
       else breaches.map("\"" + _ + "\"").mkString("[", ", ", "]")
     val doc =
-      f"""{
+      s"""{
          |  "copies": $copies,
          |  "sf": "$sfDir",
          |  "linear_ratio": $copies.0,
-         |  "total_base": $baseTotal%.2f,
-         |  "total_x$copies": $bigTotal%.2f,
-         |  "total_ratio": ${bigTotal / math.max(baseTotal, 1e-9)}%.2f,
+         |  "total_base": ${jf(baseTotal)},
+         |  "total_x$copies": ${jf(bigTotal)},
+         |  "total_ratio": ${jf(bigTotal / math.max(baseTotal, 1e-9))},
          |  "gate": $gateJson,
          |  "ceiling_rule": "recorded r8 ratio x ${ScaleUp.CeilingSlack}, floor ${ScaleUp.CeilingFloor}; breach = nonzero exit",
          |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales; fixture = key-offset copies with per-copy doc markers and disjoint per-copy user populations (ScaleUp.ensure docmark-v3)",

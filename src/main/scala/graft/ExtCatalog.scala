@@ -225,6 +225,15 @@ object ExtCatalog {
       // output-identical to the driver union-find, same oracle
       Dedup.dedupClustersDistributed(
         Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6))),
+    "x_dedup_clusters_auto_dist" -> ((s, d) =>
+      // the AUTO dispatch with its edge ceiling forced to 0, so the
+      // measured edge count always trips the DISTRIBUTED branch — pins
+      // the above-ceiling regime (persist → count → label propagation)
+      // under the ordinary hash gate at every SF and at x16, so the
+      // scale path's correctness never rests on timing evidence alone
+      Dedup.dedupClustersAuto(
+        Dedup.nearDupPairsAuto(Tables.documents(s, d), "text", "doc_id", 3, 0.6),
+        maxDriverEdges = 0L)),
     "x_dedup_cluster_sizes" -> ((s, d) => {
       // the dedup AUDIT view: how big are the duplicate clusters?
       // (many size-2 clusters = organic near-dups; one giant cluster =
@@ -735,18 +744,66 @@ object ExtCatalog {
        |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 2))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
 
-  /** Shared by x_dedup_clusters (driver union-find) and
-    * x_dedup_clusters_dist (min-label propagation) — both forms converge
-    * to the component-minimum survivor, so one transitive-closure oracle
-    * gates both. */
-  private def clustersSql: String =
-    s"""WITH RECURSIVE $shingleCtes,
-       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
+  /** Exact AllPairs pair-source CTE chain (`jp` → `jpairs(ida, idb)`) —
+    * the pair detection the cluster-consumer oracles ride at every
+    * oracle-checked SF (the corpora sit below
+    * `Dedup.AllPairsExactMaxInputBytes`, so `nearDupPairsAuto` takes the
+    * lossless AllPairs side there). */
+  private val exactJpairsCtes: String =
+    """jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |jpairs AS (SELECT ida, idb FROM jp
+      |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6)""".stripMargin
+
+  /** MinHash signature + banding CTE chain (`hs` → `sig` → `banded`),
+    * the shared DuckDB mirror of `Dedup.bandedSignatures` at an explicit
+    * (numPerms, bands) operating point — consumed by the raw banding
+    * oracles AND the x16 pair-source overrides (above
+    * `AllPairsExactMaxInputBytes` the dispatched default is banded
+    * minhash at `bandingFor(threshold)`, so the at-scale oracle must pin
+    * THAT side's semantics, not the exact side's). */
+  private def bandedCtes(numPerms: Int, bands: Int): String = {
+    val r = numPerms / bands
+    val perms = Dedup.minhashPerms(numPerms)
+      .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
+      .mkString("[", ", ", "]")
+    s"""hs AS (SELECT doc_id, list(s) AS hl FROM sh GROUP BY 1),
+       |sig AS (SELECT doc_id,
+       |  list_transform($perms, p ->
+       |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg
+       |  FROM hs),
+       |banded AS (SELECT doc_id, j AS band,
+       |  array_to_string(sg[j * $r + 1 : j * $r + $r], '-') AS bsig
+       |  FROM sig, UNNEST(range(0, $bands)) AS t(j))""".stripMargin
+  }
+
+  /** Banded-minhash pair-source twin of [[exactJpairsCtes]]: band-bucket
+    * collisions → exact-Jaccard verify → the same `jpairs(ida, idb)`
+    * shape, so every cluster-consumer oracle composes with either pair
+    * source unchanged. */
+  private def bandedJpairsCtes(numPerms: Int, bands: Int): String =
+    s"""${bandedCtes(numPerms, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |jp AS (SELECT c.ida, c.idb, COUNT(*) AS shared
+       |  FROM cand c JOIN sh x ON x.doc_id = c.ida
+       |  JOIN sh y ON y.doc_id = c.idb AND y.s = x.s GROUP BY 1, 2),
        |jpairs AS (SELECT ida, idb FROM jp
        |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6)""".stripMargin
+
+  /** Shared by x_dedup_clusters (driver union-find),
+    * x_dedup_clusters_dist (min-label propagation) and
+    * x_dedup_clusters_auto_dist (the dispatch forced distributed) — all
+    * forms converge to the component-minimum survivor, so one
+    * transitive-closure oracle gates them, parameterized on the pair
+    * source (exact at driver SFs, banded in the x16 overrides). */
+  private def clustersSqlWith(jpairsCtes: String): String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jpairsCtes,
        |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
        |edges AS (SELECT ida AS a, idb AS b FROM jpairs
        |          UNION SELECT idb, ida FROM jpairs),
@@ -757,17 +814,14 @@ object ExtCatalog {
        |SELECT node AS doc_id, MIN(r) AS survivor_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private def clustersSql: String = clustersSqlWith(exactJpairsCtes)
+
   /** Same transitive closure as [[clustersSql]], then every document is
     * gated by its cluster representative (itself when unclustered) —
     * the oracle twin of `Sampling.leakageSafeSplit`. */
-  private def leakageSplitSql: String =
+  private def leakageSplitSqlWith(jpairsCtes: String): String =
     s"""WITH RECURSIVE $shingleCtes,
-       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
-       |jpairs AS (SELECT ida, idb FROM jp
-       |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |$jpairsCtes,
        |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
        |edges AS (SELECT ida AS a, idb AS b FROM jpairs
        |          UNION SELECT idb, ida FROM jpairs),
@@ -786,16 +840,13 @@ object ExtCatalog {
        |  CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
        |FROM gg GROUP BY 1 ORDER BY split""".stripMargin
 
+  private def leakageSplitSql: String = leakageSplitSqlWith(exactJpairsCtes)
+
   /** Transitive closure again, then per-cluster sizes spread back over
     * every document — the oracle twin of `Dedup.softDedupWeights`. */
-  private def softDedupSql: String =
+  private def softDedupSqlWith(jpairsCtes: String): String =
     s"""WITH RECURSIVE $shingleCtes,
-       |jp AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
-       |jpairs AS (SELECT ida, idb FROM jp
-       |  JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6),
+       |$jpairsCtes,
        |nodes AS (SELECT ida AS n FROM jpairs UNION SELECT idb FROM jpairs),
        |edges AS (SELECT ida AS a, idb AS b FROM jpairs
        |          UNION SELECT idb, ida FROM jpairs),
@@ -814,6 +865,24 @@ object ExtCatalog {
        |LEFT JOIN csz ON surv.rep = csz.rep
        |ORDER BY dd.doc_id""".stripMargin
 
+  private def softDedupSql: String = softDedupSqlWith(exactJpairsCtes)
+
+  /** Cluster-size histogram over [[clustersSqlWith]]'s survivors, with
+    * singletons derived by subtraction — the oracle twin of the
+    * x_dedup_cluster_sizes query, parameterized on the pair source like
+    * every cluster consumer. */
+  private def clusterSizesSqlWith(jpairsCtes: String): String =
+    s"""WITH cl AS (${clustersSqlWith(jpairsCtes)}),
+       |sz AS (SELECT survivor_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1),
+       |hist AS (SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |                COUNT(*) AS n_clusters FROM sz GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM documents) -
+       |               (SELECT COUNT(*) FROM cl) AS singles)
+       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+       |FROM (SELECT cluster_size, n_clusters FROM hist
+       |      UNION ALL SELECT CAST(1 AS BIGINT), singles FROM tot) u
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   private def jaccardSql: String =
     s"""WITH $shingleCtes,
        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
@@ -825,16 +894,14 @@ object ExtCatalog {
        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6
        |ORDER BY ida, idb""".stripMargin
 
-  private def minhashSql: String = minhashSqlAt(bands = 8, cap = 0)
+  private def minhashSql: String = minhashSqlAt(numPerms = 32, bands = 8, cap = 0)
 
   /** Shared minhash-banding oracle, parameterized on the banding
-    * operating point and the bucket cap so x_minhash_lsh and
-    * x_minhash_capped derive from ONE formula source. */
-  private def minhashSqlAt(bands: Int, cap: Int): String = {
-    val r = 32 / bands
-    val perms = Dedup.minhashPerms(32)
-      .map { case (a, b) => s"[CAST($a AS BIGINT), CAST($b AS BIGINT)]" }
-      .mkString("[", ", ", "]")
+    * operating point and the bucket cap so x_minhash_lsh,
+    * x_minhash_capped AND the x16 dispatch overrides (the autos'
+    * above-ceiling sides: `bandingFor(0.6)` = 48×16, the capped default
+    * = 32×8 cap 32) all derive from ONE formula source. */
+  private def minhashSqlAt(numPerms: Int, bands: Int, cap: Int): String = {
     val bandSrc =
       if (cap <= 0) "banded"
       else s"""(SELECT bd.* FROM banded bd JOIN (
@@ -842,14 +909,7 @@ object ExtCatalog {
               |   HAVING COUNT(*) <= $cap AND COUNT(*) >= 2) kb
               | ON bd.band = kb.band AND bd.bsig = kb.bsig)""".stripMargin
     s"""WITH $shingleCtes,
-       |hs AS (SELECT doc_id, list(s) AS hl FROM sh GROUP BY 1),
-       |sig AS (SELECT doc_id,
-       |  list_transform($perms, p ->
-       |    list_min(list_transform(hl, x -> (p[1] * x + p[2]) % 2147483647))) AS sg
-       |  FROM hs),
-       |banded AS (SELECT doc_id, j AS band,
-       |  array_to_string(sg[j * $r + 1 : j * $r + $r], '-') AS bsig
-       |  FROM sig, UNNEST(range(0, $bands)) AS t(j)),
+       |${bandedCtes(numPerms, bands)},
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM $bandSrc a JOIN $bandSrc b
        |  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -863,6 +923,28 @@ object ExtCatalog {
        |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= 0.6
        |ORDER BY s.ida, s.idb""".stripMargin
   }
+
+  /** DuckDB mirror of `Dedup.neardupDeltaBanded` — the side
+    * `neardupDeltaAuto` dispatches to above its batch byte ceiling:
+    * band-bucket collisions between the incoming batch (doc_id % 3 ≠ 0)
+    * and the corpus, exact-Jaccard verify, ALL matches emitted (unlike
+    * minhashDelta's best-match rollup). The x16 override for
+    * x_neardup_delta_auto, at the `bandingFor(0.6)` = 48×16 point. */
+  private def neardupDeltaBandedSql(numPerms: Int, bands: Int): String =
+    s"""WITH $shingleCtes,
+       |${bandedCtes(numPerms, bands)},
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM banded b JOIN banded c ON b.band = c.band AND b.bsig = c.bsig
+       |  WHERE b.doc_id % 3 <> 0 AND c.doc_id % 3 = 0),
+       |sh2 AS (SELECT cand.batch_id, cand.corpus_id, COUNT(*) AS shared
+       |  FROM cand JOIN sh x ON x.doc_id = cand.batch_id
+       |  JOIN sh y ON y.doc_id = cand.corpus_id AND y.s = x.s GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id,
+       |  CAST(shared AS DOUBLE) / (sb.sz + sc.sz - shared) AS jaccard
+       |FROM sh2 JOIN sizes sb ON batch_id = sb.doc_id
+       |JOIN sizes sc ON corpus_id = sc.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sb.sz + sc.sz - shared) >= 0.6
+       |ORDER BY batch_id, corpus_id""".stripMargin
 
   /** BM25 oracle — the exact operand-order mirror of
     * [[TextStats.bm25Search]]: integer tf/dl/df/N/Σdl aggregates, the
@@ -1225,7 +1307,7 @@ object ExtCatalog {
     // the lossless exact form — same oracle
     "x_neardup_auto" -> jaccardSql,
     "x_minhash_lsh" -> minhashSql,
-    "x_minhash_capped" -> minhashSqlAt(bands = 16, cap = 4),
+    "x_minhash_capped" -> minhashSqlAt(numPerms = 32, bands = 16, cap = 4),
     // below the dispatch ceiling at verify scale the auto form IS the
     // uncapped banding — same oracle
     "x_minhash_lsh_auto" -> minhashSql,
@@ -1383,17 +1465,8 @@ object ExtCatalog {
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_dedup_clusters" -> clustersSql,
     "x_dedup_clusters_dist" -> clustersSql,
-    "x_dedup_cluster_sizes" ->
-      s"""WITH cl AS ($clustersSql),
-         |sz AS (SELECT survivor_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1),
-         |hist AS (SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-         |                COUNT(*) AS n_clusters FROM sz GROUP BY 1),
-         |tot AS (SELECT (SELECT COUNT(*) FROM documents) -
-         |               (SELECT COUNT(*) FROM cl) AS singles)
-         |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
-         |FROM (SELECT cluster_size, n_clusters FROM hist
-         |      UNION ALL SELECT CAST(1 AS BIGINT), singles FROM tot) u
-         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "x_dedup_clusters_auto_dist" -> clustersSql,
+    "x_dedup_cluster_sizes" -> clusterSizesSqlWith(exactJpairsCtes),
     "x_leakage_split" -> leakageSplitSql,
     "x_soft_dedup" -> softDedupSql,
     "x_novelty_yield" ->
@@ -2100,4 +2173,31 @@ object ExtCatalog {
     * oracle-checked SF sits under — same rows, same SQL. */
   val oracleSqlWithAliases: Map[String, String] =
     oracleSql + ("x_neardup_delta_auto" -> oracleSql("x_neardup_delta"))
+
+  /** Oracle OVERRIDES for the x16 scale fixture (Verify `--x16`): every
+    * auto-dispatched dedup query whose above-ceiling side differs from
+    * the exact small-corpus side gets the DuckDB mirror of THAT side, so
+    * the at-scale hash gate pins the semantics the dispatch actually
+    * executes there instead of failing closed against the exact oracle.
+    * Operating points are the dispatch's own: `nearDupPairsAuto` above
+    * `AllPairsExactMaxInputBytes` runs `bandingFor(0.6)` = 48 perms × 16
+    * bands; `minhashLshAuto` above `MinhashUncappedMaxInputBytes` keeps
+    * 32 × 8 and engages `MinhashBucketCapDefault` = 32. Cluster
+    * consumers compose the banded pair source into the same
+    * transitive-closure oracles they use at driver SFs. */
+  val oracleSqlX16: Map[String, String] = {
+    val bandedJp = bandedJpairsCtes(numPerms = 48, bands = 16)
+    Map(
+      "x_neardup_auto" -> minhashSqlAt(numPerms = 48, bands = 16, cap = 0),
+      "x_minhash_lsh_auto" -> minhashSqlAt(numPerms = 32, bands = 8,
+        cap = Dedup.MinhashBucketCapDefault),
+      "x_neardup_delta_auto" -> neardupDeltaBandedSql(numPerms = 48, bands = 16),
+      "x_dedup_clusters" -> clustersSqlWith(bandedJp),
+      "x_dedup_clusters_dist" -> clustersSqlWith(bandedJp),
+      "x_dedup_clusters_auto_dist" -> clustersSqlWith(bandedJp),
+      "x_dedup_cluster_sizes" -> clusterSizesSqlWith(bandedJp),
+      "x_leakage_split" -> leakageSplitSqlWith(bandedJp),
+      "x_soft_dedup" -> softDedupSqlWith(bandedJp),
+    )
+  }
 }

@@ -273,4 +273,10 @@ object SparkEntry {
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
   )
+
+  /** [[oracleSql]] with the x16-fixture overrides applied: above their
+    * input ceilings the dedup autos dispatch to banded-minhash sides, so
+    * the at-scale oracle must pin THOSE semantics instead of the exact
+    * small-corpus side's (Verify dumps this map under `--x16`). */
+  def oracleSqlX16: Map[String, String] = oracleSql ++ ExtCatalog.oracleSqlX16
 }

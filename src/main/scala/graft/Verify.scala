@@ -5,12 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o, rest @ _*) => (s, o, rest.toSet)
+    val (sfDir, outDir, rest) = args match {
+      case Array(s, o, r @ _*) => (s, o, r.toSet)
     }
+    // --x16: dump the scale-fixture oracle map (the dedup autos'
+    // above-ceiling banded semantics) instead of the driver-SF one
+    val x16 = rest("--x16")
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), appName = "graft-verify")
-    dump(spark, sfDir, outDir, only)
+    dump(spark, sfDir, outDir, rest - "--x16", x16Oracles = x16)
     spark.stop()
   }
 
@@ -18,7 +21,7 @@ object Verify {
     * against generated fixtures with the suite's shared session). Returns
     * the names that FAILED to produce output. */
   def dump(spark: SparkSession, sfDir: String, outDir: String,
-           only: Set[String]): Seq[String] = {
+           only: Set[String], x16Oracles: Boolean = false): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries
@@ -45,7 +48,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = if (x16Oracles) SparkEntry.oracleSqlX16 else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     failed

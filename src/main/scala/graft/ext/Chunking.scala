@@ -113,8 +113,20 @@ object Chunking {
     * can never starve groups of docs. */
   private[graft] def autoGroups(df: DataFrame): Int = {
     val stats = df.queryExecution.optimizedPlan.stats
+    // Distrust threshold: the default-size sentinel, OR any estimate
+    // beyond an absolute 512 TB ceiling when no row estimate backs it.
+    // The exact-sentinel check alone is porous — a Project over a
+    // non-file source scales the sentinel by the column-width ratio and
+    // a Filter scales it by selectivity, yielding a still-absurd number
+    // just BELOW the sentinel that would saturate `groups` toward 2³⁰
+    // (~1 doc per group, FFD collapsed to one bin per doc). A byte
+    // estimate beyond the ceiling is accepted only when rowCount exists
+    // to cross-check it (the byRows cap below then bounds the damage).
     val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (stats.sizeInBytes >= sentinel) {
+    val absCeiling = BigInt(1L) << 49 // 512 TB
+    val implausible = stats.sizeInBytes >= sentinel ||
+      (stats.sizeInBytes >= absCeiling && stats.rowCount.isEmpty)
+    if (implausible) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "packBins: no usable optimizer size estimate (default-size sentinel) — " +
           "falling back to 32 packing groups; pass `groups` explicitly for " +

@@ -63,11 +63,16 @@ object QualityModel {
     // parquet-scan input the count is read from row-group footers
     // driver-side (ScanStats — no job), while the earlier `data.count()`
     // executed the hash-embed + gopher-rules join over the whole corpus
-    // once per scoring run just to pick a fraction. CBO row stats win
-    // outright when present; a zero-column count job is the last resort.
-    // The fraction tolerates estimate slack anyway — the hash gate is
-    // approximate by construction.
-    val n = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    // once per scoring run just to pick a fraction. A CBO row estimate
+    // is trusted ONLY when it exceeds the cap — there it merely sets the
+    // sample fraction, where slack is tolerable. An estimate AT OR BELOW
+    // the cap would skip sampling entirely, and a stale catalog stat on
+    // a corpus that has since grown would then fit on the full frame —
+    // the exact full-corpus funnel this operator forbids — so the
+    // small-side decision requires an exact count (parquet footers when
+    // the plan is a pure scan, a zero-column count job otherwise).
+    val cboRows = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    val n = cboRows.filter(_ > FitSampleCap)
       .orElse(graft.io.ScanStats.parquetScanRowCount(df))
       .getOrElse(df.count())
     // Deterministic hash sample for the fit (never the scoring): the

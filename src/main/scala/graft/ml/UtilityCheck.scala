@@ -101,27 +101,37 @@ object UtilityCheck {
       else imputed.filter(col("__gate") <
         lit(math.max(1L, (FitSampleCap.toDouble / nRows * 1e6).toLong)))
       ).drop("__gate")
+    // cache(): the __gate term above includes monotonically_increasing_id,
+    // so sample MEMBERSHIP is partitioning-dependent — without a
+    // materialization barrier every downstream action (each LBFGS
+    // treeAggregate, model.transform, both evaluator passes) would
+    // re-evaluate the gate over a possibly-differently-partitioned
+    // lineage, letting train/test row sets drift between actions. One
+    // cache pins the sampled rows for the whole fit/eval.
     val assembled = new VectorAssembler()
       .setInputCols(feats.toArray).setOutputCol("features")
       .transform(sampled)
       .repartition(4)
-    val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed = 42L)
-    if (train.isEmpty || test.isEmpty) return (Double.NaN, Double.NaN)
+      .cache()
+    try {
+      val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed = 42L)
+      if (train.isEmpty || test.isEmpty) return (Double.NaN, Double.NaN)
 
-    val model =
-      // tol=1e-4 is sklearn's LogisticRegression default — MLlib's 1e-6
-      // is TIGHTER than the reference; matching it is both more faithful
-      // and converges in fewer iterations
-      try new LogisticRegression().setMaxIter(200).setTol(1e-4).fit(train)
-      catch {
-        case _: Throwable =>
-          new RandomForestClassifier().setNumTrees(100).setSeed(42L).fit(train)
-      }
-    val preds = model.transform(test)
-    val acc = new MulticlassClassificationEvaluator()
-      .setMetricName("accuracy").evaluate(preds)
-    val f1 = new MulticlassClassificationEvaluator()
-      .setMetricName("weightedFMeasure").evaluate(preds)
-    (acc, f1)
+      val model =
+        // tol=1e-4 is sklearn's LogisticRegression default — MLlib's 1e-6
+        // is TIGHTER than the reference; matching it is both more faithful
+        // and converges in fewer iterations
+        try new LogisticRegression().setMaxIter(200).setTol(1e-4).fit(train)
+        catch {
+          case _: Throwable =>
+            new RandomForestClassifier().setNumTrees(100).setSeed(42L).fit(train)
+        }
+      val preds = model.transform(test)
+      val acc = new MulticlassClassificationEvaluator()
+        .setMetricName("accuracy").evaluate(preds)
+      val f1 = new MulticlassClassificationEvaluator()
+        .setMetricName("weightedFMeasure").evaluate(preds)
+      (acc, f1)
+    } finally assembled.unpersist()
   }
 }
