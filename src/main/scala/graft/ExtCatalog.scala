@@ -741,8 +741,15 @@ object ExtCatalog {
        |  FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |  ((((ths[i] % 1000000007) * 1000003 + ths[i + 1]) % 1000000007) * 1000003 + ths[i + 2]) % 1000000007 AS s
-       |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 2))) AS t(i)),
+       |  FROM toks, UNNEST(range(1, greatest(len(ths) - 1, 1))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+  // ^ range upper bound greatest(len-1, 1), NOT 2: a sub-3-token doc has
+  //   NO 3-gram shingles — the old floor of 2 still emitted i=1 for it,
+  //   whose out-of-bounds ths[i+2] made a phantom NULL shingle row, so
+  //   per-doc shingle counts (novelty/containment denominators) read 1
+  //   where the engine correctly reads 0 — found by the r10 curation
+  //   fuzz (seed 22). Pair/jaccard oracles never saw it (NULL joins
+  //   nothing); only the counting consumers diverged.
 
   /** Exact AllPairs pair-source CTE chain (`jp` → `jpairs(ida, idb)`) —
     * the pair detection the cluster-consumer oracles ride at every
@@ -1639,7 +1646,10 @@ object ExtCatalog {
       s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
          |m AS (SELECT MIN(cnt) AS mn FROM c)
          |SELECT d.doc_id, d.lang, d.source
-         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+         |-- IS NOT DISTINCT FROM: a NULL lang is a real stratum on the
+         |-- engine side (EqualNullSafe join); the plain equi-join dropped
+         |-- those docs — found by the r10 curation fuzz (seed 22)
+         |FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang CROSS JOIN m
          |WHERE cnt <= mn OR ${ext.Sampling.gateSql("d.doc_id")} <
          |  FLOOR(CAST(1000000007 AS DOUBLE) * CAST(LEAST(mn, cnt) AS DOUBLE)
          |    / CAST(cnt AS DOUBLE))
@@ -1792,7 +1802,11 @@ object ExtCatalog {
          |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
          |    (1.0 - CAST(n_digits AS DOUBLE) / n_chars) * 0.2 AS q FROM s),
          |r AS (SELECT lang, q,
-         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rk,
+         |  -- NULLS FIRST: an unscorable doc (null q) lands in the LOWEST
+         |  -- stage on the Spark side (bucket 0, asc-nulls-first rank);
+         |  -- DuckDB's default nulls-last ranked it highest instead —
+         |  -- found by the r10 curation fuzz (seed 22)
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q NULLS FIRST, doc_id) AS rk,
          |  COUNT(*) OVER (PARTITION BY lang) AS cnt FROM q)
          |SELECT lang, CAST(((rk - 1) * 5) // cnt AS INTEGER) AS stage,
          |  COUNT(*) AS n_docs, MIN(q) AS min_quality, MAX(q) AS max_quality

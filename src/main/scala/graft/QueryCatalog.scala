@@ -207,9 +207,16 @@ object QueryCatalog {
       // the oracle computes straight over the whole table
       val li = Tables.lineitem(s, d)
       val cols = LiNumeric.map(_._1)
+      // EXHAUSTIVE shard split: a bare `% 2 === 0` / `=== 1` pair drops
+      // NULL-key rows from BOTH shards (null % 2 is null, never equal),
+      // so the merged state silently under-counted vs the whole-table
+      // oracle — found by the r10 window-family fuzz (seed 16). A
+      // sharded incremental profile must partition the table, nulls
+      // included; coalesce routes the null-key rows to shard 0.
+      val shard = coalesce(pmod(col("l_orderkey"), lit(2)), lit(0L))
       Profile.statsFromMomentState(Profile.mergeMomentStates(Seq(
-        Profile.momentState(li.filter(col("l_orderkey") % 2 === 0), cols),
-        Profile.momentState(li.filter(col("l_orderkey") % 2 === 1), cols))))
+        Profile.momentState(li.filter(shard === 0), cols),
+        Profile.momentState(li.filter(shard === 1), cols))))
     }),
     "d_drift_extended" -> ((s, d) => {
       // same split + l_tax-drop as d3, so the extended metrics line up

@@ -50,7 +50,13 @@ object ScaleUp {
     // the skew guard actually bounds the mega-bucket fan-out — and the
     // whole-corpus pair-source dispatch (exact below the ceiling, banded
     // above), the twin record for the raw x_ngram_jaccard tail
-    "x_minhash_lsh_auto", "x_neardup_auto")
+    "x_minhash_lsh_auto", "x_neardup_auto",
+    // r10: the cluster dispatch forced onto its distributed branch — the
+    // label-propagation rounds' curvature (one join + min-agg per round,
+    // rounds bounded by component diameter) is the at-scale record for
+    // the above-ceiling regime every cluster consumer rides past 2²⁴
+    // edges; first measured ratio becomes the recorded ceiling
+    "x_dedup_clusters_auto_dist")
 
   /** Per-query x16-ratio RECORD (round-8 definitive min-of-2 run,
     * SCALE_r8.json) — the measured scaling curvature each headline plan

@@ -32,6 +32,16 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Floor the file-scan split count at the core count: a few-MB
+      // compressed corpus otherwise reads as ONE input split, and
+      // whole-stage fusion then runs the entire downstream pipeline
+      // (shingle explode ≈ 100× expansion, band join probes, partial
+      // aggregates) on a single task while 31 cores idle — measured as
+      // the x16 documents-family tail (a 9.8 MB/16-file corpus scanning
+      // single-task for minutes). On a real cluster corpus (thousands
+      // of large splits) this floor is a no-op; splitting granularity
+      // stays row-group, so single-row-group files are unaffected.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .withExtensions(GraftFunctions.install)
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()

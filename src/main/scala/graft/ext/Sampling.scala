@@ -274,7 +274,14 @@ object Sampling {
     val wRk = w.partitionBy("bucket", "lang").orderBy(col("q"), col("doc_id"))
     parts
       .withColumn("brk", row_number().over(wRk).cast("long"))
-      .join(broadcast(offsets), Seq("bucket", "lang"))
+      // EqualNullSafe on lang: a NULL language is a real curriculum group
+      // (the windows above partition it as one) — the name-list equi-join
+      // dropped every null-lang doc at exactly this seam, found by the
+      // r10 curation fuzz (seed 22). bucket is coalesced, never null.
+      .join(broadcast(offsets.withColumnsRenamed(
+          Map("bucket" -> "__bucket", "lang" -> "__lang"))),
+        col("bucket") === col("__bucket") && col("lang") <=> col("__lang"))
+      .drop("__bucket", "__lang")
       .withColumn("stage",
         expr(s"((brk + off - 1) * $stages) div cnt").cast("int"))
       .groupBy("lang", "stage")

@@ -90,6 +90,26 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(w - 7.0 / 6.0) < 1e-12, s"W1 = $w")
   }
 
+  test("wasserstein: quantized-sum dispatch exercised on BOTH sides of the 1e15 range gate") {
+    // Just BELOW the gate the order-free integer path runs at its
+    // documented worst-case mass: |F₁−F₂| = 0.5 across the whole ~1e15
+    // range puts Σq ≈ 0.5·range·2⁶² ≈ 2.3e33 — the near-ceiling case
+    // the scaladoc claims stays 5 orders under DECIMAL(38,0). A = {0, X},
+    // B = {X, X}: CDF gap 0.5 on [0, X) → W1 = X/2 exactly.
+    val xIn = 9.9e14
+    val wIn = Drift.wasserstein(
+      Seq(0.0, xIn).toDF("x"), Seq(xIn, xIn).toDF("x"), "x")
+      .collect()(0).getDouble(1)
+    assert(math.abs(wIn - xIn / 2) <= 1e-9 * xIn, s"below-gate W1 = $wIn")
+    // Just ABOVE the gate range_ok flips false and the legacy double sum
+    // takes over — same answer, honest ±n·ε accumulation.
+    val xOut = 2.0e15
+    val wOut = Drift.wasserstein(
+      Seq(0.0, xOut).toDF("x"), Seq(xOut, xOut).toDF("x"), "x")
+      .collect()(0).getDouble(1)
+    assert(math.abs(wOut - xOut / 2) <= 1e-9 * xOut, s"above-gate W1 = $wOut")
+  }
+
   test("wasserstein: sub-cent value gaps are measured, not rounded away") {
     // Regression for the DECIMAL(18,2) width policy: a pure 0.003 shift
     // on a probability-scaled column must read as W1 = 0.003, not 0

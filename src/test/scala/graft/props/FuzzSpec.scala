@@ -40,7 +40,10 @@ class FuzzSpec extends SparkSpec {
     // vocabulary is spec-gated instead (RowTransformsSpec).
     "p_row_transforms", "p8_standardize", "p_winsorize", "p_robust_scale",
     "v1_sdc_suppress", "v2_generalize", "v5_smart_suggest",
-    "d1_ks_statistic", "d2_chi2_drift", "d3_drift_all", "d_psi", "d_wasserstein")
+    "d1_ks_statistic", "d2_chi2_drift", "d3_drift_all", "d_psi", "d_wasserstein",
+    // r10 widening: the extended drift panel + the categorical-association
+    // scans, all lineitem-driven and content-agnostic
+    "d_ks_by_group", "d_drift_panel", "d_drift_extended", "a_cramers_v")
 
   private val liSchema = StructType(Seq(
     StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
@@ -116,12 +119,34 @@ class FuzzSpec extends SparkSpec {
     }
     val langs = Seq("en", "es", "zh", "xx", null, "")
     val sources = Seq("src0", "src1", "src2", "", null)
-    // duplicate-heavy tail: ~20% of docs clone an earlier text so the
-    // exact/norm dedup families have real work
+    // chunk/pack boundary shapes for the curation family (seeds 22-24):
+    // token counts EXACTLY at the pack budget (128), the sequence length
+    // (256), the chunk window (32) and stride (24), and one token either
+    // side — probes every <= vs < seam in the chunkers/packers
+    val boundary = Seq(128, 127, 129, 256, 255, 257, 32, 31, 33, 24, 25)
+    def boundaryText(): String = {
+      val n = boundary(r.nextInt(boundary.length))
+      Seq.fill(n)(tokenPool(r.nextInt(tokenPool.length))).mkString(" ")
+    }
+    // near-dup mutation for the dedup family (seeds 25-27): clone an
+    // earlier doc but swap ~10-50% of tokens, landing Jaccard on both
+    // sides of the 0.6 pair threshold — the seam fixed fixtures (all
+    // planted dups at J≈0.93) never exercise
+    def mutate(base: String): String = {
+      val toks = base.split(" ")
+      if (toks.length < 4) base
+      else toks.map(t => if (r.nextInt(10) < 1 + r.nextInt(5))
+        tokenPool(r.nextInt(tokenPool.length)) else t).mkString(" ")
+    }
     val texts = new scala.collection.mutable.ArrayBuffer[String]
     val docs = (0 until rows).map { i =>
       val text =
+        // duplicate-heavy tail: ~20% of docs clone an earlier text so
+        // the exact/norm dedup families have real work
         if (texts.nonEmpty && r.nextInt(5) == 0) texts(r.nextInt(texts.length))
+        else if (seed >= 25 && texts.nonEmpty && r.nextInt(3) == 0)
+          mutate(texts(r.nextInt(texts.length)))
+        else if (seed >= 22 && seed <= 24 && r.nextInt(3) == 0) boundaryText()
         else {
           val shape = if (seed == 7) r.nextInt(6) else if (r.nextInt(4) == 0) r.nextInt(6) else 5
           genText(r, shape)
@@ -140,6 +165,13 @@ class FuzzSpec extends SparkSpec {
     case 3 => Profile(60, 0.5, constNum = false, allNullNum = false, 8, uni)
     case 4 => Profile(300, 0.1, constNum = true, allNullNum = false, 4, Seq("只"))
     case 5 => Profile(300, 0.15, constNum = false, allNullNum = true, 6, uni)
+    // degenerate quasi-group shapes for the privacy family: one giant
+    // equivalence class (constant quasi columns), k > n tiny groups with
+    // the ""/"NA" null-sentinel collision, and near-all-null quasi
+    // columns (null IS a quasi value — grouping must keep it)
+    case 19 => Profile(400, 0.0, constNum = true, allNullNum = false, 2, Seq("A"))
+    case 20 => Profile(5, 0.4, constNum = false, allNullNum = false, 3, Seq("", "NA"))
+    case 21 => Profile(300, 0.9, constNum = false, allNullNum = false, 40, uni)
     case _ => Profile(
       rows = Seq(2, 37, 200, 500)(r.nextInt(4)),
       nullRate = Seq(0.0, 0.05, 0.3, 0.6)(r.nextInt(4)),
@@ -421,6 +453,82 @@ class FuzzSpec extends SparkSpec {
         Seq("python3", "dev/check.py", dir, out),
         new java.io.File("/root/repo")).!(logger)
       assert(code == 0, s"oracle divergence at seed $seed:\n$buf")
+    }
+
+  /** Window / grouping-sets / join relational rows (r10 widening): every
+    * oracle is content-agnostic over the generated lineitem/orders/
+    * supplier domains — pivot/rollup/stratum label sets are pinned
+    * constants on BOTH sides, so a random alphabet that misses them
+    * agrees on the pinned columns (nulls/empties). */
+  private val WindowFuzzQueries = Set(
+    "q_window_suite", "q_window_topk", "q_rolling_sum", "q_rollup",
+    "q_cube", "q_grouping_sets", "q_pivot", "q_set_ops", "q_scalar_funcs",
+    "q_outer_join", "q_semi_join", "q_anti_join", "q_corr_subquery",
+    "q_asof_join", "q_range_join", "q10_returned_items",
+    "q14_promo_revenue", "q19_bracket_revenue", "q6_forecast_revenue",
+    "q_salted_agg", "a_histogram", "a_skew_report", "a_moments_merge",
+    "x_hash_sample", "x_split_column", "x_stratified_sample")
+
+  for (seed <- 16 to 18)
+    test(s"differential window/grouping fuzz seed $seed: ${WindowFuzzQueries.size} relational queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeFixture(seed), WindowFuzzQueries)
+    }
+
+  /** Privacy gates on degenerate quasi-groups (r10 widening): k-anonymity
+    * / l-diversity / t-closeness where the quasi columns collapse to one
+    * giant class, shatter into k > n singletons, or go ~90% null; the
+    * DP releases ride along at their ε→∞ exact-recovery oracles. */
+  private val PrivacyFuzzQueries = Set(
+    "v8_k_anonymity", "v9_l_diversity", "v10_t_closeness",
+    "v1_sdc_suppress", "v2_generalize", "v3_dp_noise_inf",
+    "v_dp_histogram_inf", "v_dp_mean_inf")
+
+  for (seed <- 19 to 21)
+    test(s"differential privacy fuzz seed $seed: ${PrivacyFuzzQueries.size} privacy queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeFixture(seed), PrivacyFuzzQueries)
+    }
+
+  /** Chunking / packing / sampling / mixing over documents (r10
+    * widening), on corpora planting token counts exactly at the
+    * chunk/pack boundaries (32/24/128/256 ±1). Every oracle is
+    * content-agnostic; x_pack_bins itself is declared (FFD layout) —
+    * its hash-gated structural audit rides instead. */
+  private val CurationFuzzQueries = Set(
+    "x_pack_sequences", "x_pack_bins_audit", "x_curriculum",
+    "x_corpus_shuffle", "x_upsample", "x_source_budget", "x_source_best",
+    "x_source_cap", "x_source_card", "x_mix_rebalance",
+    "x_mix_temperature", "x_shard_assign", "x_snapshot_diff",
+    "x_group_quantiles", "x_vocab_topk", "x_bpe_pairs", "x_corpus_clean",
+    "x_curation_funnel", "x_doc_novelty", "x_novelty_yield",
+    "x_dedup_delta", "x_token_chunks", "d_js_divergence")
+
+  for (seed <- 22 to 24)
+    test(s"differential curation fuzz seed $seed: ${CurationFuzzQueries.size} curation queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeDocFixture(seed), CurationFuzzQueries)
+    }
+
+  /** Near-dup / clustering over MUTATED clones (r10 widening): token-swap
+    * mutations land pair Jaccard on both sides of the 0.6 threshold —
+    * the seam the fixed fixtures (planted dups at J≈0.93) never probe.
+    * Corpora sit below every dispatch ceiling, so the autos run their
+    * exact sides and the static oracles hold; the banding rows
+    * (x_minhash_*) have exact DuckDB banding mirrors, threshold pairs
+    * included. */
+  private val DedupFuzzQueries = Set(
+    "x_ngram_jaccard", "x_neardup_auto", "x_minhash_lsh",
+    "x_minhash_capped", "x_minhash_lsh_auto", "x_simhash_pairs",
+    "x_passage_dedup", "x_neardup_delta", "x_neardup_delta_auto",
+    "x_minhash_delta", "x_dedup_clusters", "x_dedup_clusters_dist",
+    "x_dedup_clusters_auto_dist", "x_dedup_cluster_sizes", "x_soft_dedup",
+    "x_leakage_split")
+
+  for (seed <- 25 to 27)
+    test(s"differential dedup fuzz seed $seed: ${DedupFuzzQueries.size} near-dup queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed, materializeDocFixture(seed), DedupFuzzQueries)
     }
 
   for (seed <- 1 to 6)
