@@ -48,8 +48,15 @@ object DevScaleUp {
     println(f"[scaleup] TOTAL base $baseTotal%.2f x$copies $bigTotal%.2f ratio ${bigTotal / math.max(baseTotal, 1e-9)}%.2f (linear = $copies)")
 
     // ---- regression gate ----
+    // Ceilings are RECORDS AT x16: applying them to another copy count
+    // would compare curvature measured on different fixtures. A non-x16
+    // run (the x64 curvature rehearsal) is measurement-only: no gate,
+    // and its artifact goes to SCALE_SELF_x{copies}.json so it can never
+    // shadow the gate file.
+    val gated = copies == 16
     val breaches = ratios.flatMap { case (n, _, _, r) =>
-      ScaleUp.RatioCeilings.get(n) match {
+      if (!gated) None
+      else ScaleUp.RatioCeilings.get(n) match {
         case Some(c) if r > c =>
           println(f"[scaleup] BREACH $n ratio $r%.2f > ceiling $c%.2f " +
             f"(recorded ${ScaleUp.RecordedRatios(n)}%.2f x slack ${ScaleUp.CeilingSlack})")
@@ -66,7 +73,8 @@ object DevScaleUp {
       s""""$n": {"base": ${jf(b)}, "x$copies": ${jf(v)}, "ratio": ${jf(r)}}"""
     }.mkString(",\n    ")
     val gateJson =
-      if (breaches.isEmpty) "\"pass\""
+      if (!gated) "\"none (measurement-only: ceilings are x16 records)\""
+      else if (breaches.isEmpty) "\"pass\""
       else breaches.map("\"" + _ + "\"").mkString("[", ", ", "]")
     val doc =
       s"""{
@@ -83,8 +91,11 @@ object DevScaleUp {
          |    $qJson
          |  }
          |}""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SELF.json"), doc)
-    println(s"[scaleup] wrote SCALE_SELF.json; gate=${if (breaches.isEmpty) "pass" else s"FAIL ${breaches.mkString(",")}"}")
+    val outName = if (gated) "SCALE_SELF.json" else s"SCALE_SELF_x$copies.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outName), doc)
+    println(s"[scaleup] wrote $outName; gate=${
+      if (!gated) "skipped (non-x16 measurement run)"
+      else if (breaches.isEmpty) "pass" else s"FAIL ${breaches.mkString(",")}"}")
     spark.stop()
     if (breaches.nonEmpty) sys.exit(1)
   }

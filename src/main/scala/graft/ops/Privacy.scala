@@ -703,7 +703,11 @@ object Privacy {
         (f.name, s, if (isNum) Some(1.0) else Option.empty[Double]))
     }
     import spark.implicits._
-    rows.toDF("column", "suggestion", "epsilon").orderBy(col("column"))
+    // rows is already driver-local (the capped-distinct collect above) —
+    // sort it HERE: an .orderBy on the LocalRelation would pay a range-
+    // partitioning sample job plus a sort job (DevV5 measured them as
+    // half of v5's 4-job budget) to order a ≤|columns|-row frame.
+    rows.sortBy(_._1).toDF("column", "suggestion", "epsilon")
   }
 
   /** V8 (extension): k-anonymity assessment over a quasi-identifier set —

@@ -832,7 +832,7 @@ object Profile {
     cols.zipWithIndex.map { case (c, i) =>
       val (n, h) = byCi.getOrElse(i, (0L, None))
       (c, n, h)
-    }.toDF("column", "n_categories", "entropy").orderBy("column")
+    }.sortBy(_._1).toDF("column", "n_categories", "entropy")
   }
 
   /** Mutual information (nats) between two categorical columns — the
