@@ -531,6 +531,54 @@ class FuzzSpec extends SparkSpec {
       runDifferential(seed, materializeDocFixture(seed), DedupFuzzQueries)
     }
 
+  /** Multimodal plumbing (r10 widening, the last unfuzzed family): every
+    * op is a pure integer function of the payload bytes, and every
+    * oracle mirrors that arithmetic over ASCII text (`ascii(substring)`
+    * = byte value only when the corpus is pure ASCII — so the generator
+    * is ASCII-only by construction, like the fixture MultimodalSpec
+    * asserts). Corpora plant byte lengths EXACTLY at the seams: the
+    * 64-byte audio window / scene frame, the 48 height modulus, the
+    * 16-byte thumbnail side / frame-sample window, ±1 around each, and
+    * 0/1 — probing every `<=` vs `<`, empty-window and trailing-frame
+    * edge. The byte-value shapes target the 8-bit-PCM center (ASCII 64
+    * = '@' → sample 0, which is NOT negative): all-'@' docs (zero
+    * crossings must be 0), alternating '?'(-1)/'A'(+1) docs (maximal
+    * sign flips), and mixed printable ASCII. */
+  private val MultimodalFuzzQueries = Set(
+    "m_multimodal_meta", "m_thumbnail", "m_audio_features",
+    "m_scene_cuts", "m_frame_sample")
+
+  private val asciiPool =
+    "abcdefghijklmnopqrstuvwxyz @?A!#0123456789".toCharArray
+
+  private def genAsciiDocs(seed: Int): DataFrame = {
+    val r = new scala.util.Random(seed * 86028121L)
+    val lens = Seq(0, 1, 15, 16, 17, 47, 48, 49, 63, 64, 65,
+      127, 128, 129, 255, 256, 257)
+    val rows = 150 + r.nextInt(150)
+    val docs = (0 until rows).map { i =>
+      val len =
+        if (r.nextInt(3) == 0) lens(r.nextInt(lens.length))
+        else r.nextInt(400)
+      val text = r.nextInt(4) match {
+        case 0 => Seq.fill(len)('@').mkString
+        case 1 => Array.fill(len)(if (r.nextBoolean()) '?' else 'A').mkString
+        case _ => Array.fill(len)(asciiPool(r.nextInt(asciiPool.length))).mkString
+      }
+      Row(i.toLong, text, "en", "src0", text.length.toLong)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(docs.asJava, docSchema)
+  }
+
+  for (seed <- 28 to 30)
+    test(s"differential multimodal fuzz seed $seed: ${MultimodalFuzzQueries.size} media queries vs the DuckDB oracle") {
+      assume(duckdbOk, "python3+duckdb not available in this environment")
+      runDifferential(seed,
+        materializeOneTable(seed, "documents", genAsciiDocs(seed)),
+        MultimodalFuzzQueries)
+    }
+
   for (seed <- 1 to 6)
     test(s"differential fuzz seed $seed: ${FuzzQueries.size} catalog queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
