@@ -32,16 +32,24 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // Floor the file-scan split count at the core count: a few-MB
-      // compressed corpus otherwise reads as ONE input split, and
-      // whole-stage fusion then runs the entire downstream pipeline
-      // (shingle explode ≈ 100× expansion, band join probes, partial
-      // aggregates) on a single task while 31 cores idle — measured as
-      // the x16 documents-family tail (a 9.8 MB/16-file corpus scanning
-      // single-task for minutes). On a real cluster corpus (thousands
-      // of large splits) this floor is a no-op; splitting granularity
-      // stays row-group, so single-row-group files are unaffected.
-      .config("spark.sql.files.minPartitionNum", cpus)
+      // No file-scan split floor (r10 measured, DevScanSplit): Spark's
+      // own split target — max(openCostInBytes, totalScanBytes /
+      // defaultParallelism) clamped to maxPartitionBytes — already
+      // spreads an explosive few-MB multi-file corpus across the cores
+      // (the 9.8 MB/16-file x16 documents fixture reads as 16 tasks),
+      // while a `minPartitionNum = cores` floor forces ≥32 tasks on
+      // EVERY scan: a sub-4 MB single-row-group fixture then launches
+      // 31 footer-only empty tasks per scan stage, measured as
+      // +20–80 % on the sub-second documents-family queries
+      // (x_pack_bins 0.48 → 0.26 s) with NO x16 benefit (neardup/
+      // novelty/minhash within noise across both configs). Honest
+      // residual: a few-MB SINGLE-file corpus still reads as one task
+      // under the formula (split assignment is row-group-granular), so
+      // its shingle explode runs one-core — bounded at seconds for the
+      // corpus sizes where a single file is even possible, and settable
+      // away (`spark.sql.files.minPartitionNum`) by a caller who hits
+      // it. At real corpus scale (thousands of ≥128 MB splits) none of
+      // this matters.
       .withExtensions(GraftFunctions.install)
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
