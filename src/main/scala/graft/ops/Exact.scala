@@ -36,10 +36,16 @@ object Exact {
     * fall back to decimal multiplies beyond it. */
   val LongSafeCentsAbsMax: Long = 3037000499L
 
-  /** Exact first moment Σ cents as DECIMAL(19,0) — width 19 forces int128
-    * storage in DuckDB so S1·S1 cannot overflow its int64 fast path. */
+  /** Exact first moment Σ cents as DECIMAL(38,0). Width 38, not 19: the
+    * x64 curvature rehearsal (r10) measured Σ cents = 1.21·10¹⁹ on a
+    * key-like lineitem column — one digit past DECIMAL(19,0), an ANSI
+    * abort of the whole profile job. The SUM itself was never the
+    * problem (Spark widens a Decimal(19,0) sum to (29,0) internally);
+    * only the final narrowing cast faulted. (The DuckDB-side oracle
+    * mirrors cast to width 19 for int128 storage — fine there, the
+    * oracle only ever runs at sf ≤ x16 where Σ < 10¹⁹.) */
   def s1(c: Column): Column =
-    sum(cents(c).cast(DecimalType(19, 0))).cast(DecimalType(19, 0))
+    sum(cents(c).cast(DecimalType(19, 0))).cast(DecimalType(38, 0))
 
   /** Exact second moment Σ cents², summed exactly in decimal space.
     *
@@ -108,9 +114,10 @@ object Exact {
   }
 
   /** [[s1]]/[[s2]] over an already-converted cents column (single cents
-    * evaluation per row — see [[momentPartsPre]]). */
+    * evaluation per row — see [[momentPartsPre]]). Width 38 on the final
+    * cast, same x64 lesson as [[s1]]. */
   def s1Pre(v: Column): Column =
-    sum(v.cast(DecimalType(19, 0))).cast(DecimalType(19, 0))
+    sum(v.cast(DecimalType(19, 0))).cast(DecimalType(38, 0))
 
   def s2Pre(v: Column): Column = {
     val sq = when(abs(v) <= lit(LongSafeCentsAbsMax), (v * v).cast(DecimalType(38, 0)))
@@ -123,9 +130,13 @@ object Exact {
   def s1FromParts(p: String): Column = {
     val l = col(s"${p}__s1l")
     val d = col(s"${p}__s1d")
-    when(l.isNull && d.isNull, lit(null).cast(DecimalType(19, 0)))
+    // width 38 on the recombination: l + d passed 10¹⁹ at x64 (measured
+    // 1.21·10¹⁹ — see [[s1]]); the slots themselves never overflow
+    // (long ≤ n·LongSafeCentsAbsMax under the HiLo row ceiling; d is a
+    // Spark-widened Decimal(29,0) sum)
+    when(l.isNull && d.isNull, lit(null).cast(DecimalType(38, 0)))
       .otherwise((coalesce(l.cast(DecimalType(19, 0)), lit(0)) +
-        coalesce(d, lit(0))).cast(DecimalType(19, 0)))
+        coalesce(d, lit(0))).cast(DecimalType(38, 0)))
   }
 
   /** Exact S2 from [[momentParts]] slots (Σcents² = 2³²·Σhi + Σlo + Σdec). */
@@ -162,6 +173,29 @@ object Exact {
     // NULL parity — see [[stdFromMoments]])
     when(n >= 1, s1.cast("double") / 100.0 / n)
 
+  /** The decimal-exact n·S2 − S1² path is itself magnitude-bounded:
+    * S1·S1 as DECIMAL(38,0) faults past |S1| ≈ 10¹⁹ and n·S2 past
+    * S2 ≈ 10³⁸/n — both reachable for key-like columns at big scale
+    * (the x64 rehearsal hit the S1 edge at Σ = 1.21·10¹⁹). Inside the
+    * bound the decimal subtraction is bit-exact (the DuckDB-parity
+    * requirement at every oracle scale, ≤ x16); past it the variance
+    * falls back to DOUBLE arithmetic — relative error ~10⁻¹⁶ on the
+    * surviving magnitudes, far below any reporting tolerance, and the
+    * oracle never runs there. 9·10¹⁸ / 9·10³⁷ leave a ~10 % margin so
+    * the double-space guard comparison can never round INTO a faulting
+    * decimal evaluation (CaseWhen branches are lazy). */
+  private def decimalMomentsSafe(s1: Column, s2: Column, n: Column): Column =
+    abs(s1.cast("double")) <= lit(9.0e18) &&
+      s2.cast("double") * n.cast("double") <= lit(9.0e37)
+
+  /** sqrt(max(0, (S2 − S1²/n)/ddof/10⁴)) computed entirely in double —
+    * the past-decimal-domain fallback of [[stdFromMoments]]. */
+  private def stdDouble(s1: Column, s2: Column, n: Column, ddof: Column): Column = {
+    val s1d = s1.cast("double")
+    sqrt(greatest(lit(0.0),
+      (s2.cast("double") - s1d * s1d / n.cast("double")) / ddof / 10000.0))
+  }
+
   /** Sample std (ddof=1, pandas `std()` convention) from exact moments:
     * sqrt(max(0, (n·S2 − S1²)/n/(n−1)/10000)). */
   def stdFromMoments(s1: Column, s2: Column, n: Column): Column = {
@@ -170,15 +204,22 @@ object Exact {
     // division by zero too (FuzzSpec single-row seed killed a whole
     // profile job through this), and DuckDB's x/0 is NULL — the guard is
     // both the crash fix and the oracle's exact semantics. CaseWhen
-    // evaluates the branch lazily, so the division never runs at n < 2.
-    when(n >= 2, sqrt(greatest(lit(0.0), num / n / (n - lit(1)) / 10000.0)))
+    // evaluates the branch lazily, so the division never runs at n < 2
+    // (and the decimal products never evaluate past the magnitude bound).
+    when(n >= 2,
+      when(decimalMomentsSafe(s1, s2, n),
+        sqrt(greatest(lit(0.0), num / n / (n - lit(1)) / 10000.0)))
+        .otherwise(stdDouble(s1, s2, n, (n - lit(1)).cast("double"))))
   }
 
   /** Population std (ddof=0, sklearn StandardScaler convention). n = 0 →
     * NULL (no division — see the ANSI note in [[stdFromMoments]]). */
   def stdPopFromMoments(s1: Column, s2: Column, n: Column): Column = {
     val num = (n.cast(DecimalType(10, 0)) * s2 - s1 * s1).cast("double")
-    when(n >= 1, sqrt(greatest(lit(0.0), num / n / n / 10000.0)))
+    when(n >= 1,
+      when(decimalMomentsSafe(s1, s2, n),
+        sqrt(greatest(lit(0.0), num / n / n / 10000.0)))
+        .otherwise(stdDouble(s1, s2, n, n.cast("double"))))
   }
 
   /** Exact linear-interpolated quantiles of a ≤2-decimal column via a

@@ -959,7 +959,8 @@ object Profile {
     states.reduce(_ unionByName _)
       .groupBy("column")
       .agg(sum("n").as("n"),
-        sum("s1").cast(DecimalType(19, 0)).as("s1"),
+        // width 38 matches Exact.s1's widened output (x64 overflow fix)
+        sum("s1").cast(DecimalType(38, 0)).as("s1"),
         sum("s2").cast(DecimalType(38, 0)).as("s2"),
         min("mn").as("mn"), max("mx").as("mx"))
 

@@ -260,6 +260,52 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("moment S1 past 10^19 computes on BOTH hiLo paths (x64 overflow regression)") {
+    // The x64 curvature rehearsal measured Σcents = 1.21e19 on a key-like
+    // column — one digit past the old DECIMAL(19,0) recombination cast
+    // (ANSI abort). Reproduce the magnitude in miniature: 24 rows of
+    // ±huge values whose Σcents ≈ 2e19 crosses BOTH the s1 width and the
+    // stdFromMoments decimal-product guard (|S1| > 9e18), forcing the
+    // double fallback; 40 rows at c and 40 at 3c give known moments
+    // (mean 2c, std_pop c, std_samp c·sqrt(80/79)). c stays under the
+    // cents-eligibility ceiling (|v| < 10¹⁶ for the Decimal(18,2) cast)
+    // while Σcents = 4e19 crosses both edges.
+    val c = 2.5e15 // cents = 2.5e17 per row, > LongSafeCentsAbsMax → decimal side-slots
+    val rows = Seq.fill(40)(c) ++ Seq.fill(40)(3 * c)
+    val df = rows.toDF("v")
+    for (hiLo <- Seq(true, false)) {
+      val aggs = Seq(count(col("cv")).as("v__n")) ++
+        graft.ops.Exact.momentAggsPre(col("cv"), "v", hiLo)
+      val got = df.select(graft.ops.Exact.cents(col("v")).as("cv"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          graft.ops.Exact.meanFromMoments(
+            graft.ops.Exact.s1Col("v", hiLo), col("v__n")).as("mean"),
+          graft.ops.Exact.stdFromMoments(
+            graft.ops.Exact.s1Col("v", hiLo),
+            graft.ops.Exact.s2Col("v", hiLo), col("v__n")).as("std"))
+        .collect()(0)
+      val mean = got.getDouble(0)
+      val std = got.getDouble(1)
+      assert(math.abs(mean - 2 * c) / (2 * c) < 1e-9, s"hiLo=$hiLo mean=$mean")
+      val expStd = c * math.sqrt(80.0 / 79.0)
+      assert(math.abs(std - expStd) / expStd < 1e-6, s"hiLo=$hiLo std=$std")
+    }
+    // end-to-end through the merge primitive: shard, merge, publish
+    val parts = Seq(df.filter(col("v") <= c), df.filter(col("v") > c))
+      .map(Profile.momentState(_, Seq("v")))
+    val merged = Profile.statsFromMomentState(
+      Profile.mergeMomentStates(parts)).collect()(0)
+    assert(math.abs(merged.getDouble(2) - 2 * c) / (2 * c) < 1e-9)
+    // below the guard the decimal-exact branch must be byte-identical to
+    // the pre-widening behavior: small frame, std has a closed form
+    val small = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val s = Profile.statsFromMomentState(
+      Profile.momentState(small, Seq("v"))).collect()(0)
+    assert(s.getDouble(2) == 2.5)
+    assert(math.abs(s.getDouble(3) - math.sqrt(5.0 / 3.0)) < 1e-15)
+  }
+
   test("muSigma: sigma fallback 1.0 for constant and single-row columns") {
     val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("c", "x")
     val m = Profile.muSigma(const, Seq("c", "x")).collect().map(r => r.getString(0) -> r).toMap
