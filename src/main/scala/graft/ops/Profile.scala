@@ -684,8 +684,10 @@ object Profile {
           .otherwise((col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
             col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0)))
       gPure.select(col("pi"), col("n"),
-        col("sx_l").cast(DecimalType(19, 0)).as("sx"),
-        col("sy_l").cast(DecimalType(19, 0)).as("sy"),
+        // long sums always fit width 19; cast 38 so the mixed-regime
+        // unionByName with hybridFor's widened sx/sy needs no coercion
+        col("sx_l").cast(DecimalType(38, 0)).as("sx"),
+        col("sy_l").cast(DecimalType(38, 0)).as("sy"),
         recomb("sxy_hi", "sxy_lo").as("sxy"),
         recomb("sxx_hi", "sxx_lo").as("sxx"),
         recomb("syy_hi", "syy_lo").as("syy"))
@@ -711,10 +713,15 @@ object Profile {
         sum(when(!inDomain, xd * yd)).as("sxy_d"),
         sum(when(m && !inDomain, xd * xd)).as("sxx_d"),
         sum(when(m && !inDomain, yd * yd)).as("syy_d"))
+      // width 38 on the S1 recombination: the long slot + decimal slot
+      // sum passed 10¹⁹ at x64 on a key-like column (the same measured
+      // 1.21·10¹⁹ that widened Exact.s1FromParts) — the slots are safe,
+      // only this narrowing cast faulted. Downstream arithmetic is all
+      // double (num/den above), so width never re-multiplies in decimal.
       def combS1(l: String, d: String): Column =
-        when(col(l).isNull && col(d).isNull, lit(null).cast(DecimalType(19, 0)))
+        when(col(l).isNull && col(d).isNull, lit(null).cast(DecimalType(38, 0)))
           .otherwise((coalesce(col(l).cast(DecimalType(19, 0)), lit(0)) +
-            coalesce(col(d), lit(0))).cast(DecimalType(19, 0)))
+            coalesce(col(d), lit(0))).cast(DecimalType(38, 0)))
       def combS2(h: String, l: String, d: String): Column =
         when(col(h).isNull && col(d).isNull, lit(null).cast(DecimalType(38, 0)))
           .otherwise((coalesce(col(h).cast(DecimalType(20, 0)) * lit(4294967296L), lit(0)) +
