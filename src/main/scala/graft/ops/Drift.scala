@@ -103,8 +103,8 @@ object Drift {
     * becomes the bottleneck; both paths are bit-identical. */
   private val KsDriverMaxBytes = BigInt(64L) << 20
 
-  /** Same ceiling for the PSI decile-edge fit (one collected double
-    * column per numeric input while the scan estimate stays under it).
+  /** Ceiling for the PSI decile-edge fit, in RAW COLLECTED BYTES
+    * (rows × fitted columns × 8), not scan-estimate bytes.
     * Deliberately NOT lowered to [[KsDriverMaxBytes]]' 64 MB: the r8
     * crossover rehearsal measured the transfer and it does NOT hold —
     * at x16 the cents-histogram edge fit is SLOWER than the driver
@@ -112,9 +112,23 @@ object Drift {
     * because PSI consumes only `bins−1` edges from the fit (the
     * domain-shuffle buys nothing downstream), whereas KS consumes the
     * ENTIRE per-distinct-value CDF (the shuffle IS the computation).
-    * The driver path here stays the winner until the collect itself is
-    * the bottleneck, far past these scales. */
-  private val PsiDriverFitMaxBytes = BigInt(8L) << 30
+    * But the driver path has a hard FAULT line, not just a slowdown: the
+    * x64 rehearsal (r10) measured the fused collect at 38.4 M rows × 7
+    * columns ≈ 2.0 GiB of serialized task results — the job is KILLED at
+    * `spark.driver.maxResultSize` (1 GiB default), it never gets slow.
+    * So the ceiling is now 60 % of the session's actual maxResultSize,
+    * compared against the raw collected estimate (exact parquet-footer
+    * row count when the fit input is a pure scan — no job); the 40 %
+    * margin covers serialization overhead. x16 (9.6 M × 7 × 8 ≈ 512 MiB
+    * < 614 MiB) keeps the measured driver-path win; x64 dispatches to
+    * the bit-identical cents-histogram plan. A non-scan fit input (no
+    * footer count) falls back to the optimizer byte estimate at the same
+    * ceiling — compressed scan bytes under-estimate collected doubles,
+    * but every catalog fit input is a scan, and the fallback still
+    * bounds the regime where the estimate is trustworthy at all. */
+  private def psiDriverFitMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt =
+    BigInt(spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")) * 6 / 10
 
   /** Collect columns as primitive doubles KEEPING NaN/±Inf (they are real
     * sample points to the plan path and the oracle — NaN groups sort
@@ -515,8 +529,12 @@ object Drift {
   private def psiEdges(before: DataFrame, cols: Seq[String],
                        bins: Int): Map[Int, Seq[Double]] = {
     val probs = (1 until bins).map(_.toDouble / bins)
-    val driverOk = before.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      PsiDriverFitMaxBytes
+    val cap = psiDriverFitMaxBytes(before.sparkSession)
+    val driverOk =
+      graft.io.ScanStats.parquetScanRowCount(before) match {
+        case Some(rows) => BigInt(rows) * cols.length * 8 <= cap
+        case None => before.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+      }
     val fits: Map[String, Exact.QuantFit] =
       if (driverOk) Exact.quantilesViaDriverSortMulti(before, cols, probs)
       else Exact.quantilesMultiCentsHistogram(before, cols, probs)
