@@ -27,15 +27,33 @@ object DevScaleUp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val copies = if (args.length > 1) args(1).toInt else 16
+    // Non-x16 curvature rehearsals skip the two deliberately-raw
+    // ALL-PAIRS exact tools (their dispatched autos stay in the set):
+    // the key-offset fixture clones every document `copies` times with
+    // identical text, so every original near-dup pair fans out to
+    // copies² candidate pairs — at x64 that is 4096× the x1 pair volume
+    // (16× the gated x16 run, whose 33.5 s x_ngram_jaccard row already
+    // measures it), and the exact verify join's shingle-array payload
+    // spilled the disk to full (measured, r10 attempt 4). A 98.4 %-
+    // duplicate corpus is the fixture's pathology, not the tools'
+    // production regime; the x16 GATE keeps both rows. Logged loudly —
+    // no silent caps.
+    val skip: Set[String] =
+      if (copies == 16) Set.empty
+      else Set("x_ngram_jaccard", "x_minhash_lsh")
+    if (skip.nonEmpty)
+      println(s"[scaleup] skipping at x$copies (all-pairs exact tools on a " +
+        s"${copies}-way-clone fixture — quadratic in copies by construction; " +
+        s"their dispatched autos remain): ${skip.mkString(", ")}")
     val spark: SparkSession = Sessions.local(appName = "graft-devscaleup")
     // warm: compile the headline plans at base scale
-    ScaleUp.Headline.foreach { n =>
+    ScaleUp.Headline.filterNot(skip).foreach { n =>
       try Bench.materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[scaleup] warm $n: ${e.getMessage}") }
     }
-    val base = ScaleUp.timeHeadline(spark, sfDir).toMap
+    val base = ScaleUp.timeHeadline(spark, sfDir, skip).toMap
     val dst = ScaleUp.ensure(spark, sfDir, copies)
-    val big = ScaleUp.timeHeadline(spark, dst)
+    val big = ScaleUp.timeHeadline(spark, dst, skip)
     var baseTotal = 0.0
     var bigTotal = 0.0
     val ratios = big.map { case (n, v) =>

@@ -152,8 +152,12 @@ object ScaleUp {
     * run-to-run noise — r8 measured d3's x16 shot spanning 5–20 s across
     * rehearsals from spill/GC pressure on the persisted counts frame —
     * and the minimum estimates the plan's intrinsic cost). */
-  def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] =
-    Headline.map { n =>
+  def timeHeadline(spark: SparkSession, dir: String,
+                   skip: Set[String] = Set.empty): Seq[(String, Double)] =
+    Headline.filterNot(skip).map { n =>
+      // announce BEFORE running so a mid-query crash (spill-full disk,
+      // result-size kill) attributes to its query in the log
+      println(s"[scaleup] running $n @ $dir"); Console.flush()
       n -> (1 to 2).map(_ => Bench.timed(SparkEntry.queries(n)(spark, dir))).min
     }
 }
