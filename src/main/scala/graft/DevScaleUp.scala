@@ -40,7 +40,11 @@ object DevScaleUp {
     // no silent caps.
     val skip: Set[String] =
       if (copies == 16) Set.empty
-      else Set("x_ngram_jaccard", "x_minhash_lsh")
+      else Set("x_ngram_jaccard", "x_minhash_lsh",
+        // the raw bipartite delta joins old⋈new over the same 64-way
+        // clones — attempt 6 measured it OOM + spill-full at x64; its
+        // dispatched twin x_neardup_delta_auto stays in the set
+        "x_neardup_delta")
     if (skip.nonEmpty)
       println(s"[scaleup] skipping at x$copies (all-pairs exact tools on a " +
         s"${copies}-way-clone fixture — quadratic in copies by construction; " +
