@@ -109,7 +109,7 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |      ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS INTEGER) AS rk
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,

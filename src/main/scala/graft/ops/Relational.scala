@@ -431,7 +431,7 @@ object Relational {
       |  PERCENT_RANK() OVER w AS pct_rank,
       |  CUME_DIST() OVER w AS cume
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST)
       |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
 
   /** Set operations: INTERSECT / EXCEPT over the customer-order key

@@ -469,7 +469,7 @@ class FuzzSpec extends SparkSpec {
     "q_salted_agg", "a_histogram", "a_skew_report", "a_moments_merge",
     "x_hash_sample", "x_split_column", "x_stratified_sample")
 
-  for (seed <- 16 to 18)
+  for (seed <- (16 to 18) :+ 34)
     test(s"differential window/grouping fuzz seed $seed: ${WindowFuzzQueries.size} relational queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeFixture(seed), WindowFuzzQueries)
