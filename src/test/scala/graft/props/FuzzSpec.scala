@@ -432,14 +432,14 @@ class FuzzSpec extends SparkSpec {
         EventsFuzzQueries)
     }
 
-  for (seed <- 13 to 15)
+  for (seed <- (13 to 15) ++ (64 to 66))
     test(s"differential embeddings fuzz seed $seed: ${EmbedFuzzQueries.size} similarity queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeOneTable(seed, "embeddings", genEmbeddings(seed)),
         EmbedFuzzQueries)
     }
 
-  for (seed <- 7 to 9)
+  for (seed <- (7 to 9) ++ (61 to 63))
     test(s"differential text fuzz seed $seed: ${TextFuzzQueries.size} document queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       val dir = materializeDocFixture(seed)
@@ -571,7 +571,7 @@ class FuzzSpec extends SparkSpec {
     spark.createDataFrame(docs.asJava, docSchema)
   }
 
-  for (seed <- 28 to 30)
+  for (seed <- (28 to 30) ++ (67 to 69))
     test(s"differential multimodal fuzz seed $seed: ${MultimodalFuzzQueries.size} media queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed,
