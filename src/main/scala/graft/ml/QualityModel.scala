@@ -71,9 +71,16 @@ object QualityModel {
     // the exact full-corpus funnel this operator forbids — so the
     // small-side decision requires an exact count (parquet footers when
     // the plan is a pure scan, a zero-column count job otherwise).
+    // Precedence: footer count FIRST — it is exact and costs
+    // milliseconds, so when the plan is a pure scan the CBO estimate
+    // must never override it (a stale-HIGH catalog stat on a corpus
+    // that has since shrunk would otherwise shrink the sample fraction
+    // and silently under-sample the fit). CBO breaks ties only for
+    // non-scan plans, and only on the above-cap side where slack is
+    // tolerable.
     val cboRows = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
-    val n = cboRows.filter(_ > FitSampleCap)
-      .orElse(graft.io.ScanStats.parquetScanRowCount(df))
+    val n = graft.io.ScanStats.parquetScanRowCount(df)
+      .orElse(cboRows.filter(_ > FitSampleCap))
       .getOrElse(df.count())
     // Deterministic hash sample for the fit (never the scoring): the
     // gate is a pure function of the id, so the sample — and therefore

@@ -125,10 +125,18 @@ object Drift {
     * footer count) falls back to the optimizer byte estimate at the same
     * ceiling — compressed scan bytes under-estimate collected doubles,
     * but every catalog fit input is a scan, and the fallback still
-    * bounds the regime where the estimate is trustworthy at all. */
-  private def psiDriverFitMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt =
-    BigInt(spark.sparkContext.getConf
-      .getSizeAsBytes("spark.driver.maxResultSize", "1g")) * 6 / 10
+    * bounds the regime where the estimate is trustworthy at all.
+    * `maxResultSize = 0` means UNLIMITED to Spark, not zero — deriving
+    * 60 % of it would yield a 0-byte ceiling that permanently disables
+    * the measured-faster driver path exactly when the driver has no
+    * result-size limit; that setting falls back to a fixed 8 GiB
+    * ceiling (the pre-r10 constant, still far under any executor-side
+    * collect that would make the driver sort competitive). */
+  private def psiDriverFitMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt = {
+    val maxResult = BigInt(spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g"))
+    if (maxResult <= 0) BigInt(8L << 30) else maxResult * 6 / 10
+  }
 
   /** Collect columns as primitive doubles KEEPING NaN/±Inf (they are real
     * sample points to the plan path and the oracle — NaN groups sort
