@@ -27,7 +27,18 @@ object ScanStats {
     * bound their own exposure first (the existing plan-stats byte
     * short-circuits): footer reads are per-file driver IO, right for
     * the ≲1 GiB plans dispatch decisions actually probe. */
-  def parquetScanRowCount(df: DataFrame): Option[Long] = {
+  def parquetScanRowCount(df: DataFrame): Option[Long] =
+    parquetScanLayout(df).map(_._1)
+
+  /** Exact (row count, row-group count) from the footers under the same
+    * pure-scan condition as [[parquetScanRowCount]]. The row-group count
+    * is the scan's PARALLELISM CEILING — data assignment is row-group
+    * granular, so splitting a file beyond its groups only makes empty
+    * tasks (the r10 DevScanSplit finding) — which makes it the right
+    * driver-side signal for "this scan cannot use the machine" dispatch
+    * (e.g. [[graft.ops.Profile]]'s narrow fan-out before heavy per-row
+    * projections). */
+  def parquetScanLayout(df: DataFrame): Option[(Long, Int)] = {
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
       // a Project can only prune/rename columns — row-preserving
       case Project(exprs, child) if exprs.forall(_.deterministic) => unwrap(child)
@@ -40,14 +51,17 @@ object ScanStats {
             if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
           val conf = df.sparkSession.sessionState.newHadoopConf()
           try {
-            var total = 0L
+            var rows = 0L
+            var groups = 0
             fs.location.inputFiles.foreach { f =>
               val reader = ParquetFileReader.open(
                 HadoopInputFile.fromPath(new Path(f), conf))
-              try total += reader.getRecordCount
-              finally reader.close()
+              try {
+                rows += reader.getRecordCount
+                groups += reader.getRowGroups.size()
+              } finally reader.close()
             }
-            Some(total)
+            Some((rows, groups))
           } catch { case _: Exception => None } // unreadable footer → fallback
         case _ => None
       }

@@ -549,27 +549,142 @@ object Exact {
     * agg's Expand factor). */
   def quantilesViaDriverSortMulti(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      probs: Seq[Double]): Map[String, QuantFit] = {
+      probs: Seq[Double]): Map[String, QuantFit] =
+    numProfileViaDriverSort(df, cols, probs).view
+      .mapValues(f => QuantFit(f.quantiles, f.nUnique)).toMap
+
+  /** Full numeric-profile fit of the driver-sort branch: everything the
+    * a1 profile needs for a column, from ONE collected array. `eligible =
+    * false` (any NaN/±Inf present) means "use the in-agg distributed
+    * forms" — exactly [[QuantFit]]'s `None` contract. */
+  final case class NumFit(quantiles: Option[Seq[Double]], nUnique: Option[Long],
+                          n: Long, mean: Option[Double], std: Option[Double],
+                          minV: Option[Double], maxV: Option[Double],
+                          eligible: Boolean)
+
+  /** Driver-side replica of the a1 wide aggregate's per-column numeric
+    * stats over an already-collected finite array, BIT-IDENTICAL to the
+    * distributed forms (the DuckDB-oracle requirement):
+    *  - moments accumulate in the same hi/lo long + decimal side-sum
+    *    split as [[momentPartsPre]] and finalize through the same
+    *    decimal recombination and double op order as [[s1FromParts]]/
+    *    [[s2FromParts]]/[[meanFromMoments]]/[[stdFromMoments]] —
+    *    including the magnitude-guarded double fallback;
+    *  - cents replicates the `cast(DECIMAL(18,2))·100` HALF_UP rounding
+    *    (and faults loudly past precision 18, as the ANSI cast would);
+    *  - min/max are the sorted array's ends (collected arrays are finite
+    *    and -0.0-preserving; `Arrays.sort`'s -0.0 < 0.0 total order is
+    *    Spark's min/max comparison order).
+    * Why this exists (r11): at sf0.1-class inputs the profile's numeric
+    * stats are the DRIVER branch's job anyway (≤ [[graft.ops.Profile]]'s
+    * cell ceiling), and the separate distributed wide aggregate was two
+    * more scans + ~10 AQE stage jobs of pure orchestration — measured
+    * 2.5–3 s wall for 38 MB of data pandas handles in 0.7 s. One collect
+    * now feeds quantiles AND moments; the distributed forms stay the
+    * at-scale branch (and the fallback for non-finite columns). */
+  def numProfileViaDriverSort(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, NumFit] = {
     val arrays = collectColumnsDoubles(df, cols)
+    // per-COLUMN parallelism: each column's sort + cents + moment walk is
+    // independent; sequential processing was the driver branch's serial
+    // tail (~0.5 s over 8 × 600k cells at sf0.1)
     cols.map { c =>
-      val (arr, dropped) = arrays(c)
-      if (dropped > 0) c -> QuantFit(None, None)
-      else {
-        java.util.Arrays.sort(arr)
+      c -> java.util.concurrent.CompletableFuture.supplyAsync(() => fitOne(arrays(c), probs))
+    }.map { case (c, fut) => c -> fut.join() }.toMap
+  }
+
+  private def fitOne(colData: (Array[Double], Long), probs: Seq[Double]): NumFit = {
+    val (arr, dropped) = colData
+    if (dropped > 0)
+      NumFit(None, None, 0L, None, None, None, None, eligible = false)
+    else {
+        // parallelSort: identical output to sort (total order on doubles,
+        // NaN last), ForkJoin-parallel — the per-column sorts were the
+        // serial tail of the driver quantile path (~40 ms × k columns)
+        java.util.Arrays.parallelSort(arr)
         val n = arr.length
         var uniq = 0L
+        var s1l = 0L; var s2hi = 0L; var s2lo = 0L
+        var s1d = java.math.BigDecimal.ZERO
+        var s2d = java.math.BigDecimal.ZERO
         var i = 0
-        while (i < n) { if (i == 0 || arr(i) != arr(i - 1)) uniq += 1; i += 1 }
-        c -> QuantFit(Some(probs.map { p =>
+        while (i < n) {
+          if (i == 0 || arr(i) != arr(i - 1)) uniq += 1
+          val cts = centsDriver(arr(i))
+          if (math.abs(cts) <= LongSafeCentsAbsMax) {
+            // long-safe by the same bound as [[HiLoSafeMaxRows]]: n here
+            // is capped by the caller's driver-cell ceiling (≪ 2·10⁹)
+            s1l += cts
+            val sq = cts * cts // sq ≥ 0, so arithmetic >> equals Spark's shiftright
+            s2hi += (sq >> 32)
+            s2lo += (sq & 0xFFFFFFFFL)
+          } else {
+            val bd = java.math.BigDecimal.valueOf(cts)
+            s1d = s1d.add(bd)
+            s2d = s2d.add(bd.multiply(bd))
+          }
+          i += 1
+        }
+        val qs = probs.map { p =>
           if (n == 0) Double.NaN
           else {
             val h = p * (n - 1)
             val i = math.floor(h).toInt
             if (h == math.floor(h)) arr(i) else interp(arr(i), arr(i + 1), h - math.floor(h))
           }
-        }), Some(uniq))
-      }
-    }.toMap
+        }
+        if (n == 0)
+          NumFit(Some(qs), Some(0L), 0L, None, None, None, None, eligible = true)
+        else {
+          // s1FromParts / s2FromParts recombination, exact in BigDecimal
+          val s1 = java.math.BigDecimal.valueOf(s1l).add(s1d)
+          val s2 = java.math.BigDecimal.valueOf(s2hi)
+            .multiply(java.math.BigDecimal.valueOf(4294967296L))
+            .add(java.math.BigDecimal.valueOf(s2lo)).add(s2d)
+          val mean = s1.doubleValue() / 100.0 / n // meanFromMoments op order
+          val std =
+            if (n < 2) None
+            else if (math.abs(s1.doubleValue()) <= 9.0e18 &&
+              s2.doubleValue() * n.toDouble <= 9.0e37) {
+              // decimalMomentsSafe branch: exact n·S2 − S1², then the
+              // same double division chain as stdFromMoments
+              val num = java.math.BigDecimal.valueOf(n)
+                .multiply(s2).subtract(s1.multiply(s1)).doubleValue()
+              Some(math.sqrt(math.max(0.0, num / n / (n - 1).toDouble / 10000.0)))
+            } else {
+              // stdDouble fallback, same op order
+              val s1dd = s1.doubleValue()
+              Some(math.sqrt(math.max(0.0,
+                (s2.doubleValue() - s1dd * s1dd / n.toDouble) / (n - 1).toDouble / 10000.0)))
+            }
+          NumFit(Some(qs), Some(uniq), n.toLong, Some(mean), std,
+            Some(arr(0)), Some(arr(n - 1)), eligible = true)
+        }
+    }
+  }
+
+  /** Driver replica of [[cents]] on one finite double: double →
+    * DECIMAL(18,2) HALF_UP → ×100 → long. `BigDecimal.valueOf` parses
+    * `Double.toString`'s shortest representation — the same value
+    * Spark's double→decimal cast constructs. Past precision 18 the ANSI
+    * cast faults the distributed form; fault identically here. */
+  private def centsDriver(v: Double): Long = {
+    // Fast path, exact by round-trip proof: if r = rint(100·v) satisfies
+    // r/100.0 == v, then v is the double nearest to the 2-decimal value
+    // r/100, so its shortest representation has ≤ 2 decimals and the
+    // HALF_UP setScale is the identity — cents = r. (Two distinct values
+    // on the 0.01 grid below 10¹³ cannot share a nearest double, so r is
+    // unique.) Values rejected here — 3+ decimals, huge magnitudes —
+    // take the exact BigDecimal path, ~20× slower per value.
+    val r = Math.rint(v * 100.0)
+    if (math.abs(v) <= 1.0e13 && r / 100.0 == v) return r.toLong
+    val bd = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 18)
+      throw new ArithmeticException(
+        s"cents: $v does not fit DECIMAL(18,2) (the distributed cast faults here too)")
+    bd.movePointRight(2).longValueExact()
   }
 
   /** True iff every value of `c` survives the double→DECIMAL(18,2)→double

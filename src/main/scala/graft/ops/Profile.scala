@@ -33,6 +33,31 @@ object Profile {
     * bucketed histogram job. */
   private val DriverSortMaxCells = 8_000_000L
 
+  /** Fan-out floor: below this many rows the per-row work can't repay an
+    * exchange (the r10 DevScanSplit lesson — forced parallelism taxed
+    * every sub-second query 20–80%), so small inputs stay exchange-free. */
+  private val FanOutMinRows = 200000L
+
+  /** Round-robin exchange for a heavy-per-row projection whose input
+    * scan CANNOT use the machine: data assignment is row-group granular,
+    * so a single-row-group file runs any downstream projection single-
+    * threaded however many cores exist — at sf0.1 that serialized the
+    * entire cents+moments pass of the a1 profile on one core (measured
+    * 1.58 → 1.16 s min by DevMomentsAB r11 with the exchange; the
+    * shuffled payload is only the PRUNED numeric columns). Footer-gated
+    * (no job): fires only when the scan's row-group parallelism ceiling
+    * is under a QUARTER of the machine and the input is big enough to
+    * repay the exchange; multi-row-group layouts — any real scale, x16+
+    * — are a structural no-op, so nothing here taxes the 100 TB plan. */
+  private def fanOutNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    graft.io.ScanStats.parquetScanLayout(df) match {
+      case Some((rows, groups)) if groups * 4 <= cores && rows >= FanOutMinRows =>
+        df.repartition(cores)
+      case _ => df
+    }
+  }
+
   /** A1 `basic_stats`: one row per input column. Numeric moments use the
     * exact-cents policy in [[Exact]]; quantiles route through the fused
     * scale-safe cents-histogram job ([[Exact.quantilesMultiCentsHistogram]]
@@ -63,10 +88,21 @@ object Profile {
     // in-domain row updates long buffers only — no per-row BigDecimal),
     // plain decimal sums past it
     val hiLo = nRows <= Exact.HiLoSafeMaxRows
-    val quantiles: Map[String, Exact.QuantFit] =
+    // Driver branch (r11): the SAME collect that fits the quantiles now
+    // carries the full numeric stats (moments/min/max/count, bit-identical
+    // formulas — Exact.numProfileViaDriverSort), so eligible columns need
+    // NO distributed wide aggregate at all: one numeric scan instead of
+    // three, and the ~10 AQE stage jobs of the fan-out/agg orchestration
+    // disappear. Non-finite columns stay on the in-agg forms.
+    val driverFit: Map[String, Exact.NumFit] =
       if (numCols.isEmpty) Map.empty
       else if (nRows * numCols.length <= DriverSortMaxCells)
-        Exact.quantilesViaDriverSortMulti(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
+        Exact.numProfileViaDriverSort(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
+      else Map.empty
+    val quantiles: Map[String, Exact.QuantFit] =
+      if (numCols.isEmpty) Map.empty
+      else if (driverFit.nonEmpty)
+        driverFit.view.mapValues(f => Exact.QuantFit(f.quantiles, f.nUnique)).toMap
       else
         Exact.quantilesMultiCentsHistogram(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
 
@@ -76,12 +112,23 @@ object Profile {
     // count/min/max still read the original value (NaN counts as
     // non-null there but cents-converts to null).
     def centsName(c: String) = s"__cents_$c"
-    val proj = df.select(
-      df.columns.map(col).toSeq ++
-        numCols.map(c => Exact.cents(col(c)).as(centsName(c))): _*)
+    // Only columns NOT fully fitted driver-side still need the wide
+    // aggregate (histogram branch: all of them; driver branch: only the
+    // non-finite fallbacks — usually none, and the whole numeric
+    // aggregate plan vanishes).
+    val aggCols = numCols.toSeq.filterNot(c => driverFit.get(c).exists(_.eligible))
+    // prune to the aggregated columns BEFORE the fan-out decision so the
+    // (possible) exchange ships only numeric columns, then project cents
+    // AFTER it so the expensive per-row step runs at machine parallelism
+    val wideIn =
+      if (aggCols.isEmpty) df
+      else fanOutNarrow(df.select(aggCols.map(col): _*))
+    val proj = wideIn.select(
+      wideIn.columns.map(col).toSeq ++
+        aggCols.map(c => Exact.cents(col(c)).as(centsName(c))): _*)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__n_total")) ++
-      numCols.flatMap { c =>
+      aggCols.flatMap { c =>
         Seq(count(col(c)).as(s"${c}__n")) ++
         Exact.momentAggsPre(col(centsName(c)), c, hiLo) ++
         Seq(
@@ -102,38 +149,70 @@ object Profile {
     // at sf0.1). Their stats come from per-column value-count groupBys
     // below instead — value-domain-sized, fully codegen'd, and shared
     // with the mode computation via ReuseExchange.
-    val wide = proj.agg(aggs.head, aggs.tail: _*)
+    // carrier for the per-column structs: the wide-agg row when any
+    // column still aggregates distributed; a bare 1-row frame when every
+    // numeric column was fitted driver-side (no numeric job at all)
+    val wide =
+      if (aggCols.isEmpty) df.sparkSession.range(1).toDF("__one")
+      else proj.agg(aggs.head, aggs.tail: _*)
 
-    // Re-shape the single wide row into one struct per NUMERIC column.
+    def litOrNull(v: Option[Double]): Column =
+      v.map(lit(_)).getOrElse(lit(null)).cast("double")
+
+    // Re-shape the single wide row into one struct per NUMERIC column —
+    // pure literals for driver-fitted columns, wide-agg refs otherwise.
     val rowStructs: Seq[Column] =
       numCols.toSeq.map { c =>
-        val uniqCol =
-          if (quantiles(c).nUnique.isDefined) lit(quantiles(c).nUnique.get)
-          else col(s"${c}__uniq")
+        val dt = lit(dtypeName(fields.find(_.name == c).get.dataType))
         val q: Int => Column = quantiles(c).quantiles match {
           case Some(vs) => i =>
             if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
           case None => i => col(s"${c}__q").getItem(i)
         }
-        struct(
-          lit(c).as("column"),
-          lit(dtypeName(fields.find(_.name == c).get.dataType)).as("dtype"),
-          col("__n_total").as("n_total"),
-          (col("__n_total") - col(s"${c}__n")).as("n_missing"),
-          // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
-          when(col("__n_total") > 0,
-            (col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
-            .as("missing_pct"),
-          uniqCol.as("n_unique"),
-          Exact.meanFromMoments(Exact.s1Col(c, hiLo), col(s"${c}__n")).as("mean"),
-          Exact.stdFromMoments(Exact.s1Col(c, hiLo), Exact.s2Col(c, hiLo), col(s"${c}__n")).as("std"),
-          col(s"${c}__min").as("min_num"),
-          q(0).as("p25"),
-          q(1).as("median"),
-          q(2).as("p75"),
-          col(s"${c}__max").as("max_num"),
-          lit(null).cast("string").as("min_str"),
-          lit(null).cast("string").as("max_str"))
+        driverFit.get(c).filter(_.eligible) match {
+          case Some(f) =>
+            struct(
+              lit(c).as("column"),
+              dt.as("dtype"),
+              lit(nRows).as("n_total"),
+              lit(nRows - f.n).as("n_missing"),
+              // same double op order as the in-agg form
+              (if (nRows > 0) lit((nRows - f.n).toDouble / nRows * 100.0)
+               else lit(null).cast("double")).as("missing_pct"),
+              lit(f.nUnique.get).as("n_unique"),
+              litOrNull(f.mean).as("mean"),
+              litOrNull(f.std).as("std"),
+              litOrNull(f.minV).as("min_num"),
+              q(0).as("p25"),
+              q(1).as("median"),
+              q(2).as("p75"),
+              litOrNull(f.maxV).as("max_num"),
+              lit(null).cast("string").as("min_str"),
+              lit(null).cast("string").as("max_str"))
+          case None =>
+            val uniqCol =
+              if (quantiles(c).nUnique.isDefined) lit(quantiles(c).nUnique.get)
+              else col(s"${c}__uniq")
+            struct(
+              lit(c).as("column"),
+              dt.as("dtype"),
+              col("__n_total").as("n_total"),
+              (col("__n_total") - col(s"${c}__n")).as("n_missing"),
+              // n_total=0 guard: ANSI (Spark 4 default) throws on 0/0
+              when(col("__n_total") > 0,
+                (col("__n_total") - col(s"${c}__n")).cast("double") / col("__n_total") * 100.0)
+                .as("missing_pct"),
+              uniqCol.as("n_unique"),
+              Exact.meanFromMoments(Exact.s1Col(c, hiLo), col(s"${c}__n")).as("mean"),
+              Exact.stdFromMoments(Exact.s1Col(c, hiLo), Exact.s2Col(c, hiLo), col(s"${c}__n")).as("std"),
+              col(s"${c}__min").as("min_num"),
+              q(0).as("p25"),
+              q(1).as("median"),
+              q(2).as("p75"),
+              col(s"${c}__max").as("max_num"),
+              lit(null).cast("string").as("min_str"),
+              lit(null).cast("string").as("max_str"))
+        }
       }
     val numRows: Option[DataFrame] =
       if (numCols.isEmpty) None
@@ -169,7 +248,11 @@ object Profile {
         val entries = cs.zipWithIndex.map { case (c, i) =>
           struct(lit(i).as("ci"), col(c).cast("string").as("v"))
         }
-        val counts = df
+        // NO fan-out exchange here (unlike the cents wide agg): the
+        // explode's partial aggregate already reduces map-side, so an
+        // exchange of raw source rows would ship MORE bytes than the
+        // value-domain-sized partial counts it replaces (measured r11)
+        val counts = df.select(cs.map(col): _*)
           .select(explode(array(entries: _*)).as("e"))
           .select(col("e.ci").as("ci"), col("e.v").as("v"))
           .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
