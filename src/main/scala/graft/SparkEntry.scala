@@ -48,6 +48,17 @@ object SparkEntry {
     "q19_bracket_revenue" -> ((s, d) => Relational.q19BracketRevenue(s, d)),
     "q_enrich_events" -> ((s, d) => Relational.qEnrichEvents(s, d)),
     "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    // S1 CSV header+infer scan under the ordinary hash gate (r10 verdict
+    // ask #6 — it was the one spec-only source): S2 writes nation as a
+    // header'd CSV, S1 reads it back with schema inference, and the
+    // oracle re-reads the SAME file via DuckDB read_csv_auto — both
+    // engines must agree on the parsed values AND the inferred column
+    // types (int-family vs string vs date), or the hash gate fails.
+    "s1_csv_scan" -> ((s, d) => {
+      val path = "/tmp/graft_s1_csv_scan"
+      io.Csv.write(Tables.load(s, d, "nation"), path)
+      io.Csv.read(s, path).orderBy("n_nationkey")
+    }),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -272,6 +283,11 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // the Spark side S2-writes this exact directory during Verify, so the
+    // oracle's read_csv_auto re-parses the SAME bytes with ITS inference
+    "s1_csv_scan" ->
+      """SELECT * FROM read_csv_auto('/tmp/graft_s1_csv_scan/*.csv', header = true)
+        |ORDER BY n_nationkey""".stripMargin,
   )
 
   /** [[oracleSql]] with the x16-fixture overrides applied: above their
