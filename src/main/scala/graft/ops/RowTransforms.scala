@@ -51,7 +51,17 @@ object RowTransforms {
     * on `fit` and applied to `df` (fit-on-anon / transform-real asymmetry
     * of the reference). Constant columns (σ=0) pass through unscaled with
     * σ treated as 1, matching sklearn's `scale_ = 1` rule. */
-  def standardize(df: DataFrame, fit: DataFrame, cols: Seq[String]): DataFrame = {
+  def standardize(df: DataFrame, fit: DataFrame, cols: Seq[String]): DataFrame =
+    standardizeApply(df, cols, standardizeFit(fit, cols))
+
+  /** The μ/σ̂ fit of [[standardize]] alone — ONE count + ONE aggregate
+    * job however many columns, reusable across multiple apply sites
+    * (the V6 linkage paths standardize anon AND real with the same
+    * anon-side fit; re-fitting per side doubled the fit jobs). `None` =
+    * the fit saw no values for that column. */
+  private[graft] def standardizeFit(fit: DataFrame,
+                                    cols: Seq[String]): Map[String, Option[(Double, Double)]] = {
+    if (cols.isEmpty) return Map.empty
     // hi/lo long accumulators inside the row ceiling (see Exact.momentParts);
     // recombined below so the collected row keeps the (s1, s2, n) layout
     val hiLo = fit.count() <= Exact.HiLoSafeMaxRows
@@ -65,23 +75,33 @@ object RowTransforms {
         Seq(Exact.s1Col(c, hiLo).as(s"${c}__s1"),
           Exact.s2Col(c, hiLo).as(s"${c}__s2"), col(s"${c}__n"))
       }: _*).head()
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    cols.zipWithIndex.map { case (c, i) =>
       val s1 = row.getDecimal(3 * i)
       val n = row.getLong(3 * i + 2)
-      if (n == 0L || s1 == null)
-        // fit saw NO values (empty frame / all-null column): the mean is
-        // undefined, so the z-score is NULL for every row — the oracle's
-        // NULL propagation ((x − NULL)/σ), found by FuzzSpec seed 1/5;
-        // the previous code NPE'd on the null moment sum
-        d.withColumn(c, lit(null).cast("double"))
+      c -> (if (n == 0L || s1 == null) None
       else {
         val mu = Exact.meanDouble(s1, n)
         val sd = Exact.stdPopDouble(s1, row.getDecimal(3 * i + 1), n)
-        val sdSafe = if (sd == 0.0 || sd.isNaN) 1.0 else sd
-        d.withColumn(c, (col(c).cast("double") - mu) / sdSafe)
+        Some((mu, if (sd == 0.0 || sd.isNaN) 1.0 else sd))
+      })
+    }.toMap
+  }
+
+  /** Apply a [[standardizeFit]] result. */
+  private[graft] def standardizeApply(df: DataFrame, cols: Seq[String],
+                                      params: Map[String, Option[(Double, Double)]]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      params(c) match {
+        case None =>
+          // fit saw NO values (empty frame / all-null column): the mean is
+          // undefined, so the z-score is NULL for every row — the oracle's
+          // NULL propagation ((x − NULL)/σ), found by FuzzSpec seed 1/5;
+          // the previous code NPE'd on the null moment sum
+          d.withColumn(c, lit(null).cast("double"))
+        case Some((mu, sdSafe)) =>
+          d.withColumn(c, (col(c).cast("double") - mu) / sdSafe)
       }
     }
-  }
 
   /** Winsorize: clip a numeric column at its exact interpolated
     * [pLo, pHi] quantiles — the standard outlier treatment before
@@ -169,11 +189,20 @@ object RowTransforms {
     * (`modules/risk.py:18`): categories are the sorted distinct values of
     * the FIT table; unseen values in `df` produce all-zero vectors —
     * exactly `handle_unknown="ignore"`. */
-  def oneHot(df: DataFrame, fit: DataFrame, c: String): DataFrame = {
-    val cats = fit.select(col(c)).na.drop().distinct()
+  def oneHot(df: DataFrame, fit: DataFrame, c: String): DataFrame =
+    oneHotApply(df, c, oneHotVocab(fit, c))
+
+  /** The fitted category list of [[oneHot]] alone — one collect,
+    * reusable across apply sites and the feature-name derivation (the V6
+    * LSH path previously collected the SAME vocabulary four times per
+    * categorical: one-hot + feature names, on each of two sides). */
+  private[graft] def oneHotVocab(fit: DataFrame, c: String): Seq[String] =
+    fit.select(col(c)).na.drop().distinct()
       .orderBy(col(c)).collect().map(_.getString(0)).toSeq
+
+  /** Apply a [[oneHotVocab]] result. */
+  private[graft] def oneHotApply(df: DataFrame, c: String, cats: Seq[String]): DataFrame =
     cats.foldLeft(df) { (d, cat) =>
       d.withColumn(s"${c}__$cat", when(col(c) === cat, 1.0).otherwise(0.0))
     }
-  }
 }

@@ -36,14 +36,37 @@ object Linkage {
     * categoricals, fit on `fit`, applied to `df`. Returns (frame,
     * featureCols). */
   def features(df: DataFrame, fit: DataFrame, quasi: Seq[String]): (DataFrame, Seq[String]) = {
+    val p = fitFeatures(fit, quasi)
+    (applyFeatures(df, quasi, p), p.featCols)
+  }
+
+  /** The fitted feature parameters alone (one μ/σ job + one vocab collect
+    * per categorical), shareable across apply sites — both V6 paths
+    * standardize/one-hot anon AND real against the SAME anon-side fit,
+    * and refitting per side ran every fit job twice (plus two more vocab
+    * collects for the feature names). At 100 TB each redundant fit is a
+    * full scan of the corpus; here it was the measured bulk of
+    * v6_linkage_risk_lsh's ~37-job orchestration. */
+  private[graft] final case class FeatParams(
+      nums: Seq[String], cats: Seq[String],
+      stdParams: Map[String, Option[(Double, Double)]],
+      vocab: Map[String, Seq[String]]) {
+    def featCols: Seq[String] =
+      nums ++ cats.flatMap(c => vocab(c).map(v => s"${c}__$v"))
+  }
+
+  private[graft] def fitFeatures(fit: DataFrame, quasi: Seq[String]): FeatParams = {
     val (nums, cats) = split(fit, quasi)
-    val std = RowTransforms.standardize(df.select(quasi.map(col): _*), fit, nums)
-    val withHots = cats.foldLeft(std) { (d, c) => RowTransforms.oneHot(d, fit, c) }
-    val featCols = nums ++ cats.flatMap { c =>
-      fit.select(col(c)).na.drop().distinct().orderBy(col(c))
-        .collect().map(r => s"${c}__${r.getString(0)}").toSeq
-    }
-    (withHots, featCols)
+    FeatParams(nums, cats,
+      RowTransforms.standardizeFit(fit, nums),
+      cats.map(c => c -> RowTransforms.oneHotVocab(fit, c)).toMap)
+  }
+
+  private[graft] def applyFeatures(df: DataFrame, quasi: Seq[String],
+                                   p: FeatParams): DataFrame = {
+    val std = RowTransforms.standardizeApply(
+      df.select(quasi.map(col): _*), p.nums, p.stdParams)
+    p.cats.foldLeft(std) { (d, c) => RowTransforms.oneHotApply(d, c, p.vocab(c)) }
   }
 
   /** Ceiling on the PRODUCT of the two sides' optimizer scan estimates
@@ -83,12 +106,15 @@ object Linkage {
     * addition order (numeric terms first, then one term per cat column). */
   def linkageRiskExact(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
     val (nums, cats) = split(anon, quasi)
-    val anonStd = RowTransforms.standardize(anon.select(quasi.map(col): _*), anon, nums)
-    val realStd = RowTransforms.standardize(real.select(quasi.map(col): _*), anon, nums)
-    val fitted: Map[String, Seq[String]] = cats.map { c =>
-      c -> anon.select(col(c)).na.drop().distinct().orderBy(col(c))
-        .collect().map(_.getString(0)).toSeq
-    }.toMap
+    // ONE μ/σ fit + ONE vocab collect per categorical, shared by both
+    // sides (the fit frame is anon for both — see features)
+    val stdP = RowTransforms.standardizeFit(anon, nums)
+    val anonStd = RowTransforms.standardizeApply(
+      anon.select(quasi.map(col): _*), nums, stdP)
+    val realStd = RowTransforms.standardizeApply(
+      real.select(quasi.map(col): _*), nums, stdP)
+    val fitted: Map[String, Seq[String]] =
+      cats.map(c => c -> RowTransforms.oneHotVocab(anon, c)).toMap
     // Deterministic anon row ids: order by the quasi values themselves —
     // identical rows are interchangeable, so tie order is irrelevant.
     // widen the stream side: the broadcast-nested-loop distance scan is
@@ -138,8 +164,10 @@ object Linkage {
   def linkageRiskLSH(anon: DataFrame, real: DataFrame, quasi: Seq[String],
                      threshold: Double = 2.0, bucketLength: Double = 1.0,
                      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val (anonF0, featCols) = features(anon, anon, quasi)
-    val (realF0, _) = features(real, anon, quasi)
+    val fitP = fitFeatures(anon, quasi)
+    val featCols = fitP.featCols
+    val anonF0 = applyFeatures(anon, quasi, fitP)
+    val realF0 = applyFeatures(real, quasi, fitP)
     require(featCols.nonEmpty, "linkageRiskLSH needs at least one quasi-ID feature")
     val anonF = graft.ops.Par.widen(anonF0.withColumn("__aid",
       row_number().over(Window.orderBy(quasi.map(col): _*))))
