@@ -27,28 +27,14 @@ object DevScaleUp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val copies = if (args.length > 1) args(1).toInt else 16
-    // Non-x16 curvature rehearsals skip the two deliberately-raw
-    // ALL-PAIRS exact tools (their dispatched autos stay in the set):
-    // the key-offset fixture clones every document `copies` times with
-    // identical text, so every original near-dup pair fans out to
-    // copies² candidate pairs — at x64 that is 4096× the x1 pair volume
-    // (16× the gated x16 run, whose 33.5 s x_ngram_jaccard row already
-    // measures it), and the exact verify join's shingle-array payload
-    // spilled the disk to full (measured, r10 attempt 4). A 98.4 %-
-    // duplicate corpus is the fixture's pathology, not the tools'
-    // production regime; the x16 GATE keeps both rows. Logged loudly —
-    // no silent caps.
-    val skip: Set[String] =
-      if (copies == 16) Set.empty
-      else Set("x_ngram_jaccard", "x_minhash_lsh",
-        // the raw bipartite delta joins old⋈new over the same 64-way
-        // clones — attempt 6 measured it OOM + spill-full at x64; its
-        // dispatched twin x_neardup_delta_auto stays in the set
-        "x_neardup_delta")
-    if (skip.nonEmpty)
-      println(s"[scaleup] skipping at x$copies (all-pairs exact tools on a " +
-        s"${copies}-way-clone fixture — quadratic in copies by construction; " +
-        s"their dispatched autos remain): ${skip.mkString(", ")}")
+    // docmark-v5 (r11): no skips at any copy count. The v3 fixture's
+    // clones shared ~2/3 of their 3-gram shingles across copies, fanning
+    // the raw dedup tools' candidate pairs ~copies² (x64 measured
+    // OOM + spill-full, r10 attempts 4/6) — a fixture pathology, not the
+    // tools'. The residue-class token mutation in ScaleUp.ensure makes
+    // cross-copy shingle overlap exactly ZERO, so the whole dedup family
+    // now rides every rehearsal, x64 included.
+    val skip: Set[String] = Set.empty
     val spark: SparkSession = Sessions.local(appName = "graft-devscaleup")
     // warm: compile the headline plans at base scale
     ScaleUp.Headline.filterNot(skip).foreach { n =>
@@ -108,7 +94,7 @@ object DevScaleUp {
          |  "total_ratio": ${jf(bigTotal / math.max(baseTotal, 1e-9))},
          |  "gate": $gateJson,
          |  "ceiling_rule": "recorded r8 ratio x ${ScaleUp.CeilingSlack}, floor ${ScaleUp.CeilingFloor}; breach = nonzero exit",
-         |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales; fixture = key-offset copies with per-copy doc markers and disjoint per-copy user populations (ScaleUp.ensure docmark-v3)",
+         |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales; fixture = key-offset copies with residue-class token mutation (zero cross-copy shingle overlap), per-copy money-cent offsets, and disjoint per-copy user populations (ScaleUp.ensure docmark-v5)",
          |  "queries": {
          |    $qJson
          |  }

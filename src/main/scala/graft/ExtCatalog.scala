@@ -361,7 +361,13 @@ object ExtCatalog {
         .withColumn("is_total", lit(false))
       val exAll = docs.agg(count_distinct(col("text")).as("n_exact"))
         .select(lit("__ALL__").as("group"), col("n_exact"), lit(true).as("is_total"))
-      est.join(exPer.unionByName(exAll), Seq("group", "is_total"))
+      // EqualNullSafe on the group key: a NULL source is a real stratum
+      // (the r10 null-strata contract) and a name-list equi-join would
+      // silently drop its row from the audit — the r11 fuzz caught
+      // exactly that (engine 5 rows vs oracle 6 on null-source corpora)
+      val ex = exPer.unionByName(exAll)
+        .withColumnRenamed("group", "g2").withColumnRenamed("is_total", "t2")
+      est.join(ex, col("group") <=> col("g2") && col("is_total") === col("t2"))
         .select(col("group"), col("n_exact"), col("is_total"),
           (abs(col("n_distinct_est") - col("n_exact")) <=
             greatest(lit(2L), (col("n_exact") * 0.05).cast("long"))).as("within_envelope"))
@@ -595,7 +601,10 @@ object ExtCatalog {
       def ok(i: Int, p: Double) =
         (le(i) >= floor((lit(p) - eps) * count(lit(1))) - 1) &&
           (lt(i) <= ceil((lit(p) + eps) * count(lit(1))) + 1)
-      vals.join(broadcast(approx), "lang")
+      // EqualNullSafe: null lang is a real group (r10 contract) — the
+      // name-list join dropped its audit row (r11 fuzz, 5 vs 6 rows)
+      vals.join(broadcast(approx.withColumnRenamed("lang", "l2")),
+          col("lang") <=> col("l2"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_rows"), ok(0, 0.25).as("p25_ok"),
           ok(1, 0.5).as("median_ok"), ok(2, 0.75).as("p75_ok"))
@@ -1039,8 +1048,8 @@ object ExtCatalog {
        |  CAST(MIN(l_partkey) AS BIGINT) AS min2, CAST(MAX(l_partkey) AS BIGINT) AS max2
        |  FROM lineitem),
        |b AS (SELECT l_orderkey, l_partkey,
-       |  CAST(FLOOR((CAST(l_orderkey AS BIGINT) - min1) * 256 / (max1 - min1 + 1)) AS BIGINT) AS b1,
-       |  CAST(FLOOR((CAST(l_partkey AS BIGINT) - min2) * 256 / (max2 - min2 + 1)) AS BIGINT) AS b2
+       |  COALESCE(CAST(FLOOR((CAST(l_orderkey AS BIGINT) - min1) * 256 / (max1 - min1 + 1)) AS BIGINT), 0) AS b1,
+       |  COALESCE(CAST(FLOOR((CAST(l_partkey AS BIGINT) - min2) * 256 / (max2 - min2 + 1)) AS BIGINT), 0) AS b2
        |  FROM lineitem CROSS JOIN ext),
        |z AS (SELECT l_orderkey, l_partkey, ($interleave) AS zval FROM b)
        |SELECT (zval >> 12) AS slice, COUNT(*) AS n_rows,
@@ -1328,7 +1337,8 @@ object ExtCatalog {
         |  TRUE AS capacity_ok, TRUE AS bins_lb_ok, TRUE AS bins_ub_ok
         |FROM documents""".stripMargin,
     "x_coreset_audit" ->
-      """SELECT vec_id, TRUE AS assign_ok FROM embeddings ORDER BY vec_id""",
+      """SELECT vec_id, TRUE AS assign_ok FROM embeddings
+        |WHERE embedding IS NOT NULL ORDER BY vec_id""".stripMargin,
     "x_vocab_cms_audit" ->
       s"""WITH toks AS (SELECT UNNEST(regexp_extract_all(lower(text), '${TextStats.BpeTokenPattern}')) AS token
          |  FROM documents)
@@ -1349,10 +1359,12 @@ object ExtCatalog {
         |  TRUE AS probs_ok, TRUE AS beats_majority FROM documents""".stripMargin,
     "x_cluster_summary_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-        |  TRUE AS partition_ok, TRUE AS cohesion_ok FROM embeddings""".stripMargin,
+        |  TRUE AS partition_ok, TRUE AS cohesion_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "x_embed_pca_audit" ->
       """SELECT CAST(t.pos AS INTEGER) AS pos,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE embedding IS NOT NULL) AS n,
         |  TRUE AS variance_ordered
         |FROM (SELECT UNNEST(range(0, 8)) AS pos) t ORDER BY pos""".stripMargin,
     "x_ann_recall_audit" ->

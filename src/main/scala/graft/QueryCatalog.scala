@@ -781,8 +781,15 @@ object QueryCatalog {
     val cats = Seq("l_returnflag")
     val quasi = nums ++ cats
     val moments = nums.map { c =>
+      // the engine's standardize applies the `or 1.0` zero/NaN-σ
+      // fallback (RowTransforms.standardizeApply); without mirroring it
+      // a CONSTANT quasi column made the oracle divide by σ = 0 → NaN
+      // features → NaN risk (r11 fuzz, seed 19 — degenerate quasi
+      // domains were exactly that seed family's point)
       s"""  CAST(${Exact.s1Sql(c)} AS DOUBLE) / 100.0 / COUNT($c) AS mu_$c,
-         |  ${Exact.stdPopSql(c)} AS sd_$c""".stripMargin
+         |  (CASE WHEN ${Exact.stdPopSql(c)} IS NULL OR ${Exact.stdPopSql(c)} = 0
+         |        OR isnan(${Exact.stdPopSql(c)}) THEN 1.0
+         |        ELSE ${Exact.stdPopSql(c)} END) AS sd_$c""".stripMargin
     }.mkString(",\n")
     val feats = (
       nums.map(c => s"  (CAST($c AS DOUBLE) - m.mu_$c) / m.sd_$c AS std_$c") ++

@@ -103,7 +103,7 @@ object ScaleUp {
   def ensure(spark: SparkSession, src: String, copies: Int): String = {
     val dst = s"/tmp/graft_scaleup_x$copies"
     val marker = java.nio.file.Paths.get(s"$dst/_DONE")
-    val key = s"$src x$copies docmark-v3" // bump on fixture-shape changes
+    val key = s"$src x$copies docmark-v5" // bump on fixture-shape changes
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker)) == key)
       return dst
@@ -116,20 +116,47 @@ object ScaleUp {
       parts.reduce(_ union _).write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
     val big = 100000000L
-    replicate("lineitem", Map("l_orderkey" -> (i => col("l_orderkey") + lit(i * big))))
-    replicate("orders", Map("o_orderkey" -> (i => col("o_orderkey") + lit(i * big))))
-    // A copy marker every 6 tokens (not a single suffix): a suffix-only
-    // variant defeats exact dedup but leaves each doc 3-gram-Jaccard ≈0.93
-    // to its clones, so the near-dup pair set grows ~copies² and the
-    // scale-up measures that pathological workload instead of the plan.
-    // Interleaving caps any shared token run at 6 → cross-copy Jaccard
-    // ≈0.4 < the 0.6 threshold, while genuine near-dup pairs WITHIN a
-    // copy survive (both members carry the same markers). Output then
-    // scales ~copies×, which is what curvature should be measured on.
+    // per-copy CENT offsets on the money columns: clones otherwise repeat
+    // the value domain `copies`-fold, so the domain-shuffling paths
+    // (cents-histogram quantiles, distinct counts) measured a domain 64×
+    // SMALLER than a real corpus of that size would carry
+    // the cent offset is added in DECIMAL space and cast back: a double
+    // `+ i/100.0` is INEXACT (0.15 has no double), breaking the
+    // ≤2-decimal round-trip that keeps these columns on the scale-safe
+    // cents-histogram quantile path — the first x16 run measured a1 at
+    // 120 s in the percentile-buffer fallback before this was fixed
+    def centOffset(c: String, i: Long) =
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) +
+        lit(new java.math.BigDecimal(java.math.BigInteger.valueOf(i), 2)))
+        .cast("double")
+    replicate("lineitem", Map(
+      "l_orderkey" -> (i => col("l_orderkey") + lit(i * big)),
+      "l_extendedprice" -> (i => centOffset("l_extendedprice", i))))
+    replicate("orders", Map(
+      "o_orderkey" -> (i => col("o_orderkey") + lit(i * big)),
+      "o_totalprice" -> (i => centOffset("o_totalprice", i))))
+    // docmark-v5 (r11): SEEDED TOKEN MUTATION, not a marker insert. Every
+    // copy i replaces the tokens at positions ≡ i (mod 3) with a
+    // copy-unique token ("z{i}z"). Any window of 3 consecutive positions
+    // contains a mutated position of EVERY residue class, and two
+    // distinct copies either mutate different positions (different
+    // class) or the same positions with different tokens (same class) —
+    // so two copies of the same document share ZERO 3-gram shingles, and
+    // the shingle-bucketed candidate generation of the raw dedup tools
+    // (ngram_jaccard / minhash_lsh / neardup_delta) scales ~copies×
+    // instead of copies² (the v3 marker fixture still shared ~2/3 of its
+    // shingles across copies → 64² candidate fan-out → the r10 x64 OOM
+    // skips). Near-dup pairs WITHIN a copy survive: both members get the
+    // same position-keyed substitutions. Exact dedup is still defeated
+    // (texts differ per copy), and the mutated token's weak hash is
+    // unique per copy (first-3-chars 'z'+digits + length disambiguate
+    // all i ≤ 999).
     replicate("documents", Map(
       "doc_id" -> (i => col("doc_id") + lit(i * big)),
-      "text" -> (i => regexp_replace(col("text"),
-        lit("((\\S+ ){5}\\S+) "), concat(lit("$1 v"), lit(i), lit(" "))))))
+      "text" -> (i => concat_ws(" ",
+        transform(split(col("text"), " "),
+          (t, p) => when(pmod(p, lit(3)) === lit((i % 3).toInt), lit(s"z${i}z"))
+            .otherwise(t))))))
     replicate("embeddings", Map("vec_id" -> (i => col("vec_id") + lit(i * big))))
     // user_id offsets too: copies must be DISJOINT user populations, or
     // every per-user operator (sessionize, funnel, attribution, nearest-
@@ -138,7 +165,8 @@ object ScaleUp {
     // not the plan's curvature. Offset users keep per-user density fixed.
     replicate("events", Map(
       "event_id" -> (i => col("event_id") + lit(i * big)),
-      "user_id" -> (i => col("user_id") + lit(i * big))))
+      "user_id" -> (i => col("user_id") + lit(i * big)),
+      "value" -> (i => centOffset("value", i))))
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

@@ -458,12 +458,16 @@ object SimSearch {
                     seed: Long = 42L): DataFrame = {
     require(k > 0, "need k ≥ 1 centers")
     requireLongId(df, idCol, "coresetSample")
+    // NULL embeddings carry no geometry: drop them, like every cosine op
+    // here (the zero-norm policy) — without the filter one null vector
+    // NPEs the whole job inside the unit-vector lambda (r11 fuzz)
+    val dfNN = df.filter(col(vecCol).isNotNull)
     val spark = df.sparkSession
     val unitArr = udf { (arr: Seq[Float]) =>
       val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
       arr.map(x => if (n == 0) 0.0 else x / n)
     }
-    val c0 = df.select(col(idCol).cast("long").as("vec_id"), unitArr(col(vecCol)).as("cu"))
+    val c0 = dfNN.select(col(idCol).cast("long").as("vec_id"), unitArr(col(vecCol)).as("cu"))
     val nCorpus = c0.count()
     if (nCorpus == 0)
       return c0.select(col("vec_id"), col("vec_id").as("center_id"),
@@ -612,7 +616,10 @@ object SimSearch {
                      seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vector
-    val c = df.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    // null embeddings dropped — no geometry, and un-guarded they NPE the
+    // vector-conversion lambda (r11 fuzz)
+    val c = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
     // KMeans.fit aborts on an empty input; an empty summary is correct
     if (c.isEmpty)
       return c.select(lit(0).as("cluster_id"), lit(0L).as("n_members"),
@@ -649,7 +656,10 @@ object SimSearch {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val toVec = udf { (arr: Seq[Float]) => Vectors.dense(arr.map(_.toDouble).toArray) }
-    val c = df.select(col(idCol).as("vec_id"), toVec(col(vecCol)).as("fv"))
+    // null embeddings dropped — no geometry, and un-guarded they NPE the
+    // vector-conversion lambda (r11 fuzz)
+    val c = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), toVec(col(vecCol)).as("fv"))
     // PCA.fit aborts on an empty input; an empty projection is correct
     if (c.isEmpty)
       return c.select(col("vec_id"), lit(null).cast("string").as("pc_csv"))

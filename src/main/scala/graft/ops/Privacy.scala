@@ -372,6 +372,13 @@ object Privacy {
     * quantile step — orders of magnitude inside those tolerances. */
   private val MaxCdfKnots = 4096
 
+  /** Bucket ceiling for the at-scale fit's cents histogram: the collect
+    * in [[syntheticSample]]'s distributed branch is bounded by this per
+    * numeric column however large the value domain grows (16× finer
+    * than [[MaxCdfKnots]], so the knot subsample downstream never sees
+    * the bucketing on top of its own quantile step). */
+  private val FitHistMaxBuckets = 65536L
+
   private def capCdf(values: Array[Double], cum: Array[Double]): (Array[Double], Array[Double]) = {
     val n = values.length
     if (n <= MaxCdfKnots) return (values, cum)
@@ -387,26 +394,6 @@ object Privacy {
       j += 1
     }
     (vs, cs)
-  }
-
-  /** Fit from a sorted (bin, count) histogram (distributed path). μ/σ are
-    * the same exact moments as Profile.muSigma (sample std with the
-    * reference's `or 1.0` fallback). */
-  private def fitFromHistogram(hist: Seq[(Long, Long)]): NumFit = {
-    val nn = hist.map(_._2).sum
-    val s1 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
-      a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(cnt)))
-    }
-    val s2 = hist.foldLeft(java.math.BigDecimal.ZERO) { case (a, (b, cnt)) =>
-      a.add(java.math.BigDecimal.valueOf(b).multiply(java.math.BigDecimal.valueOf(b))
-        .multiply(java.math.BigDecimal.valueOf(cnt)))
-    }
-    val mu = Exact.meanDouble(s1, nn)
-    val sdRaw = Exact.stdDouble(s1, s2, nn)
-    val sigma = if (nn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
-    val (cv, cc) = capCdf(hist.map(_._1 / 100.0).toArray,
-      hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail.map(_ / nn).toArray)
-    NumFit(cv, cc, mu, sigma)
   }
 
   /** Row-based driver-fit dispatch for [[syntheticSample]] /
@@ -505,33 +492,104 @@ object Privacy {
         val cc = catIdx.map { case (f, i) => i -> catMaps(f.name).toSeq }.toMap
         (rowsTotal, nf, cc)
       } else {
+        // ---- at-scale fit (r11 rework): collects bounded at ANY domain.
+        // The previous form collected the EXACT cents histogram — value-
+        // DOMAIN-sized, which the honest x16 fixture (per-copy cent
+        // offsets make money domains grow with the data) measured at
+        // ~10 M collected rows on near-unique columns (v4 ratio 32 vs
+        // linear 16), and which on a 100 TB near-unique column is a
+        // driver kill — the same class as the PSI collect the x64
+        // rehearsal caught. Everything the sampler CONSUMES is already
+        // bounded (capCdf keeps ≤ MaxCdfKnots knots; μ/σ are two
+        // numbers), so the fit is now two bounded jobs:
+        //   job 1 — one fused narrow aggregate: row count and, per
+        //   numeric column, the EXACT decimal moments (same forms as
+        //   Profile — μ/σ lose nothing to the bucketing) plus cents
+        //   min/max;
+        //   job 2 — per-row entries with the cents BUCKETED to
+        //   ≤ FitHistMaxBuckets equi-width bins per column (identity
+        //   when the span already fits, so small domains collect the
+        //   exact histogram bit-for-bit as before), one map-side-
+        //   combinable aggregate carrying each bucket's count and exact
+        //   decimal cents sum, and a collect bounded by buckets×columns
+        //   + categorical vocabularies. Each bucket's knot VALUE is its
+        //   weighted mean, so the bootstrap half's expectation equals
+        //   the source mean and every knot stays inside [min, max] —
+        //   within V4's declared distributional envelopes by
+        //   construction.
+        val hiLo = graft.io.ScanStats.parquetScanRowCount(df)
+          .exists(_ <= Exact.HiLoSafeMaxRows)
+        val momAggs = Seq(count(lit(1)).as("__n")) ++ numIdx.flatMap { case (f, i) =>
+          val cents = Exact.cents(col(f.name))
+          Exact.momentAggs(col(f.name), s"c$i", hiLo) ++
+            Seq(min(cents).as(s"c${i}__mn"), max(cents).as(s"c${i}__mx"),
+              count(col(f.name)).as(s"c${i}__cnt"))
+        }
+        val momSel = Seq(col("__n")) ++ numIdx.flatMap { case (_, i) =>
+          Seq(Exact.s1Col(s"c$i", hiLo).as(s"c${i}__s1"),
+            Exact.s2Col(s"c$i", hiLo).as(s"c${i}__s2"),
+            col(s"c${i}__mn"), col(s"c${i}__mx"), col(s"c${i}__cnt"))
+        }
+        val mrow = df.agg(momAggs.head, momAggs.tail: _*).select(momSel: _*).head()
+        val rowsTotal = mrow.getLong(0)
+        val ranges: Map[Int, (Long, Long)] = numIdx.flatMap { case (_, i) =>
+          val mn = mrow.getAs[Any](s"c${i}__mn")
+          val mx = mrow.getAs[Any](s"c${i}__mx")
+          if (mn == null || mx == null) None
+          else Some(i -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+        }.toMap
+
         def catEntry(f: org.apache.spark.sql.types.StructField, i: Int) =
           struct(lit(i).as("i"), lit(null).cast("long").as("bin"),
-            col(f.name).cast("string").as("cat"))
-        val entries =
-          struct(lit(-1).as("i"), lit(0L).as("bin"), lit(null).cast("string").as("cat")) +:
-          fields.zipWithIndex.map { case (f, i) =>
-            if (f.dataType.isInstanceOf[NumericType])
-              struct(lit(i).as("i"), Exact.cents(col(f.name)).as("bin"),
-                lit(null).cast("string").as("cat"))
-            else catEntry(f, i)
-          }.toSeq
+            col(f.name).cast("string").as("cat"),
+            lit(null).cast("long").as("cents"))
+        val entries = fields.zipWithIndex.map { case (f, i) =>
+          if (f.dataType.isInstanceOf[NumericType]) {
+            val cents = Exact.cents(col(f.name))
+            val bin = ranges.get(i) match {
+              case Some((mn, mx)) if BigInt(mx) - BigInt(mn) + 1 > FitHistMaxBuckets =>
+                // bucket index in double space: boundary rounding at 1e18
+                // magnitudes only shifts a bucket edge, never correctness
+                val spanD = (BigInt(mx) - BigInt(mn) + 1).toDouble
+                least(lit(FitHistMaxBuckets - 1L), greatest(lit(0L),
+                  floor((cents.cast("double") - lit(mn.toDouble)) *
+                    lit(FitHistMaxBuckets.toDouble / spanD)).cast("long")))
+              case _ => cents // span fits (or column all-null): exact bins
+            }
+            struct(lit(i).as("i"), when(cents.isNotNull, bin).as("bin"),
+              lit(null).cast("string").as("cat"), cents.as("cents"))
+          } else catEntry(f, i)
+        }.toSeq
         val st = df.select(explode(array(entries: _*)).as("e"))
           .groupBy(col("e.i").as("i"), col("e.bin").as("bin"), col("e.cat").as("cat"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("e.cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("cs"))
           .collect()
         val nf = numIdx.flatMap { case (_, i) =>
           val hist = st.filter(r => r.getInt(0) == i && !r.isNullAt(1))
-            .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
-          if (hist.isEmpty) None else Some(i -> fitFromHistogram(hist))
+            .map(r => (r.getLong(1), r.getLong(3), r.getDecimal(4))).sortBy(_._1)
+          if (hist.isEmpty) None
+          else {
+            val nn = hist.map(_._2).sum
+            val values = hist.map { case (_, cnt, cs) =>
+              cs.doubleValue() / cnt / 100.0 // weighted-mean knot
+            }.toArray
+            val cum = hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail
+              .map(_ / nn).toArray
+            val s1 = mrow.getDecimal(mrow.fieldIndex(s"c${i}__s1"))
+            val s2 = mrow.getDecimal(mrow.fieldIndex(s"c${i}__s2"))
+            val cn = mrow.getLong(mrow.fieldIndex(s"c${i}__cnt"))
+            val mu = Exact.meanDouble(s1, cn)
+            val sdRaw = Exact.stdDouble(s1, s2, cn)
+            val sigma = if (cn < 2 || sdRaw == 0.0 || sdRaw.isNaN) 1.0 else sdRaw
+            val (cv, cc2) = capCdf(values, cum)
+            Some(i -> NumFit(cv, cc2, mu, sigma))
+          }
         }.toMap
         val cc = catIdx.map { case (_, i) =>
           i -> st.filter(_.getInt(0) == i)
             .map(r => (if (r.isNullAt(2)) null else r.getString(2), r.getLong(3))).toSeq
         }.toMap
-        val rowsTotal = st.collectFirst {
-          case r if r.getInt(0) == -1 => r.getLong(3)
-        }.getOrElse(0L)
         (rowsTotal, nf, cc)
       }
 

@@ -121,6 +121,26 @@ class PrivacySpec extends SparkSpec {
     srcPmf.foreach { case (k, p) => assert(math.abs(outPmf(k) - p) < 0.05) }
   }
 
+  test("syntheticSample distributed fit: wide sparse domains bucket without losing the support or the moments") {
+    // span 10^8 cents > the 65536-bucket ceiling → the r11 bucketed fit
+    // engages; the two distinct values land in distinct buckets, so each
+    // knot is exactly its bucket's (single) value and the bootstrap half
+    // draws only source values; μ/σ come from the exact moment job
+    val src = (Seq.fill(500)(0.00) ++ Seq.fill(500)(1000000.00)).toDF("x")
+    val out = Privacy.syntheticSample(src, Seq("x"), 4000L,
+      seed = 7L, driverFit = Some(false))
+    assert(out.count() == 4000L)
+    // first half of __row_id order is the bootstrap — but row ids are
+    // dropped; instead check every value is either a source value or a
+    // gaussian draw, and that BOTH source values appear (knots survived)
+    val vals = out.collect().map(_.getDouble(0))
+    val boot = vals.filter(v => v == 0.0 || v == 1000000.0)
+    assert(boot.length >= 1500, s"bootstrap half lost the support: ${boot.length}")
+    assert(boot.count(_ == 0.0) > 300 && boot.count(_ == 1000000.0) > 300)
+    val stats = out.agg(avg("x"), stddev_samp("x")).head()
+    assert(math.abs(stats.getDouble(0) - 500000.0) < 50000.0)
+  }
+
   test("syntheticSample auto dispatch: tiny input chooses the driver path, a huge size estimate the distributed path") {
     // 2dp values so both paths are available; the assertion is on the
     // dispatch predicate itself (plan-stats based, no job)

@@ -43,7 +43,11 @@ class FuzzSpec extends SparkSpec {
     "d1_ks_statistic", "d2_chi2_drift", "d3_drift_all", "d_psi", "d_wasserstein",
     // r10 widening: the extended drift panel + the categorical-association
     // scans, all lineitem-driven and content-agnostic
-    "d_ks_by_group", "d_drift_panel", "d_drift_extended", "a_cramers_v")
+    "d_ks_by_group", "d_drift_panel", "d_drift_extended", "a_cramers_v",
+    // r11 widening: per-table row counts and the approx-profile
+    // structural audit (HLL / approx_percentile error envelopes hold on
+    // ANY input by the sketches' contracts; the booleans hash-gate them)
+    "a7_row_counts", "a1_profile_approx_audit")
 
   private val liSchema = StructType(Seq(
     StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
@@ -296,7 +300,10 @@ class FuzzSpec extends SparkSpec {
   private val EventsFuzzQueries = Set(
     "s_tumbling", "s_sliding", "s_sessionize", "s_session_lengths",
     "s_top_paths", "s_dedup_first", "s_attribution", "s_gap_fill",
-    "s_anomaly", "s_funnel", "s_retention", "s_trending", "s_props_json")
+    "s_anomaly", "s_funnel", "s_retention", "s_trending", "s_props_json",
+    // r11 widening: the stream-side joins (static dim enrichment, as-of
+    // nearest event) — fuzzed events against the real customer dimension
+    "q_enrich_events", "q_nearest_event")
 
   private val evSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
@@ -351,7 +358,12 @@ class FuzzSpec extends SparkSpec {
   private val EmbedFuzzQueries = Set(
     "x_embed_topk", "x_embed_centroid", "x_embed_quantize",
     "x_embed_neardup", "x_semdedup", "x_semdedup_delta",
-    "x_hybrid_search", "d_embed_drift")
+    "x_hybrid_search", "d_embed_drift",
+    // r11 widening: the structural audits whose contracts hold on ANY
+    // embedding population (per-vector coreset assignment optimality,
+    // k-means partition arithmetic, PCA variance ordering) — zero
+    // vectors, clones and negated clones included
+    "x_coreset_audit", "x_cluster_summary_audit", "x_embed_pca_audit")
 
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -467,7 +479,13 @@ class FuzzSpec extends SparkSpec {
     "q_asof_join", "q_range_join", "q10_returned_items",
     "q14_promo_revenue", "q19_bracket_revenue", "q6_forecast_revenue",
     "q_salted_agg", "a_histogram", "a_skew_report", "a_moments_merge",
-    "x_hash_sample", "x_split_column", "x_stratified_sample")
+    "x_hash_sample", "x_split_column", "x_stratified_sample",
+    // r11 widening: the customer/nation/region joins run against the
+    // SYMLINKED real dimensions with fuzzed fact sides (orders custkeys
+    // overlap the real customer domain by construction), and the
+    // z-order layout audit over the fuzzed lineitem key space
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "x_zorder_stats")
 
   for (seed <- (16 to 18) :+ 34)
     test(s"differential window/grouping fuzz seed $seed: ${WindowFuzzQueries.size} relational queries vs the DuckDB oracle") {
@@ -482,7 +500,15 @@ class FuzzSpec extends SparkSpec {
   private val PrivacyFuzzQueries = Set(
     "v8_k_anonymity", "v9_l_diversity", "v10_t_closeness",
     "v1_sdc_suppress", "v2_generalize", "v3_dp_noise_inf",
-    "v_dp_histogram_inf", "v_dp_mean_inf")
+    "v_dp_histogram_inf", "v_dp_mean_inf",
+    // r11 widening (the r10 verdict's named priority): V6 exact linkage
+    // on the degenerate quasi shapes these seeds plant — one giant
+    // equivalence class (constant quasi cols → score 1.0), k > n tiny
+    // groups with the ""/"NA" collision, near-all-null quasi columns —
+    // its oracle is the generated content-agnostic IN-subquery mirror.
+    // The V4 sampler's distributional audit (CLT envelopes vs the same
+    // degenerate fits) and D4's range-contract audit ride along.
+    "v6_linkage_risk", "v4_synthetic_audit", "d4_utility_audit")
 
   for (seed <- 19 to 21)
     test(s"differential privacy fuzz seed $seed: ${PrivacyFuzzQueries.size} privacy queries vs the DuckDB oracle") {
@@ -502,7 +528,20 @@ class FuzzSpec extends SparkSpec {
     "x_mix_temperature", "x_shard_assign", "x_snapshot_diff",
     "x_group_quantiles", "x_vocab_topk", "x_bpe_pairs", "x_corpus_clean",
     "x_curation_funnel", "x_doc_novelty", "x_novelty_yield",
-    "x_dedup_delta", "x_token_chunks", "d_js_divergence")
+    "x_dedup_delta", "x_token_chunks", "d_js_divergence",
+    // r11 widening: the remaining content-agnostic documents scans
+    // (report, ppl buckets, hash-embed, keyword/BM25 relevance — the
+    // pinned query terms exist in the token pool — source overlap) and
+    // the sketch structural audits whose envelopes are the sketches'
+    // own contracts (CMS never-undercount + width, HLL 5%+2, rank-error
+    // quantiles, classifier beats-majority)
+    "x_curation_report", "x_ppl_buckets", "x_hash_embed",
+    "x_keyword_search", "x_bm25_search", "x_source_overlap",
+    "x_vocab_cms_audit", "x_distinct_sketch_audit",
+    "x_group_quantiles_approx_audit", "x_quality_audit",
+    // (lang, source) mutual information — a documents query, so it
+    // fuzzes here where the documents table is the generated one
+    "a_mutual_info")
 
   for (seed <- 22 to 24)
     test(s"differential curation fuzz seed $seed: ${CurationFuzzQueries.size} curation queries vs the DuckDB oracle") {
@@ -523,7 +562,11 @@ class FuzzSpec extends SparkSpec {
     "x_passage_dedup", "x_neardup_delta", "x_neardup_delta_auto",
     "x_minhash_delta", "x_dedup_clusters", "x_dedup_clusters_dist",
     "x_dedup_clusters_auto_dist", "x_dedup_cluster_sizes", "x_soft_dedup",
-    "x_leakage_split")
+    "x_leakage_split",
+    // r11 widening: the decontamination family on the same mutated
+    // clones — probe/corpus shingle containment at the 0.6 threshold
+    // seam, its attribution view, and the bloom-prefiltered form
+    "x_contamination", "x_contamination_attr", "x_bloom_contamination")
 
   for (seed <- 25 to 27)
     test(s"differential dedup fuzz seed $seed: ${DedupFuzzQueries.size} near-dup queries vs the DuckDB oracle") {
