@@ -350,13 +350,28 @@ object QueryCatalog {
         .agg(count(lit(1)).as(s"${p}_n"))
       val joins = Seq("l_quantity" -> "q", "l_extendedprice" -> "e").map {
         case (c, tag) =>
+          val rSd = col(s"r${tag}_sd"); val rN = col(s"r${tag}_n")
+          // The envelope must model the sampler's DECLARED synthesis, not
+          // just the source: the gaussian half draws N(μ, σ_synth) where
+          // σ_synth is the fit's `σ or 1.0` fallback (reference A8
+          // semantics — modules/privacy.py's `std or 1.0`), so on a
+          // constant or single-row column σ_synth = 1 while source σ = 0.
+          // Var(synthetic mean) = (σ_src² + σ_synth²)/(2n) — half
+          // bootstrap draws at σ_src², half gaussian at σ_synth² — hence
+          // the pooled 6σ CLT bound. FuzzSpec privacy seed 19 (constant
+          // 42.42 columns) is the pinned regression: the old
+          // 6·σ_src/√n + 1e-6 form degenerated to 1e-6 there while the
+          // sampler was correctly drawing its declared N(μ, 1) half.
+          val sigmaSynth =
+            when(rN < 2 || rSd === 0.0 || isnan(rSd), lit(1.0)).otherwise(rSd)
           stats(syn, c, s"s$tag").crossJoin(stats(li, c, s"r$tag"))
             .select(
               (abs(col(s"s${tag}_mean") - col(s"r${tag}_mean")) <=
-                col(s"r${tag}_sd") * lit(6.0) / sqrt(col(s"r${tag}_n")) + lit(1e-6))
+                sqrt((rSd * rSd + sigmaSynth * sigmaSynth) / 2.0) * lit(6.0) /
+                  sqrt(rN) + lit(1e-6))
                 .as(s"mean_ok_$tag"),
-              (col(s"s${tag}_min") >= col(s"r${tag}_min") - col(s"r${tag}_sd") * 6.0 &&
-                col(s"s${tag}_max") <= col(s"r${tag}_max") + col(s"r${tag}_sd") * 6.0)
+              (col(s"s${tag}_min") >= col(s"r${tag}_min") - sigmaSynth * 6.0 &&
+                col(s"s${tag}_max") <= col(s"r${tag}_max") + sigmaSynth * 6.0)
                 .as(s"range_ok_$tag"))
       }
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

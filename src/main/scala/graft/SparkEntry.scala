@@ -55,7 +55,7 @@ object SparkEntry {
     // engines must agree on the parsed values AND the inferred column
     // types (int-family vs string vs date), or the hash gate fails.
     "s1_csv_scan" -> ((s, d) => {
-      val path = "/tmp/graft_s1_csv_scan"
+      val path = s1CsvPath(d)
       io.Csv.write(Tables.load(s, d, "nation"), path)
       io.Csv.read(s, path).orderBy("n_nationkey")
     }),
@@ -284,11 +284,20 @@ object SparkEntry {
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
     // the Spark side S2-writes this exact directory during Verify, so the
-    // oracle's read_csv_auto re-parses the SAME bytes with ITS inference
+    // oracle's read_csv_auto re-parses the SAME bytes with ITS inference.
+    // The {S1_CSV_DIR} placeholder is substituted by Verify.dump with the
+    // FIXTURE-scoped path (one directory per source sfDir): a fixed
+    // shared path raced when two fixtures (driver sf0.01 vs a fuzz dir,
+    // or concurrent suites) wrote it with different nation tables.
     "s1_csv_scan" ->
-      """SELECT * FROM read_csv_auto('/tmp/graft_s1_csv_scan/*.csv', header = true)
+      """SELECT * FROM read_csv_auto('{S1_CSV_DIR}/*.csv', header = true)
         |ORDER BY n_nationkey""".stripMargin,
   )
+
+  /** Scratch CSV directory for the s1 round-trip, scoped to the source
+    * fixture so concurrent fixtures never re-parse each other's bytes. */
+  def s1CsvPath(sfDir: String): String =
+    "/tmp/graft_s1_csv_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** [[oracleSql]] with the x16-fixture overrides applied: above their
     * input ceilings the dedup autos dispatch to banded-minhash sides, so

@@ -50,6 +50,9 @@ object Verify {
     } + "\""
     val oracles = if (x16Oracles) SparkEntry.oracleSqlX16 else SparkEntry.oracleSql
     val json = oracles
+      // fixture-scoped scratch paths (s1 CSV round-trip) resolve at dump
+      // time, when the source sfDir is known
+      .map { case (k, v) => k -> v.replace("{S1_CSV_DIR}", SparkEntry.s1CsvPath(sfDir)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     failed

@@ -550,7 +550,7 @@ object Exact {
   def quantilesViaDriverSortMulti(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
       probs: Seq[Double]): Map[String, QuantFit] =
-    numProfileViaDriverSort(df, cols, probs).view
+    numProfileViaDriverSort(df, cols, probs, withMoments = false).view
       .mapValues(f => QuantFit(f.quantiles, f.nUnique)).toMap
 
   /** Full numeric-profile fit of the driver-sort branch: everything the
@@ -581,20 +581,38 @@ object Exact {
     * more scans + ~10 AQE stage jobs of pure orchestration — measured
     * 2.5–3 s wall for 38 MB of data pandas handles in 0.7 s. One collect
     * now feeds quantiles AND moments; the distributed forms stay the
-    * at-scale branch (and the fallback for non-finite columns). */
+    * at-scale branch (and the fallback for non-finite columns).
+    *
+    * `withMoments = false` (the [[quantilesViaDriverSortMulti]] callers —
+    * PSI edges, winsorize, the logprob funnel) skips the cents/moment walk
+    * entirely: those callers sort and interpolate ANY finite doubles with
+    * no ≤2-decimal or magnitude precondition, and the cents replica both
+    * faults past DECIMAL(18,2) (~|v| ≥ 10¹⁶ — epoch-nanos, wide ids) and
+    * costs ~20× per full-precision value for moments they discard.
+    * With moments on, a value outside the DECIMAL(18,2) domain degrades
+    * gracefully: moments come back `None` (the caller falls back to its
+    * in-agg forms, which define the faulting behavior) while quantiles,
+    * distinct count and min/max — plain double work — stay usable. */
   def numProfileViaDriverSort(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      probs: Seq[Double]): Map[String, NumFit] = {
+      probs: Seq[Double], withMoments: Boolean = true): Map[String, NumFit] = {
     val arrays = collectColumnsDoubles(df, cols)
     // per-COLUMN parallelism: each column's sort + cents + moment walk is
     // independent; sequential processing was the driver branch's serial
     // tail (~0.5 s over 8 × 600k cells at sf0.1)
     cols.map { c =>
-      c -> java.util.concurrent.CompletableFuture.supplyAsync(() => fitOne(arrays(c), probs))
+      c -> java.util.concurrent.CompletableFuture.supplyAsync(() => fitOne(arrays(c), probs, withMoments))
     }.map { case (c, fut) => c -> fut.join() }.toMap
   }
 
-  private def fitOne(colData: (Array[Double], Long), probs: Seq[Double]): NumFit = {
+  /** Largest |double| whose DECIMAL(18,2) cents form cannot overflow
+    * precision 18: 16 integer digits + 2 decimals = 18. Doubles at 10¹⁶
+    * are spaced by 2, so every double strictly below the bound rounds to
+    * ≤ 18 digits of cents. */
+  private val CentsSafeAbsMax = 1.0e16
+
+  private def fitOne(colData: (Array[Double], Long), probs: Seq[Double],
+                     withMoments: Boolean): NumFit = {
     val (arr, dropped) = colData
     if (dropped > 0)
       NumFit(None, None, 0L, None, None, None, None, eligible = false)
@@ -608,21 +626,30 @@ object Exact {
         var s1l = 0L; var s2hi = 0L; var s2lo = 0L
         var s1d = java.math.BigDecimal.ZERO
         var s2d = java.math.BigDecimal.ZERO
+        // moment walk disengages on the first value past the cents
+        // domain (the distributed cast would fault there; quantiles and
+        // min/max remain plain double work and stay valid)
+        var momentsOk = withMoments
         var i = 0
         while (i < n) {
           if (i == 0 || arr(i) != arr(i - 1)) uniq += 1
-          val cts = centsDriver(arr(i))
-          if (math.abs(cts) <= LongSafeCentsAbsMax) {
-            // long-safe by the same bound as [[HiLoSafeMaxRows]]: n here
-            // is capped by the caller's driver-cell ceiling (≪ 2·10⁹)
-            s1l += cts
-            val sq = cts * cts // sq ≥ 0, so arithmetic >> equals Spark's shiftright
-            s2hi += (sq >> 32)
-            s2lo += (sq & 0xFFFFFFFFL)
-          } else {
-            val bd = java.math.BigDecimal.valueOf(cts)
-            s1d = s1d.add(bd)
-            s2d = s2d.add(bd.multiply(bd))
+          if (momentsOk) {
+            if (math.abs(arr(i)) >= CentsSafeAbsMax) momentsOk = false
+            else {
+              val cts = centsDriver(arr(i))
+              if (math.abs(cts) <= LongSafeCentsAbsMax) {
+                // long-safe by the same bound as [[HiLoSafeMaxRows]]: n here
+                // is capped by the caller's driver-cell ceiling (≪ 2·10⁹)
+                s1l += cts
+                val sq = cts * cts // sq ≥ 0, so arithmetic >> equals Spark's shiftright
+                s2hi += (sq >> 32)
+                s2lo += (sq & 0xFFFFFFFFL)
+              } else {
+                val bd = java.math.BigDecimal.valueOf(cts)
+                s1d = s1d.add(bd)
+                s2d = s2d.add(bd.multiply(bd))
+              }
+            }
           }
           i += 1
         }
@@ -636,6 +663,11 @@ object Exact {
         }
         if (n == 0)
           NumFit(Some(qs), Some(0L), 0L, None, None, None, None, eligible = true)
+        else if (!momentsOk)
+          // quantile-only callers, or a column outside the cents domain:
+          // moments None, order statistics valid
+          NumFit(Some(qs), Some(uniq), n.toLong, None, None,
+            Some(arr(0)), Some(arr(n - 1)), eligible = true)
         else {
           // s1FromParts / s2FromParts recombination, exact in BigDecimal
           val s1 = java.math.BigDecimal.valueOf(s1l).add(s1d)

@@ -519,18 +519,29 @@ object Privacy {
         //   construction.
         val hiLo = graft.io.ScanStats.parquetScanRowCount(df)
           .exists(_ <= Exact.HiLoSafeMaxRows)
-        val momAggs = Seq(count(lit(1)).as("__n")) ++ numIdx.flatMap { case (f, i) =>
-          val cents = Exact.cents(col(f.name))
-          Exact.momentAggs(col(f.name), s"c$i", hiLo) ++
-            Seq(min(cents).as(s"c${i}__mn"), max(cents).as(s"c${i}__mx"),
-              count(col(f.name)).as(s"c${i}__cnt"))
+        // cents projected ONCE per column under the aggregate (the
+        // corr-matrix 50× lesson — aggregate slots don't get reliable
+        // subexpression elimination, and this is the branch where
+        // per-row cost matters most). The count slot counts the CENTS
+        // column, not the raw one: NaN/±Inf cents-cast to null, so the
+        // moment sums exclude them — the divisor must match or μ/σ on a
+        // NaN-bearing column bias toward zero and disagree with the CDF
+        // knots (normalized by the histogram's non-null count).
+        def centsName(i: Int) = s"__cents_$i"
+        val pre = df.select(
+          numIdx.map { case (f, i) => Exact.cents(col(f.name)).as(centsName(i)) }: _*)
+        val momAggs = Seq(count(lit(1)).as("__n")) ++ numIdx.flatMap { case (_, i) =>
+          val cts = col(centsName(i))
+          Exact.momentAggsPre(cts, s"c$i", hiLo) ++
+            Seq(min(cts).as(s"c${i}__mn"), max(cts).as(s"c${i}__mx"),
+              count(cts).as(s"c${i}__cnt"))
         }
         val momSel = Seq(col("__n")) ++ numIdx.flatMap { case (_, i) =>
           Seq(Exact.s1Col(s"c$i", hiLo).as(s"c${i}__s1"),
             Exact.s2Col(s"c$i", hiLo).as(s"c${i}__s2"),
             col(s"c${i}__mn"), col(s"c${i}__mx"), col(s"c${i}__cnt"))
         }
-        val mrow = df.agg(momAggs.head, momAggs.tail: _*).select(momSel: _*).head()
+        val mrow = pre.agg(momAggs.head, momAggs.tail: _*).select(momSel: _*).head()
         val rowsTotal = mrow.getLong(0)
         val ranges: Map[Int, (Long, Long)] = numIdx.flatMap { case (_, i) =>
           val mn = mrow.getAs[Any](s"c${i}__mn")
@@ -571,9 +582,20 @@ object Privacy {
           if (hist.isEmpty) None
           else {
             val nn = hist.map(_._2).sum
-            val values = hist.map { case (_, cnt, cs) =>
-              cs.doubleValue() / cnt / 100.0 // weighted-mean knot
-            }.toArray
+            val bucketed = ranges.get(i).exists { case (mn, mx) =>
+              BigInt(mx) - BigInt(mn) + 1 > FitHistMaxBuckets }
+            val values =
+              if (bucketed) hist.map { case (_, cnt, cs) =>
+                // weighted-mean knot: the bucket's exact decimal cents
+                // sum over its count — the bootstrap half's expectation
+                // telescopes to the source (cents) mean
+                cs.doubleValue() / cnt / 100.0
+              }.toArray
+              else hist.map(_._1 / 100.0).toArray
+              // identity bins: the bin IS the cents value — derive the
+              // knot from it directly, bit-for-bit the pre-bucketing
+              // fit (cs/cnt loses exactness once a bucket's cents sum
+              // passes 2⁵³, even though cnt = bucket multiplicity)
             val cum = hist.map(_._2.toDouble).scanLeft(0.0)(_ + _).tail
               .map(_ / nn).toArray
             val s1 = mrow.getDecimal(mrow.fieldIndex(s"c${i}__s1"))

@@ -116,7 +116,14 @@ object Profile {
     // aggregate (histogram branch: all of them; driver branch: only the
     // non-finite fallbacks — usually none, and the whole numeric
     // aggregate plan vanishes).
-    val aggCols = numCols.toSeq.filterNot(c => driverFit.get(c).exists(_.eligible))
+    // "fully fitted" = the driver fit carries everything the struct needs
+    // (finite column inside the cents domain, or empty). A finite column
+    // with moments None (|v| ≥ 10¹⁶ — outside DECIMAL(18,2)) keeps its
+    // driver quantiles/distincts but joins the wide agg for moments,
+    // where the in-agg forms define the (faulting) behavior.
+    def fullyFitted(c: String): Option[Exact.NumFit] =
+      driverFit.get(c).filter(f => f.eligible && (f.n == 0 || f.mean.isDefined))
+    val aggCols = numCols.toSeq.filterNot(c => fullyFitted(c).isDefined)
     // prune to the aggregated columns BEFORE the fan-out decision so the
     // (possible) exchange ships only numeric columns, then project cents
     // AFTER it so the expensive per-row step runs at machine parallelism
@@ -169,7 +176,7 @@ object Profile {
             if (vs(i).isNaN) lit(null).cast("double") else lit(vs(i))
           case None => i => col(s"${c}__q").getItem(i)
         }
-        driverFit.get(c).filter(_.eligible) match {
+        fullyFitted(c) match {
           case Some(f) =>
             struct(
               lit(c).as("column"),

@@ -141,6 +141,44 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(stats.getDouble(0) - 500000.0) < 50000.0)
   }
 
+  // FuzzSpec privacy seed 19 regression (r11 verdict #1): a CONSTANT
+  // column has σ_src = 0, so the fit's declared `σ or 1.0` fallback
+  // (reference A8 semantics) makes the gaussian half draw N(μ, 1). The
+  // audit envelope must therefore pool σ_synth, not degenerate to its
+  // 1e-6 slack — these hand-pin the derivation the catalog audit uses.
+  for ((label, fit) <- Seq("driver fit" -> Some(true),
+                           "distributed fit" -> Some(false)))
+  test(s"syntheticSample ($label): constant column stays inside the pooled σ-or-1.0 envelopes (fuzz seed 19)") {
+    val n = 400
+    val src = Seq.fill(n)(42.42).toDF("x")
+    val out = Privacy.syntheticSample(src, Seq("x"), seed = 42L, driverFit = fit)
+    val vals = out.collect().map(_.getDouble(0))
+    assert(vals.length == n)
+    // bootstrap half: draws from a single knot — exactly the constant
+    assert(vals.count(_ == 42.42) >= n / 2)
+    // pooled CLT envelope: 6·sqrt((σ_src² + σ_synth²)/2)/√n, σ_synth = 1
+    val mean = vals.sum / n
+    assert(math.abs(mean - 42.42) <= 6.0 * math.sqrt(0.5) / math.sqrt(n.toDouble) + 1e-6,
+      s"synthetic mean $mean outside the pooled envelope")
+    assert(vals.min >= 42.42 - 6.0 && vals.max <= 42.42 + 6.0,
+      s"range [${vals.min}, ${vals.max}] outside μ ± 6σ_synth")
+  }
+
+  test("syntheticSample distributed fit: NaN rows don't bias μ/σ (moment divisor counts cents, not raw rows)") {
+    // r11 ADVICE: the at-scale fit divided exact moment sums (which
+    // exclude NaN — cents casts it to null) by count(col) (which counts
+    // NaN), biasing μ toward zero on NaN-bearing columns. Here the
+    // non-NaN mean is 150; the buggy divisor gave μ = 75 and an output
+    // mean near 112.5.
+    val src = (Seq.fill(500)(100.0) ++ Seq.fill(500)(200.0) ++
+      Seq.fill(1000)(Double.NaN)).toDF("x")
+    val out = Privacy.syntheticSample(src, Seq("x"), 4000L,
+      seed = 3L, driverFit = Some(false))
+    val stats = out.agg(avg("x")).head()
+    assert(math.abs(stats.getDouble(0) - 150.0) < 10.0,
+      s"output mean ${stats.getDouble(0)} != non-NaN source mean 150")
+  }
+
   test("syntheticSample auto dispatch: tiny input chooses the driver path, a huge size estimate the distributed path") {
     // 2dp values so both paths are available; the assertion is on the
     // dispatch predicate itself (plan-stats based, no job)

@@ -42,6 +42,19 @@ class RowTransformsSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
   }
 
+  test("winsorize: magnitudes past the cents domain (epoch-nanos scale) fit on the plain-double quantile path") {
+    // r11 ADVICE (high): the shared driver-sort fit ran the cents/moment
+    // replica on every collected value, which FAULTS past DECIMAL(18,2)
+    // (~|v| ≥ 1e16) — but winsorize (like the PSI edges and the logprob
+    // funnel) only consumes quantiles, which sort and interpolate any
+    // finite double. Quantile-only callers now skip the moment walk.
+    val src = (1 to 100).map(i => 1.7e18 + i * 1.0e12).toDF("x")
+    val out = RowTransforms.winsorize(src, "x", 0.05, 0.95)
+    assert(out.count() == 100)
+    val clipped = out.agg(min("x_w"), max("x_w")).head()
+    assert(clipped.getDouble(0) > 1.7e18 && clipped.getDouble(1) < 1.7e18 + 1.01e14)
+  }
+
   test("winsorize clips exactly at the interpolated quantiles, keeps inner rows") {
     val li = graft.Tables.lineitem(spark, Sf)
     val out = RowTransforms.winsorize(li, "l_extendedprice")
