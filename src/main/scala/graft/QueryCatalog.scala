@@ -818,24 +818,37 @@ object QueryCatalog {
          |     ELSE (CASE WHEN a.$c IN (SELECT v FROM fit_$c) THEN 1.0 ELSE 0.0 END
          |         + CASE WHEN r.$c IN (SELECT v FROM fit_$c) THEN 1.0 ELSE 0.0 END) END""".stripMargin)
     val dist2 = (numTerms ++ catTerms).mkString(" +\n    ")
+    // vector-grouped mirror (r12, matches Linkage.linkageRiskExact): both
+    // sides collapse to DISTINCT quasi tuples before the pair scan (the
+    // fit CTE `m` still reads the FULL anon frame); the anon multiplicity
+    // weights the per-tuple score, and the cum-sum runs in tuple order
+    // (distinct tuples ⇒ total order; NULLS FIRST = Spark's asc default)
+    val kCols = quasi.zipWithIndex.map { case (c, i) => s"k$i" }
+    val dKeys = (
+      nums.map(c => s"a.std_$c") ++ cats.map(c => s"a.$c")
+    ).zip(kCols).map { case (e, k) => s"$e AS $k" }.mkString(", ")
+    val orderK = kCols.map(k => s"$k NULLS FIRST").mkString(", ")
     s"""WITH af AS (SELECT ${quasi.mkString(", ")} FROM lineitem WHERE $anonF),
        |rf AS (SELECT ${quasi.mkString(", ")} FROM lineitem WHERE $realF),
        |m AS (SELECT
        |$moments
        |  FROM af),
        |$fitCtes,
-       |a AS (SELECT ROW_NUMBER() OVER (ORDER BY ${quasi.mkString(", ")}) AS aid,
+       |av AS (SELECT ${quasi.mkString(", ")}, COUNT(*) AS cnt
+       |  FROM af GROUP BY ${quasi.mkString(", ")}),
+       |rv AS (SELECT DISTINCT ${quasi.mkString(", ")} FROM rf),
+       |a AS (SELECT cnt,
        |$feats
-       |  FROM af, m),
+       |  FROM av, m),
        |r AS (SELECT
        |$feats
-       |  FROM rf, m),
-       |d AS (SELECT a.aid, MIN(SQRT(
+       |  FROM rv, m),
+       |d AS (SELECT $dKeys, a.cnt AS cnt, MIN(SQRT(
        |    $dist2)) AS d0
-       |  FROM a CROSS JOIN r GROUP BY a.aid),
+       |  FROM a CROSS JOIN r GROUP BY ${kCols.indices.map(_ + 1).mkString(", ")}, a.cnt),
        |sc AS (SELECT
-       |  SUM(1.0 - d0 / (d0 + 1e-9)) OVER (ORDER BY aid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |  COUNT(*) OVER () AS n FROM d)
+       |  SUM((1.0 - d0 / (d0 + 1e-9)) * cnt) OVER (ORDER BY $orderK ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SUM(cnt) OVER () AS n FROM d)
        |SELECT ROUND(LEAST(1.0, GREATEST(0.0, MAX(cum) / MAX(n))), 9) AS risk_score FROM sc""".stripMargin
   }
 

@@ -56,7 +56,12 @@ object ScaleUp {
     // rounds bounded by component diameter) is the at-scale record for
     // the above-ceiling regime every cluster consumer rides past 2²⁴
     // edges; first measured ratio becomes the recorded ceiling
-    "x_dedup_clusters_auto_dist")
+    "x_dedup_clusters_auto_dist",
+    // r12: the vector-grouped V6 LSH — the r12 x16 correctness sweep
+    // measured the UN-grouped form at 28 min in one bucket-join stage
+    // (low-cardinality quasi tuples defeat bucket selectivity), so its
+    // curvature now rides the gate; first measured ratio is the record
+    "v6_linkage_risk_lsh")
 
   /** Per-query x16-ratio RECORD (round-8 definitive min-of-2 run,
     * SCALE_r8.json) — the measured scaling curvature each headline plan

@@ -23,7 +23,17 @@ import graft.ops.RowTransforms
   *    similarity join for the 100 TB path (documented approximation:
   *    pairs beyond `threshold` are treated as non-matches, which leaves
   *    their score ≈ 0 — exactly where the exact form puts them).
-  */
+  *
+  * Both forms VECTOR-GROUP first (r12): the k=1 distance depends only on
+  * the quasi-ID VALUES, so each side collapses to its distinct tuples
+  * (a map-side-combinable groupBy — value-domain-sized however large the
+  * input) before any pair work, with the anon multiplicity carried for
+  * the weighted mean, which equals the per-row mean by definition. This
+  * is what makes the module scale-true on LOW-CARDINALITY quasi domains,
+  * where LSH bucketing alone cannot cut the pair count: ~1 650 distinct
+  * (quantity, discount, flag) tuples fan the x16 fixture's 96k×96k rows
+  * into ≈4·10⁹ bucket-join candidates — measured 28 min in one stage —
+  * while the distinct-tuple join is 1 650² at ANY input scale. */
 object Linkage {
 
   private def split(df: DataFrame, quasi: Seq[String]): (Seq[String], Seq[String]) = {
@@ -64,8 +74,9 @@ object Linkage {
 
   private[graft] def applyFeatures(df: DataFrame, quasi: Seq[String],
                                    p: FeatParams): DataFrame = {
-    val std = RowTransforms.standardizeApply(
-      df.select(quasi.map(col): _*), p.nums, p.stdParams)
+    // no quasi reselect: callers pass already-narrow frames, and the LSH
+    // path's grouped tuples carry their multiplicity column through
+    val std = RowTransforms.standardizeApply(df, p.nums, p.stdParams)
     p.cats.foldLeft(std) { (d, c) => RowTransforms.oneHotApply(d, c, p.vocab(c)) }
   }
 
@@ -107,20 +118,20 @@ object Linkage {
   def linkageRiskExact(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
     val (nums, cats) = split(anon, quasi)
     // ONE μ/σ fit + ONE vocab collect per categorical, shared by both
-    // sides (the fit frame is anon for both — see features)
+    // sides (the fit frame is anon for both — see features). The fit
+    // runs on the FULL anon frame — grouping must not change μ/σ.
     val stdP = RowTransforms.standardizeFit(anon, nums)
-    val anonStd = RowTransforms.standardizeApply(
-      anon.select(quasi.map(col): _*), nums, stdP)
-    val realStd = RowTransforms.standardizeApply(
-      real.select(quasi.map(col): _*), nums, stdP)
     val fitted: Map[String, Seq[String]] =
       cats.map(c => c -> RowTransforms.oneHotVocab(anon, c)).toMap
-    // Deterministic anon row ids: order by the quasi values themselves —
-    // identical rows are interchangeable, so tie order is irrelevant.
-    // widen the stream side: the broadcast-nested-loop distance scan is
-    // the O(n·m) CPU cost, and a single-split anon scan runs it 1-core
-    val anonF = graft.ops.Par.widen(anonStd.withColumn("__aid",
-      row_number().over(Window.orderBy(quasi.map(col): _*))))
+    // vector-grouping (see the object doc): the pair scan runs over
+    // DISTINCT quasi tuples — the anon side keeps its multiplicity.
+    // Standardization commutes with the grouping ((x−μ)/σ is per-value
+    // and injective), so grouping raw tuples first costs one
+    // map-side-combinable shuffle of the value domain and nothing else.
+    val anonV = anon.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("__acnt"))
+    val realV = real.select(quasi.map(col): _*).distinct()
+    val anonStd = RowTransforms.standardizeApply(anonV, nums, stdP)
+    val realStd = RowTransforms.standardizeApply(realV, nums, stdP)
     def inFit(side: String, c: String): Column =
       if (fitted(c).isEmpty) lit(0.0)
       else coalesce(col(s"$side.$c").isin(fitted(c): _*).cast("double"), lit(0.0))
@@ -130,14 +141,21 @@ object Linkage {
       when(col(s"a.$c") <=> col(s"r.$c"), lit(0.0))
         .otherwise(inFit("a", c) + inFit("r", c)))
     val d2 = (numTerms ++ catTerms).reduce(_ + _)
-    val pairs = anonF.alias("a").crossJoin(realStd.alias("r"))
-      .select(col("a.__aid").as("aid"), sqrt(d2).as("dist"))
-    val d0 = pairs.groupBy("aid").agg(min("dist").as("d0"))
-    val score = lit(1.0) - col("d0") / (col("d0") + lit(1e-9))
-    val wCum = Window.orderBy("aid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pairs = anonStd.alias("a").crossJoin(realStd.alias("r"))
+      .select(quasi.map(c => col(s"a.$c").as(s"k_$c")) ++
+        Seq(col("a.__acnt").as("__acnt"), sqrt(d2).as("dist")): _*)
+    val d0 = pairs
+      .groupBy((quasi.map(c => col(s"k_$c")) :+ col("__acnt")): _*)
+      .agg(min("dist").as("d0"))
+    // deterministic fp order for the oracle: cum-sum of the per-tuple
+    // weighted scores in tuple order (distinct tuples ⇒ total order;
+    // Spark asc = nulls first = the oracle's NULLS FIRST)
+    val score = (lit(1.0) - col("d0") / (col("d0") + lit(1e-9))) * col("__acnt")
+    val wCum = Window.orderBy(quasi.map(c => col(s"k_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
     d0.withColumn("cum", sum(score).over(wCum))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("n", sum(col("__acnt")).over(wAll))
       .agg(max(col("cum")).as("sum_score"), max(col("n")).as("n"))
       .select(round(least(lit(1.0), greatest(lit(0.0), col("sum_score") / col("n"))), 9).as("risk_score"))
   }
@@ -166,12 +184,16 @@ object Linkage {
                      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
     val fitP = fitFeatures(anon, quasi)
     val featCols = fitP.featCols
-    val anonF0 = applyFeatures(anon, quasi, fitP)
-    val realF0 = applyFeatures(real, quasi, fitP)
     require(featCols.nonEmpty, "linkageRiskLSH needs at least one quasi-ID feature")
-    val anonF = graft.ops.Par.widen(anonF0.withColumn("__aid",
-      row_number().over(Window.orderBy(quasi.map(col): _*))))
-    val realF = graft.ops.Par.widen(realF0)
+    // vector-grouping (see the object doc): buckets, candidates and
+    // distances are all per-TUPLE; the anon multiplicity only weights
+    // the final mean. On low-cardinality quasi domains this is the
+    // difference between a domain²/buckets candidate set and the
+    // measured ~n·m/buckets single-stage blow-up at x16.
+    val anonV = anon.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("__acnt"))
+    val realV = real.select(quasi.map(col): _*).distinct()
+    val anonF = applyFeatures(anonV, quasi, fitP)
+    val realF = applyFeatures(realV, quasi, fitP)
     // seeded unit gaussian per hash table — deterministic for (seed, dim)
     val rng = new scala.util.Random(seed)
     val projs: Seq[Array[Double]] = Seq.fill(numHashTables) {
@@ -184,8 +206,9 @@ object Linkage {
         .map { case (f, j) => col(f) * lit(r(j)) }.reduce(_ + _)
       floor(dot / lit(bucketLength)).cast("long")
     }: _*)
+    val keyCols = quasi.map(c => col(c).as(s"k_$c"))
     val aExp = anonF.select(
-      col("__aid") +: featCols.map(f => col(f).as(s"a_$f")) :+
+      keyCols ++ Seq(col("__acnt")) ++ featCols.map(f => col(f).as(s"a_$f")) :+
         posexplode(buckets).as(Seq("__i", "__b")): _*)
     val rExp = realF.select(
       featCols.map(f => col(f).as(s"r_$f")) :+
@@ -193,16 +216,30 @@ object Linkage {
     val d2 = featCols.map { f =>
       (col(s"a_$f") - col(s"r_$f")) * (col(s"a_$f") - col(s"r_$f"))
     }.reduce(_ + _)
+    val kRefs = quasi.map(c => col(s"k_$c"))
     val joined = aExp
       .join(rExp, col("__i") === col("__ri") && col("__b") === col("__rb"))
-      .select(col("__aid").as("aid"), sqrt(d2).as("dist"))
+      .select((kRefs :+ col("__acnt")) :+ sqrt(d2).as("dist"): _*)
       .filter(col("dist") < lit(threshold))
-      .groupBy("aid").agg(min("dist").as("d0"))
-    val withAll = anonF.select(col("__aid").as("aid"))
-      .join(joined, Seq("aid"), "left")
-      .withColumn("d0", coalesce(col("d0"), lit(threshold)))
-    val score = lit(1.0) - col("d0") / (col("d0") + lit(1e-9))
-    withAll.agg(avg(score).as("risk_score"))
-      .select(least(lit(1.0), greatest(lit(0.0), col("risk_score"))).as("risk_score"))
+      .groupBy((kRefs :+ col("__acnt")): _*).agg(min("dist").as("d0"))
+    // tuples with no in-threshold candidate get d₀ = threshold; the join
+    // back onto the full tuple list must be null-SAFE on the keys (a
+    // null quasi value is a real tuple, not a non-match)
+    val allT = anonF.select((keyCols :+ col("__acnt")): _*)
+    val cond = quasi.map(c => col(s"l.k_$c") <=> col(s"j.k_$c")).reduce(_ && _)
+    val withAll = allT.alias("l").join(joined.alias("j"), cond, "left")
+      .select(quasi.map(c => col(s"l.k_$c").as(s"k_$c")) ++ Seq(
+        col("l.__acnt").as("__acnt"),
+        coalesce(col("j.d0"), lit(threshold)).as("d0")): _*)
+    // same deterministic weighted-mean tail as the exact form
+    val score = (lit(1.0) - col("d0") / (col("d0") + lit(1e-9))) * col("__acnt")
+    val wCum = Window.orderBy(kRefs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    withAll.withColumn("cum", sum(score).over(wCum))
+      .withColumn("n", sum(col("__acnt")).over(wAll))
+      .agg(max(col("cum")).as("sum_score"), max(col("n")).as("n"))
+      .select(least(lit(1.0), greatest(lit(0.0),
+        col("sum_score") / col("n"))).as("risk_score"))
   }
 }
