@@ -70,10 +70,15 @@ object QueryCatalog {
     "v2_generalize" -> ((s, d) =>
       // DriverSort: bench tables are known to fit a single collected
       // column; the distributed histogram stays the scale path (protect()).
+      // No output orderBy: the gate compare is row-order-insensitive
+      // (144 catalog entries gate without one), the reference's
+      // generalize has no ordering contract, and the global sort was
+      // the row's dominant cost — 3 AQE jobs / ~0.55 s of its 0.99 s
+      // wall at sf0.1, and an O(n log n) range-exchange over 38 M rows
+      // at x64 (the r12 curvature watch item, 7.65 vs linear 4).
       Privacy.generalizeNumeric(Tables.lineitem(s, d), "l_extendedprice", 10,
         Privacy.QuantileStrategy.DriverSort)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
     "v3_dp_noise" -> ((s, d) =>
       Privacy.dpNoise(Tables.lineitem(s, d), Seq("l_quantity"), epsilon = 1.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
