@@ -824,35 +824,51 @@ object Profile {
         combS2("sxx_hi", "sxx_lo", "sxx_d").as("sxx"),
         combS2("syy_hi", "syy_lo", "syy_d").as("syy"))
     }
+    // Flat no-explode aggregate over a pair SUBSET whose columns are all
+    // provably in-domain AND null-free: pairwise-complete degenerates to
+    // all-rows there, so per-pair n/Σx equal the per-column ones and the
+    // ×|subset| row fan-out disappears — one all-long keyless aggregate
+    // (3 accumulators per involved column + 2 per pair, no branches, no
+    // decimals). sx/sy cast width 38 so the mixed-regime unionByName
+    // with hybridFor needs no coercion (double finalization downstream
+    // is width-blind).
+    def flatFor(ps: Seq[((String, String), Int)]): DataFrame = {
+      def hiF(c: Column): Column = shiftright(c, 32)
+      def loF(c: Column): Column = c.bitwiseAND(lit(0xFFFFFFFFL))
+      val subCols = ps.flatMap { case ((a, b), _) => Seq(a, b) }.distinct
+      val colAggs = subCols.flatMap { c =>
+        Seq(sum(col(c)).as(s"sx__$c"),
+          sum(hiF(col(c) * col(c))).as(s"sxxh__$c"),
+          sum(loF(col(c) * col(c))).as(s"sxxl__$c"))
+      }
+      val pairAggs = ps.flatMap { case ((a, b), i) =>
+        Seq(sum(hiF(col(a) * col(b))).as(s"sxyh__$i"),
+          sum(loF(col(a) * col(b))).as(s"sxyl__$i"))
+      }
+      val allAggs = count(lit(1)).as("n") +: (colAggs ++ pairAggs)
+      val flat = proj.select(subCols.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
+      def recombF(h: String, l: String): Column =
+        (col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
+          col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0))
+      flat.select(explode(array(ps.map { case ((a, b), i) =>
+          struct(lit(i).as("pi"), col("n").as("n"),
+            col(s"sx__$a").cast(DecimalType(38, 0)).as("sx"),
+            col(s"sx__$b").cast(DecimalType(38, 0)).as("sy"),
+            recombF(s"sxyh__$i", s"sxyl__$i").as("sxy"),
+            recombF(s"sxxh__$a", s"sxxl__$a").as("sxx"),
+            recombF(s"sxxh__$b", s"sxxl__$b").as("syy"))
+        }: _*)).as("e"))
+        .select(col("e.*"))
+    }
+    // Null-freedom for a column subset, from the pre-flight counts: a
+    // pair whose BOTH columns have zero nulls has pairwise-complete
+    // n == nRows even when OTHER columns carry nulls.
+    def noNullsFor(subCols: Seq[String]): Boolean = subCols.forall { c =>
+      pre.getLong(1 + cols.length + cols.indexOf(c)) == nRowsPre
+    }
     val g: DataFrame =
       if (!hiLoRowSafe) decimalAgg(explodedFor(allIdx))
-      else if (domainProvablySafe && noNulls && nRowsPre > 0) {
-        def hiF(c: Column): Column = shiftright(c, 32)
-        def loF(c: Column): Column = c.bitwiseAND(lit(0xFFFFFFFFL))
-        val colAggs = cols.flatMap { c =>
-          Seq(sum(col(c)).as(s"sx__$c"),
-            sum(hiF(col(c) * col(c))).as(s"sxxh__$c"),
-            sum(loF(col(c) * col(c))).as(s"sxxl__$c"))
-        }
-        val pairAggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
-          Seq(sum(hiF(col(a) * col(b))).as(s"sxyh__$i"),
-            sum(loF(col(a) * col(b))).as(s"sxyl__$i"))
-        }
-        val allAggs = count(lit(1)).as("n") +: (colAggs ++ pairAggs)
-        val flat = proj.agg(allAggs.head, allAggs.tail: _*)
-        def recombF(h: String, l: String): Column =
-          (col(h).cast(DecimalType(20, 0)) * lit(4294967296L) +
-            col(l).cast(DecimalType(20, 0))).cast(DecimalType(38, 0))
-        flat.select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
-            struct(lit(i).as("pi"), col("n").as("n"),
-              col(s"sx__$a").cast(DecimalType(19, 0)).as("sx"),
-              col(s"sx__$b").cast(DecimalType(19, 0)).as("sy"),
-              recombF(s"sxyh__$i", s"sxyl__$i").as("sxy"),
-              recombF(s"sxxh__$a", s"sxxl__$a").as("sxx"),
-              recombF(s"sxxh__$b", s"sxxl__$b").as("syy"))
-          }: _*)).as("e"))
-          .select(col("e.*"))
-      }
+      else if (domainProvablySafe && noNulls && nRowsPre > 0) flatFor(allIdx)
       else if (domainProvablySafe) gPureFor(explodedFor(allIdx))
       else {
         // mixed regime (round 7): pairs whose BOTH columns pass the
@@ -864,13 +880,22 @@ object Profile {
         // a deliberate trade: two narrow columnar scans cost far less
         // than decimal buffers on every group (the pre-split all-or-
         // nothing form was 16× wall at 4× data; this one measured 7.0 s
-        // vs 43.5 s at x4, sublinear 8.3 at x16).
+        // vs 43.5 s at x4, sublinear 8.3 at x16). Since round 12 the
+        // safe-pair side also takes the flat no-explode form when its
+        // own columns are null-free (the honest-fixture x16 shape: ONE
+        // key-like column past the cents bound demoted 21 null-free
+        // safe pairs to a 21× fan-out).
         val (safeP, unsafeP) = allIdx.partition { case ((a, b), _) =>
           colSafe(a) && colSafe(b)
         }
-        val parts =
-          (if (safeP.nonEmpty) Seq(gPureFor(explodedFor(safeP))) else Nil) ++
-            (if (unsafeP.nonEmpty) Seq(hybridFor(explodedFor(unsafeP))) else Nil)
+        val safeSide =
+          if (safeP.isEmpty) Nil
+          else if (noNullsFor(safeP.flatMap { case ((a, b), _) => Seq(a, b) }.distinct)
+                   && nRowsPre > 0)
+            Seq(flatFor(safeP))
+          else Seq(gPureFor(explodedFor(safeP)))
+        val parts = safeSide ++
+          (if (unsafeP.nonEmpty) Seq(hybridFor(explodedFor(unsafeP))) else Nil)
         parts.reduce(_ unionByName _)
       }
     val nd = col("n").cast("double")

@@ -205,6 +205,28 @@ class ProfileSpec extends SparkSpec {
     assert(rows(("y", "big")) == (3L, Some(-1.0)))
   }
 
+  test("correlationMatrix: mixed regime, null-free safe side takes the flat no-explode form") {
+    // Same split shape as above but the safe columns carry NO nulls, so
+    // the r12 mixed-regime fast path applies: the safe pair aggregates
+    // flat (per-pair n == all rows), the unsafe pairs keep the hybrid —
+    // values must stay exact and the union must keep pair labels aligned.
+    val df = Seq(
+      (1.0, 3.0, Some(2.0e9)),
+      (2.0, 2.0, Some(4.0e9)),
+      (3.0, 1.0, None: Option[Double]),
+      (4.0, 0.0, Some(8.0e9)))
+      .toDF("x", "y", "big")
+    val rows = Profile.correlationMatrix(df, Seq("x", "y", "big")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows.size == 3)
+    assert(rows(("x", "y")) == (4L, Some(-1.0)))   // flat: n = all 4 rows
+    // unsafe pairs: pairwise-complete over big's 3 non-null rows; x/big
+    // and y/big are exactly linear on those rows
+    assert(rows(("x", "big")) == (3L, Some(1.0)))
+    assert(rows(("y", "big")) == (3L, Some(-1.0)))
+  }
+
   test("categoryEntropy: constant → 0, uniform → ln k, nulls bucket as NA") {
     val df = Seq(
       (Some("c"), "a"), (Some("c"), "b"), (Some("c"), "c"), (None, "d"))
