@@ -334,7 +334,38 @@ object Exact {
     * value↔bin a bijection). */
   def quantilesMultiCentsHistogram(
       df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-      probs: Seq[Double], buckets: Int = 32): Map[String, QuantFit] = {
+      probs: Seq[Double], buckets: Int = 32): Map[String, QuantFit] =
+    centsHistogramFit(df, cols, probs, buckets, withMoments = false,
+      hiLo = true).view
+      .mapValues(f => QuantFit(f.quantiles, f.nUnique)).toMap
+
+  /** Full numeric-profile fit on the AT-SCALE branch — the histogram
+    * twin of [[numProfileViaDriverSort]]: the same single exploded scan
+    * that histograms the cents domain now also carries each column's
+    * exact moments and min/max, so eligible columns need NO separate
+    * wide aggregate over the raw table (at x16 that second full scan was
+    * ~half of a1's wall). The moment sums ride the EXISTING per-bucket
+    * aggregate as count-weighted slots — Σcents = Σ_bins b·cnt with the
+    * identical hi/lo-long + decimal-side-sum split as [[momentPartsPre]]
+    * (weighted partials stay inside long under the same
+    * [[HiLoSafeMaxRows]] ceiling: |b·cnt| ≤ bound·n, Σcnt·hi ≤ n·2³¹,
+    * Σcnt·lo ≤ n·(2³²−1)) — and finalize driver-side through the same
+    * BigDecimal recombination and double op order as the in-agg forms.
+    * min/max recover the exact raw doubles via the DECIMAL(18,2)
+    * round-trip that eligibility proves (`BigDecimal(b,2).doubleValue`
+    * == the source value bit-for-bit). Ineligible columns (NaN/±Inf/
+    * >2dp) return `eligible = false` exactly as before — callers keep
+    * their in-agg fallback. */
+  def numProfileViaCentsHistogram(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      probs: Seq[Double], hiLo: Boolean,
+      buckets: Int = 32): Map[String, NumFit] =
+    centsHistogramFit(df, cols, probs, buckets, withMoments = true, hiLo)
+
+  private def centsHistogramFit(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      probs: Seq[Double], buckets: Int, withMoments: Boolean,
+      hiLo: Boolean): Map[String, NumFit] = {
     import org.apache.spark.sql.expressions.Window
     if (cols.isEmpty) return Map.empty
     val pairs = cols.zipWithIndex.map { case (c, i) =>
@@ -369,10 +400,45 @@ object Exact {
     val wPre = Window.partitionBy("ci").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCi = Window.partitionBy("ci")
+    // Count-weighted moment/min-max slots riding the SAME per-bucket
+    // aggregate (withMoments only — quantile-only callers keep the
+    // original plan bit-for-bit). Null-b bins (ineligible rows) drop
+    // from every slot through null propagation, matching the row forms.
+    val momentSlots: Seq[Column] =
+      if (!withMoments) Nil
+      else {
+        val b = col("b")
+        val cnt = col("cnt")
+        val bd = b.cast(DecimalType(19, 0))
+        val cntD = cnt.cast(DecimalType(19, 0))
+        val mm = Seq(min(b).as("pmn"), max(b).as("pmx"))
+        if (hiLo) {
+          val in = abs(b) <= lit(LongSafeCentsAbsMax)
+          val sq = b * b // only under when(in, _): lazy, never overflows
+          Seq(
+            sum(when(in, b * cnt)).as("ps1l"),
+            sum(when(!in, bd * cntD)).as("ps1d"),
+            sum(when(in, shiftright(sq, 32) * cnt)).as("ps2hi"),
+            sum(when(in, sq.bitwiseAND(lit(0xFFFFFFFFL)) * cnt)).as("ps2lo"),
+            sum(when(!in, bd * bd * cntD)).as("ps2d")) ++ mm
+        } else {
+          // past the row ceiling: all-decimal weighted sums (the s1Pre/
+          // s2Pre regime) — same runtime totals as the per-row forms
+          val sq = when(abs(b) <= lit(LongSafeCentsAbsMax),
+            (b * b).cast(DecimalType(38, 0))).otherwise(bd * bd)
+          Seq(
+            lit(null).cast("long").as("ps1l"),
+            sum(bd * cntD).as("ps1d"),
+            lit(null).cast("long").as("ps2hi"),
+            lit(null).cast("long").as("ps2lo"),
+            sum(sq * cntD).as("ps2d")) ++ mm
+        }
+      }
     // ≤ buckets·|cols| rows — the only non-bucketed windows in the plan
+    val baseAggs = Seq(sum("cnt").as("scnt"), sum("bad").as("sbad"),
+      count(lit(1)).as("nbins")) ++ momentSlots
     val offsetsFull = parts.groupBy("bucket", "ci")
-      .agg(sum("cnt").as("scnt"), sum("bad").as("sbad"),
-        count(lit(1)).as("nbins"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
       .withColumn("off", coalesce(sum("scnt").over(wPre), lit(0L)))
       .withColumn("n", sum("scnt").over(wCi))
       .withColumn("badci", sum("sbad").over(wCi))
@@ -389,6 +455,22 @@ object Exact {
     }: _*)
     val inLo = col("r0") >= col("lo") && col("r0") < col("cum")
     val inHi = col("r0") + 1 >= col("lo") && col("r0") + 1 < col("cum")
+    // crossing rows carry null moment slots (withMoments) so the union
+    // with the per-column summary row stays schema-aligned
+    val crossAggs = Seq(first("h").as("h"), first("badci").as("badci"),
+      min(when(inLo, col("b"))).as("blo"),
+      min(when(inHi, col("b"))).as("bhi"),
+      lit(null).cast("long").as("bins")) ++
+      (if (withMoments) Seq(lit(null).cast("long").as("nci"),
+        lit(null).cast("long").as("s1l"),
+        lit(null).cast(DecimalType(38, 0)).as("s1d"),
+        lit(null).cast("long").as("s2hi"),
+        lit(null).cast("long").as("s2lo"),
+        lit(null).cast(DecimalType(38, 0)).as("s2d"),
+        lit(null).cast("long").as("bmn"),
+        lit(null).cast("long").as("bmx")) else Nil)
+    val crossAggsHead = crossAggs.head
+    val crossAggsTail = crossAggs.tail
     val crossings = cum.filter(col("b").isNotNull)
       .select(col("ci"), col("b"), col("lo"), col("cum"), col("n"),
         col("badci"), explode(probsArr).as("pp"))
@@ -396,29 +478,35 @@ object Exact {
       .withColumn("r0", floor(col("h")).cast("long"))
       .filter(inLo || inHi)
       .groupBy(col("ci"), col("pp.pi").as("pi"))
-      .agg(first("h").as("h"), first("badci").as("badci"),
-        min(when(inLo, col("b"))).as("blo"),
-        min(when(inHi, col("b"))).as("bhi"),
-        lit(null).cast("long").as("bins"))
+      .agg(crossAggsHead, crossAggsTail: _*)
     // per-column summary row (pi = -1) so all-NaN columns — which have
     // only null-b bins and thus no crossings — still report badci; it
     // also carries the per-column bin count (= exact distinct count for
-    // eligible columns)
-    val summary = offsetsFull.groupBy("ci").agg(
+    // eligible columns) and, withMoments, the rolled-up moment slots.
+    val summaryAggs = Seq(
       lit(-1).as("pi"), max("n").cast("double").as("h"),
       max("badci").as("badci"),
       lit(null).cast("long").as("blo"), lit(null).cast("long").as("bhi"),
-      sum("nbins").as("bins"))
+      sum("nbins").as("bins")) ++
+      (if (withMoments) Seq(max("n").as("nci"),
+        sum("ps1l").as("s1l"), sum("ps1d").as("s1d"),
+        sum("ps2hi").as("s2hi"), sum("ps2lo").as("s2lo"),
+        sum("ps2d").as("s2d"),
+        min("pmn").as("bmn"), max("pmx").as("bmx")) else Nil)
+    val summary = offsetsFull.groupBy("ci")
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
     val rows = crossings.unionByName(summary).collect()
     val byCi = rows.groupBy(_.getInt(0))
     cols.zipWithIndex.map { case (c, i) =>
       val rs = byCi.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
       val badci = rs.headOption.map(_.getLong(3)).getOrElse(0L)
-      if (badci > 0) c -> QuantFit(None, None)
+      if (badci > 0)
+        c -> NumFit(None, None, 0L, None, None, None, None, eligible = false)
       else {
-        val bins = rs.find(_.getInt(1) == -1).map(_.getLong(6)).getOrElse(0L)
+        val sumRow = rs.find(_.getInt(1) == -1)
+        val bins = sumRow.map(_.getLong(6)).getOrElse(0L)
         val byPi = rs.filter(_.getInt(1) >= 0).map(r => r.getInt(1) -> r).toMap
-        c -> QuantFit(Some(probs.indices.map { pi =>
+        val qs = probs.indices.map { pi =>
           byPi.get(pi) match {
             case None => Double.NaN // column had no non-null values
             case Some(r) =>
@@ -430,7 +518,48 @@ object Exact {
                 interp(lo, hi, h - math.floor(h))
               }
           }
-        }), Some(bins))
+        }
+        val n = if (withMoments)
+          sumRow.filterNot(_.isNullAt(7)).map(_.getLong(7)).getOrElse(0L)
+        else 0L
+        if (!withMoments || n == 0)
+          c -> NumFit(Some(qs), Some(bins), n, None, None, None, None,
+            eligible = true)
+        else {
+          val r = sumRow.get
+          def bdOf(idx: Int): java.math.BigDecimal =
+            if (r.isNullAt(idx)) java.math.BigDecimal.ZERO else r.getDecimal(idx)
+          def lOf(idx: Int): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
+          // s1FromParts / s2FromParts recombination, exact in BigDecimal,
+          // then the meanFromMoments / stdFromMoments finalization orders
+          // (including the decimalMomentsSafe double fallback) — the same
+          // driver replica as [[numProfileViaDriverSort]]'s fitOne
+          val s1 = java.math.BigDecimal.valueOf(lOf(8)).add(bdOf(9))
+          val s2 = java.math.BigDecimal.valueOf(lOf(10))
+            .multiply(java.math.BigDecimal.valueOf(4294967296L))
+            .add(java.math.BigDecimal.valueOf(lOf(11))).add(bdOf(12))
+          val mean = s1.doubleValue() / 100.0 / n
+          val std =
+            if (n < 2) None
+            else if (math.abs(s1.doubleValue()) <= 9.0e18 &&
+              s2.doubleValue() * n.toDouble <= 9.0e37) {
+              val num = java.math.BigDecimal.valueOf(n)
+                .multiply(s2).subtract(s1.multiply(s1)).doubleValue()
+              Some(math.sqrt(math.max(0.0, num / n / (n - 1).toDouble / 10000.0)))
+            } else {
+              val s1dd = s1.doubleValue()
+              Some(math.sqrt(math.max(0.0,
+                (s2.doubleValue() - s1dd * s1dd / n.toDouble) / (n - 1).toDouble / 10000.0)))
+            }
+          // eligibility's decimal round-trip makes BigDecimal(b,2) →
+          // double reproduce the source min/max bit-for-bit
+          def rawOf(idx: Int): Option[Double] =
+            if (r.isNullAt(idx)) None
+            else Some(new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(r.getLong(idx)), 2).doubleValue())
+          c -> NumFit(Some(qs), Some(bins), n, Some(mean), std,
+            rawOf(13), rawOf(14), eligible = true)
+        }
       }
     }.toMap
   }

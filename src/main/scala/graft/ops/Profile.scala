@@ -88,23 +88,24 @@ object Profile {
     // in-domain row updates long buffers only — no per-row BigDecimal),
     // plain decimal sums past it
     val hiLo = nRows <= Exact.HiLoSafeMaxRows
-    // Driver branch (r11): the SAME collect that fits the quantiles now
-    // carries the full numeric stats (moments/min/max/count, bit-identical
-    // formulas — Exact.numProfileViaDriverSort), so eligible columns need
-    // NO distributed wide aggregate at all: one numeric scan instead of
-    // three, and the ~10 AQE stage jobs of the fan-out/agg orchestration
-    // disappear. Non-finite columns stay on the in-agg forms.
+    // Both branches now return a FULL per-column fit (r11 driver branch;
+    // r12 histogram branch): the same single numeric scan that fits the
+    // quantiles carries moments/min/max/count with bit-identical
+    // finalization (Exact.numProfileViaDriverSort /
+    // numProfileViaCentsHistogram), so eligible columns need NO separate
+    // distributed wide aggregate at all — at x16 that second full scan
+    // (cents projection + moment slots over every raw row) was ~half of
+    // a1's wall. Non-finite / >2-decimal columns come back
+    // eligible = false and stay on the in-agg forms below.
     val driverFit: Map[String, Exact.NumFit] =
       if (numCols.isEmpty) Map.empty
       else if (nRows * numCols.length <= DriverSortMaxCells)
         Exact.numProfileViaDriverSort(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
-      else Map.empty
-    val quantiles: Map[String, Exact.QuantFit] =
-      if (numCols.isEmpty) Map.empty
-      else if (driverFit.nonEmpty)
-        driverFit.view.mapValues(f => Exact.QuantFit(f.quantiles, f.nUnique)).toMap
       else
-        Exact.quantilesMultiCentsHistogram(df, numCols.toSeq, Seq(0.25, 0.5, 0.75))
+        Exact.numProfileViaCentsHistogram(df, numCols.toSeq,
+          Seq(0.25, 0.5, 0.75), hiLo)
+    val quantiles: Map[String, Exact.QuantFit] =
+      driverFit.view.mapValues(f => Exact.QuantFit(f.quantiles, f.nUnique)).toMap
 
     // One wide aggregate covering every column's scan-side stats. The
     // cents conversion (the only expensive per-row step — a BigDecimal

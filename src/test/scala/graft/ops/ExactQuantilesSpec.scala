@@ -78,4 +78,51 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(s("x").quantiles.isEmpty && s("x").nUnique.isEmpty,
       "driver path must not silently drop non-finite values")
   }
+
+  test("histogram NumFit == driver-sort NumFit on all lineitem numeric columns (r12 moments)") {
+    // the r12 at-scale fit: moments/min/max/count ride the histogram's
+    // bucket aggregate and must finalize bit-identically to the driver
+    // replica (which is itself pinned against the in-agg wide forms)
+    val li = Tables.lineitem(spark, Sf)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val hist = Exact.numProfileViaCentsHistogram(li, cols, probs, hiLo = true)
+    val sort = Exact.numProfileViaDriverSort(li, cols, probs)
+    cols.foreach { c =>
+      val (h, s) = (hist(c), sort(c))
+      assert(h.eligible && s.eligible, c)
+      assert(h.n == s.n, s"$c n: ${h.n} vs ${s.n}")
+      assert(h.quantiles.get == s.quantiles.get, s"$c quantiles")
+      assert(h.nUnique == s.nUnique, s"$c nUnique")
+      assert(h.mean.get == s.mean.get, s"$c mean: ${h.mean} vs ${s.mean}")
+      assert(h.std.get == s.std.get, s"$c std: ${h.std} vs ${s.std}")
+      assert(h.minV.get == s.minV.get, s"$c min")
+      assert(h.maxV.get == s.maxV.get, s"$c max")
+    }
+  }
+
+  test("histogram NumFit moments: negatives, ties, nulls, big-cents side-sums, all-decimal regime") {
+    import spark.implicits._
+    // -40.25 repeats (weighted bins), a null, and values past the
+    // long-safe cents bound (4e9 cents) driving the decimal side-sums
+    val vals = Seq(Some(-40.25), Some(-40.25), Some(0.0), Some(12.5),
+      None, Some(4.0e9), Some(-4.0e9), Some(12.5))
+    val df = vals.toDF("v")
+    val byHist = Exact.numProfileViaCentsHistogram(df, Seq("v"), probs, hiLo = true)("v")
+    val byHistDec = Exact.numProfileViaCentsHistogram(df, Seq("v"), probs, hiLo = false)("v")
+    val bySort = Exact.numProfileViaDriverSort(df, Seq("v"), probs)("v")
+    Seq(byHist, byHistDec).foreach { h =>
+      assert(h.n == bySort.n && h.nUnique == bySort.nUnique)
+      assert(h.quantiles.get == bySort.quantiles.get)
+      assert(h.mean.get == bySort.mean.get, s"mean ${h.mean} vs ${bySort.mean}")
+      assert(h.std.get == bySort.std.get, s"std ${h.std} vs ${bySort.std}")
+      assert(h.minV.get == bySort.minV.get && h.maxV.get == bySort.maxV.get)
+    }
+    // all-null and ineligible columns keep their contracts with moments on
+    val df2 = Seq((Option.empty[Double], 1.001), (None, 2.5)).toDF("allnull", "bad3dp")
+    val r2 = Exact.numProfileViaCentsHistogram(df2, Seq("allnull", "bad3dp"), probs, hiLo = true)
+    assert(r2("allnull").eligible && r2("allnull").n == 0 && r2("allnull").mean.isEmpty)
+    assert(r2("allnull").quantiles.get.forall(_.isNaN))
+    assert(!r2("bad3dp").eligible)
+  }
 }
