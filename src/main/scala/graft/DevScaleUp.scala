@@ -94,7 +94,7 @@ object DevScaleUp {
          |  "total_ratio": ${jf(bigTotal / math.max(baseTotal, 1e-9))},
          |  "gate": $gateJson,
          |  "ceiling_rule": "recorded r8 ratio x ${ScaleUp.CeilingSlack}, floor ${ScaleUp.CeilingFloor}; breach = nonzero exit",
-         |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales; fixture = key-offset copies with residue-class token mutation (zero cross-copy shingle overlap), per-copy money-cent offsets, and disjoint per-copy user populations (ScaleUp.ensure docmark-v5)",
+         |  "method": "graft.DevScaleUp: headline set, plans precompiled at base, fully-materialized InternalRow execution behind per-query GC barriers, min-of-2 per query at both scales extended by up to 2 stop-on-stable reps while a >5 s row is still descending >=10% (warming-phase walls are not scaling evidence); fixture = key-offset copies with residue-class token mutation (zero cross-copy shingle overlap), per-copy money-cent offsets, and disjoint per-copy user populations (ScaleUp.ensure docmark-v5)",
          |  "queries": {
          |    $qJson
          |  }

@@ -191,6 +191,25 @@ object ScaleUp {
       // announce BEFORE running so a mid-query crash (spill-full disk,
       // result-size kill) attributes to its query in the log
       println(s"[scaleup] running $n @ $dir"); Console.flush()
-      n -> (1 to 2).map(_ => Bench.timed(SparkEntry.queries(n)(spark, dir))).min
+      // min-of-2, extended while a HEAVY row is still visibly warming:
+      // a >5 s query whose second run is ≥10% under the first is mid
+      // JIT/GC descent (r12 measured a1 inside the sweep at 15.6 s
+      // min-of-2 vs 9.3 s isolated steady state — reps 1–2 of a fresh
+      // plan), and a ratio gate fed a warming-phase wall fails on noise,
+      // not scaling. Up to 2 extra reps, only while each rep keeps
+      // descending ≥10% — light rows and already-steady rows pay nothing.
+      var times = List((1 to 2).map(_ =>
+        Bench.timed(SparkEntry.queries(n)(spark, dir))).min)
+      var prev = times.head
+      var extra = 0
+      var descending = prev > 5.0
+      while (descending && extra < 2) {
+        val t = Bench.timed(SparkEntry.queries(n)(spark, dir))
+        times ::= t
+        descending = t < prev * 0.9
+        prev = t
+        extra += 1
+      }
+      n -> times.min
     }
 }
