@@ -110,20 +110,40 @@ object QueryCatalog {
         .localCheckpoint()
       val ex = Profile.distinctCounts(li).withColumnRenamed("n_unique", "nd")
       val numCols = LiNumeric.map(_._1)
-      val vals = li.select(explode(array(numCols.map(c =>
-          struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("e"))
-        .select(col("e.column").as("column"), col("e.v").as("v"))
-        .filter(col("v").isNotNull)
-      def le(q: String) = sum((col("v") <= col(q)).cast("long"))
-      def lt(q: String) = sum((col("v") < col(q)).cast("long"))
-      val ranks = vals
-        .join(broadcast(ap.select(col("column"), col("p25"), col("median"), col("p75"))),
-          "column")
-        .groupBy("column")
-        .agg(count(lit(1)).as("nn"),
-          le("p25").as("le25"), lt("p25").as("lt25"),
-          le("median").as("le50"), lt("median").as("lt50"),
-          le("p75").as("le75"), lt("p75").as("lt75"))
+      // Rank recount as ONE flat codegen'd aggregate (7 cols × 7 slots)
+      // with the quantiles as LITERALS collected off the checkpointed
+      // 11-row profile (a driver-bounded 21-value collect at any corpus
+      // size) — the previous form exploded every numeric value into a
+      // (column, v) row (7× corpus fan-out) and shuffled it through a
+      // groupBy just to compare against 21 broadcast constants. Same
+      // comparisons, same null semantics (null v drops from count() and
+      // from the boolean sums either way), identical output.
+      val apQ: Map[String, IndexedSeq[Option[Double]]] =
+        ap.select(col("column"), col("p25"), col("median"), col("p75")).collect()
+          .map(r => r.getString(0) ->
+            (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+          .toMap
+      def qlit(o: Option[Double]): Column =
+        o.map(lit(_)).getOrElse(lit(null).cast("double"))
+      val rankAggs: Seq[Column] = numCols.flatMap { c =>
+        val v = col(c).cast("double")
+        val qs = apQ.getOrElse(c, IndexedSeq(None, None, None))
+        def leq(q: Option[Double], n: String) =
+          sum((v <= qlit(q)).cast("long")).as(s"${c}__$n")
+        def ltq(q: Option[Double], n: String) =
+          sum((v < qlit(q)).cast("long")).as(s"${c}__$n")
+        Seq(count(v).as(s"${c}__nn"),
+          leq(qs(0), "le25"), ltq(qs(0), "lt25"),
+          leq(qs(1), "le50"), ltq(qs(1), "lt50"),
+          leq(qs(2), "le75"), ltq(qs(2), "lt75"))
+      }
+      val ranks = li.agg(rankAggs.head, rankAggs.tail: _*)
+        .select(explode(array(numCols.map { c =>
+          struct(lit(c).as("column"), col(s"${c}__nn").as("nn"),
+            col(s"${c}__le25").as("le25"), col(s"${c}__lt25").as("lt25"),
+            col(s"${c}__le50").as("le50"), col(s"${c}__lt50").as("lt50"),
+            col(s"${c}__le75").as("le75"), col(s"${c}__lt75").as("lt75"))
+        }: _*)).as("e")).select(col("e.*"))
       def rankOk(lec: String, ltc: String, p: Double) =
         (col(lec) >= floor((lit(p) - eps) * col("nn")) - 1) &&
           (col(ltc) <= ceil((lit(p) + eps) * col("nn")) + 1)

@@ -21,7 +21,11 @@ class SourceSweepSpec extends AnyFunSuite {
     * or maybeBroadcast gate) — note the justification in the commit. */
   private val Recorded: Map[String, (Int, Int)] = Map(
     "ExtCatalog.scala" -> (0, 3),
-    "QueryCatalog.scala" -> (0, 1),
+    // r12: the a1_profile_approx_audit rank recount collects the 21
+    // quantile literals off the checkpointed 11-row profile (bounded at
+    // any corpus size) instead of broadcast-joining them against a 7×
+    // corpus-fan-out explode — the broadcast went away WITH the explode.
+    "QueryCatalog.scala" -> (1, 0),
     "ext/Chunking.scala" -> (0, 1),
     "ext/Dedup.scala" -> (1, 6),
     "ext/Sampling.scala" -> (0, 5),
