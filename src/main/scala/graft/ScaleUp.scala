@@ -92,7 +92,10 @@ object ScaleUp {
     "x_ppl_buckets" -> 5.65, "q18_large_orders" -> 1.31,
     "q_enrich_events" -> 1.29, "q7_volume_shipping" -> 2.64,
     "x_doc_novelty" -> 4.83, "x_source_card" -> 1.91,
-    "x_minhash_lsh_auto" -> 5.32, "x_neardup_auto" -> 2.45)
+    "x_minhash_lsh_auto" -> 5.32, "x_neardup_auto" -> 2.45,
+    // r12 first records (SCALE_r12.json, stop-on-stable timing): the
+    // distributed-forced cluster dispatch and the vector-grouped V6 LSH
+    "x_dedup_clusters_auto_dist" -> 1.63, "v6_linkage_risk_lsh" -> 1.98)
 
   val CeilingSlack = 2.0
   val CeilingFloor = 4.0
