@@ -49,24 +49,27 @@ object QueryCatalog {
     "p_row_transforms" -> ((s, d) => pRowTransforms(s, d)),
     "p8_standardize" -> ((s, d) => p8Standardize(s, d)),
     "p_winsorize" -> ((s, d) =>
+      // no output orderBy: cosmetic global sort of the full table — the
+      // gate compare is row-order-insensitive and the reference has no
+      // ordering contract (the v2_generalize x64 catch, generalized)
       RowTransforms.winsorize(Tables.lineitem(s, d), "l_extendedprice")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_extendedprice_w"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_extendedprice"), col("l_extendedprice_w"))),
     "p_robust_scale" -> ((s, d) =>
+      // no output orderBy (see p_winsorize)
       RowTransforms.robustScale(Tables.lineitem(s, d), "l_extendedprice")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_extendedprice_r"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_extendedprice"), col("l_extendedprice_r"))),
     "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
     "v1_sdc_suppress" -> ((s, d) =>
       // window variant: supplier is small at every SF, so one count-over-
       // partition shuffle beats the groupBy+broadcast pair of jobs; at
       // 100 TB on a wide table, sdcSuppressBroadcast is the right form
       // (exercised in protect() and its spec).
+      // no output orderBy (see p_winsorize) — supplier is small, but the
+      // sort still costs range-sample + sort jobs on a job-floor row
       Privacy.sdcSuppress(
-          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)
-        .orderBy(col("s_suppkey"))),
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")), Seq("s_name"), 5)),
     "v2_generalize" -> ((s, d) =>
       // DriverSort: bench tables are known to fit a single collected
       // column; the distributed histogram stays the scale path (protect()).
@@ -426,7 +429,7 @@ object QueryCatalog {
         RowTransforms.nullLabel(col("disc_orig")).as("disc_label"),
         RowTransforms.castString(col("l_quantity")).as("qty_str"),
         RowTransforms.replaceRare(col("l_returnflag"), Seq("N")).as("flag_replaced"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // no output orderBy (see p_winsorize)
   }
 
   private def p8Standardize(s: SparkSession, d: String): DataFrame = {
@@ -436,14 +439,14 @@ object QueryCatalog {
           col("l_quantity").as("z_qty"), col("l_extendedprice").as("z_price")),
         li.select(col("l_quantity").as("z_qty"), col("l_extendedprice").as("z_price")),
         Seq("z_qty", "z_price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // no output orderBy (see p_winsorize)
   }
 
   private def p9OneHot(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     RowTransforms.oneHot(li, li, "l_returnflag")
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // no output orderBy (see p_winsorize)
   }
 
   // ------------------------------------------------------------- oracle SQL
