@@ -126,11 +126,16 @@ object QueryCatalog {
           .map(r => r.getString(0) ->
             (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
           .toMap
+      // fail loudly on profile/column-name drift (r12 ADVICE): a numeric
+      // column missing from the profile would otherwise degrade to
+      // null-literal comparisons whose q_ok coalesces to a vacuous true
+      require(numCols.forall(apQ.contains),
+        s"approx profile lost columns: ${numCols.filterNot(apQ.contains).mkString(",")}")
       def qlit(o: Option[Double]): Column =
         o.map(lit(_)).getOrElse(lit(null).cast("double"))
       val rankAggs: Seq[Column] = numCols.flatMap { c =>
         val v = col(c).cast("double")
-        val qs = apQ.getOrElse(c, IndexedSeq(None, None, None))
+        val qs = apQ(c)
         def leq(q: Option[Double], n: String) =
           sum((v <= qlit(q)).cast("long")).as(s"${c}__$n")
         def ltq(q: Option[Double], n: String) =

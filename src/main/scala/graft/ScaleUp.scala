@@ -200,12 +200,18 @@ object ScaleUp {
       // min-of-2 vs 9.3 s isolated steady state — reps 1–2 of a fresh
       // plan), and a ratio gate fed a warming-phase wall fails on noise,
       // not scaling. Up to 2 extra reps, only while each rep keeps
-      // descending ≥10% — light rows and already-steady rows pay nothing.
-      var times = List((1 to 2).map(_ =>
-        Bench.timed(SparkEntry.queries(n)(spark, dir))).min)
-      var prev = times.head
+      // descending ≥10% — light rows and already-steady rows pay
+      // nothing. The descent seed uses the INDIVIDUAL first two times
+      // (t2 ≥10% under t1), not just their min: a heavy row that is
+      // already steady at rep 2 takes no probe rep (the r12 form seeded
+      // on `min > 5 s` alone, so every >5 s row paid one extra rep —
+      // the r12 ADVICE catch).
+      val t1 = Bench.timed(SparkEntry.queries(n)(spark, dir))
+      val t2 = Bench.timed(SparkEntry.queries(n)(spark, dir))
+      var times = List(t1, t2)
+      var prev = math.min(t1, t2)
       var extra = 0
-      var descending = prev > 5.0
+      var descending = prev > 5.0 && t2 < t1 * 0.9
       while (descending && extra < 2) {
         val t = Bench.timed(SparkEntry.queries(n)(spark, dir))
         times ::= t

@@ -65,19 +65,30 @@ object SparkEntry {
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     QueryCatalog.oracleSql ++ ExtCatalog.oracleSqlWithAliases ++ Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // integer-unit sums + scale-0 decimal→double casts, the a8 recipe:
+    // a DECIMAL(38,2)-style fractional cast to double double-rounds in
+    // DuckDB past 2^53 unscaled (the one x16 CLOSE row before r13)
+    "q1_pricing_summary" -> {
+      val qc = ops.Exact.centsSql("l_quantity")
+      val pc = ops.Exact.centsSql("l_extendedprice")
+      val dc = ops.Exact.centsSql("l_discount")
+      val tc = ops.Exact.centsSql("l_tax")
+      def usum(u: String) = s"CAST(SUM(CAST($u AS DECIMAL(38,0))) AS DOUBLE)"
+      val discU = s"($pc * (100 - $dc))"
+      val chargeU = s"($discU * (100 + $tc))"
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${usum(qc)} / 100.0 AS sum_qty,
+         |  ${usum(pc)} / 100.0 AS sum_base_price,
+         |  ${usum(discU)} / 10000.0 AS sum_disc_price,
+         |  ${usum(chargeU)} / 1000000.0 AS sum_charge,
+         |  ${usum(qc)} / 100.0 / COUNT(l_quantity) AS avg_qty,
+         |  ${usum(pc)} / 100.0 / COUNT(l_extendedprice) AS avg_price,
+         |  ${usum(dc)} / 100.0 / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    },
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

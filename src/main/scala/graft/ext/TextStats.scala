@@ -298,6 +298,13 @@ object TextStats {
     * (DuckDB) and java.util.regex (Spark) read this pattern identically. */
   val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
 
+  /** Broadcast bound for the bigram (a, b) → term table, in ROWS of its
+    * materialized checkpoint (an exact count, not a plan estimate):
+    * 2 M entries ≈ 100–200 MB broadcast — comfortably inside an
+    * executor; a corpus whose bigram vocabulary is larger gets the
+    * shuffled scoring join it genuinely needs. */
+  val BigramBroadcastMaxTermRows: Long = 2_000_000L
+
   /** Token counting with the BPE-ish regex tokenizer (vs the whitespace
     * tokens of [[textStats]]): total and unique token counts plus a
     * chars-per-token ratio — the standard budget metric for an LLM
@@ -392,22 +399,33 @@ object TextStats {
     * per document in POSITION order through a window (fixed addition
     * order), one division for the mean, 6-dp round.
     *
-    * Scale shape: unigram/bigram count tables are vocab-sized hash
-    * aggregates. While the INPUT corpus sits under the broadcast ceiling
-    * (optimizer scan estimate, [[Dedup.DfreqBroadcastMaxInputBytes]] —
-    * the same free plan-stats dispatch as the dedup document-frequency
-    * table) both count tables broadcast, so the pair frame never
-    * shuffles on its token keys — which matters doubly because the
-    * unigram key is stop-word-skewed (a shuffled `a`-join concentrates
-    * "the"/"and" pairs on single reducers). Past the ceiling both joins
-    * shuffle — the vocabulary grows with the corpus and the skew is
-    * diluted by the bigram join running first. Either way the per-doc
-    * sum windows partition BY DOCUMENT, parallel across docs. */
+    * Scale shape (r13 — the x64 rehearsal's worst curvature row fixed
+    * here): the corpus is tokenized ONCE into a checkpointed narrow
+    * (doc_id, tokens) frame — the unigram table, the bigram table, and
+    * the scoring pass all derive from it, where the previous lineage
+    * re-ran the regexp extraction over the full corpus three times (at
+    * 38 M pair rows that recompute was ~40% of the wall; at 100 TB you
+    * materialize the tokenized intermediate for exactly this reason —
+    * with the standing localCheckpoint caveat that executor loss costs
+    * a whole-query retry). The smoothed term ln((c(a,b)+1)/(c(a)+V))
+    * is a pure function of the bigram, so bi ⋈ uni ⋈ V pre-combine into
+    * ONE vocab-sized (a, b) → term table and the pair frame meets ONE
+    * join instead of two. That table is materialized (checkpoint), so
+    * the broadcast decision reads its TRUE row count — the r12 form
+    * dispatched on the input-scan byte estimate, a proxy that
+    * over-estimated the synthetic corpus' collapsed vocab (1.1 k
+    * bigrams) by four orders of magnitude and flipped x64 into
+    * shuffling the 28.5 M-row pair frame on its stop-word-skewed string
+    * keys twice, the dominant term of the row's 6.8 curvature. Past
+    * [[BigramBroadcastMaxTermRows]] (a genuinely corpus-scale vocab)
+    * the scoring join shuffles — equi-keyed, skew diluted by the
+    * composite (a, b) key. Either way the per-doc sum windows partition
+    * BY DOCUMENT, parallel across docs. */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     roundTo: Int = 6,
-                    maxBroadcastInputBytes: Long = Dedup.DfreqBroadcastMaxInputBytes): DataFrame = {
+                    maxBroadcastTermRows: Long = BigramBroadcastMaxTermRows): DataFrame = {
     val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
-    val base = df.select(col(idCol).as("doc_id"), toks.as("ts"))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("ts")).localCheckpoint()
     val pairs = base.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ts")) - 1),
         i => struct(i.as("pos"), element_at(col("ts"), i).as("a"),
@@ -417,22 +435,22 @@ object TextStats {
       .groupBy("a").agg(count(lit(1)).as("ca"))
     val vRow = uni.agg(count(lit(1)).as("v"))
     val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val term = log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
+    val terms = bi.join(uni, Seq("a")).crossJoin(broadcast(vRow))
+      .select(col("a"), col("b"), term.as("term"))
+      .localCheckpoint()
+    val termsJ = if (terms.count() <= maxBroadcastTermRows) broadcast(terms) else terms
     val wCum = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val term = log((col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
-    val vocabSmall = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      maxBroadcastInputBytes
-    val biJ = if (vocabSmall) broadcast(bi) else bi
-    val uniJ = if (vocabSmall) broadcast(uni) else uni
+    // no output orderBy: a global sort of the per-doc frame serves no
+    // contract (the gate compare is row-order-insensitive) — the r12
+    // v2_generalize x64 catch, applied here
     pairs
-      .join(biJ, Seq("a", "b"))
-      .join(uniJ, Seq("a"))
-      .crossJoin(broadcast(vRow))
-      .withColumn("cum", sum(term).over(wCum))
+      .join(termsJ, Seq("a", "b"))
+      .withColumn("cum", sum(col("term")).over(wCum))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"),
         round(max(col("cum")) / count(lit(1)), roundTo).as("avg_logprob"))
-      .orderBy("doc_id")
   }
 
   /** Corpus cleaning pass — the composition a training-data pipeline
@@ -769,12 +787,13 @@ object TextStats {
           .quantiles
       else None
     driverFit match {
+      // no output orderBy on either branch: a global sort of the bucket
+      // frame serves no contract (r12's cosmetic-sort catch)
       case Some(qs) if !qs(0).isNaN =>
         lp.select(col("doc_id"), col("avg_logprob"),
             when(col("avg_logprob") >= qs(1), "head")
               .when(col("avg_logprob") >= qs(0), "middle")
               .otherwise("tail").as("bucket"))
-          .orderBy("doc_id")
       case _ =>
         val fit = lp.agg(expr(s"percentile(avg_logprob, array(${t1}D, ${t2}D))").as("q"))
           .select(col("q")(0).as("__t1"), col("q")(1).as("__t2"))
@@ -783,7 +802,6 @@ object TextStats {
             when(col("avg_logprob") >= col("__t2"), "head")
               .when(col("avg_logprob") >= col("__t1"), "middle")
               .otherwise("tail").as("bucket"))
-          .orderBy("doc_id")
     }
   }
 }

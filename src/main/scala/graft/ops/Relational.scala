@@ -52,20 +52,37 @@ object Relational {
   /** TPC-H Q1-style pricing summary. One partial+final hash aggregate, no
     * sort until the final (tiny) result; scan reads only the 7 needed
     * columns (column pruning). Scales as a single map-side-combine shuffle
-    * of ≤ |groups| rows per partition. */
+    * of ≤ |groups| rows per partition.
+    *
+    * Representation policy (beyond the file-level decimal-sum policy):
+    * every money slot accumulates INTEGER units — cents, cent·pct-units
+    * (scale 4), cent·pct²-units (scale 6) — summed as DECIMAL(38,0), and
+    * the scale division happens in DOUBLE space with a fixed op order
+    * (`CAST(Σ AS DOUBLE) / 10^s [/ n]`), the a8/Exact.meanSql recipe. A
+    * fractional-scale decimal CAST to double is NOT portably rounded once
+    * the unscaled value passes 2^53 (DuckDB divides two already-rounded
+    * doubles — double rounding), which made this query's sums drift by
+    * one ulp at 16× rows; a scale-0 decimal→double conversion rounds
+    * exactly once in both engines at any magnitude. Per-row unit products
+    * stay far inside long (≤ ~1.1e11), so this holds at any scale-up. */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
-    val disc  = revenueExpr
-    val charge = revenueExpr * (one + pct(col("l_tax")))
+    val qc = Exact.cents(col("l_quantity"))
+    val pc = Exact.cents(col("l_extendedprice"))
+    val dc = Exact.cents(col("l_discount"))
+    val tc = Exact.cents(col("l_tax"))
+    val discU = pc * (lit(100L) - dc)
+    val chargeU = discU * (lit(100L) + tc)
+    def usum(u: Column): Column = sum(u.cast(DecimalType(38, 0))).cast("double")
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumExpr(disc).as("sum_disc_price"),
-        dsumExpr(charge).as("sum_charge"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        (usum(qc) / 100.0).as("sum_qty"),
+        (usum(pc) / 100.0).as("sum_base_price"),
+        (usum(discU) / 10000.0).as("sum_disc_price"),
+        (usum(chargeU) / 1000000.0).as("sum_charge"),
+        (usum(qc) / 100.0 / count(col("l_quantity"))).as("avg_qty"),
+        (usum(pc) / 100.0 / count(col("l_extendedprice"))).as("avg_price"),
+        (usum(dc) / 100.0 / count(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }

@@ -324,29 +324,28 @@ class PlanSpec extends SparkSpec {
       s"per-doc windows must partition by doc_id:\n$plan")
   }
 
-  test("bigram logprob: vocab-sized count tables broadcast below the ceiling, shuffle above") {
+  test("bigram logprob: term table broadcasts below the row bound, shuffles above") {
     val docs = Tables.documents(spark, Sf)
     val small = graft.ext.TextStats.bigramLogProb(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    // below the ceiling the stop-word-skewed unigram join and the bigram
-    // join must both ride broadcasts — the pair frame never shuffles on
-    // its token keys
-    assert(small.split("BroadcastHashJoin").length - 1 >= 2,
-      s"count tables should broadcast on a small corpus:\n$small")
+    // below the bound the single pre-combined (a, b) → term table rides a
+    // broadcast — the pair frame never shuffles on its token keys
+    assert(small.contains("BroadcastHashJoin"),
+      s"term table should broadcast on a small vocab:\n$small")
     assert(!small.contains("SortMergeJoin"),
-      s"no token-keyed shuffle join expected below the ceiling:\n$small")
-    // past the ceiling the joins fall back to shuffles (vocab grows with
-    // the corpus) — still equi-keyed, never nested-loop. Auto-broadcast
-    // is disabled here to emulate the large-corpus size estimates that
-    // make Catalyst choose shuffle joins on its own at real scale.
+      s"no token-keyed shuffle join expected below the bound:\n$small")
+    // past the bound the scoring join falls back to a shuffle (vocab
+    // grows with the corpus) — still equi-keyed, never nested-loop.
+    // Auto-broadcast is disabled here to emulate the large-corpus size
+    // estimates that make Catalyst choose shuffle joins on its own.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val large = graft.ext.TextStats.bigramLogProb(docs, "text", "doc_id",
-          maxBroadcastInputBytes = 0L)
+          maxBroadcastTermRows = 0L)
         .queryExecution.executedPlan.toString
       assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"),
-        s"forced-zero ceiling should shuffle the count joins:\n$large")
+        s"forced-zero bound should shuffle the scoring join:\n$large")
       assert(!large.contains("CartesianProduct"), s"joins must stay keyed:\n$large")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
