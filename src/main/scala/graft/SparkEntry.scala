@@ -101,19 +101,24 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
-    "q5_local_supplier_volume" ->
-      """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+    // integer-unit revenue (the q1 recipe): exact at any magnitude, and
+    // order-free so the Spark side's per-order pre-aggregate is free
+    "q5_local_supplier_volume" -> {
+      val pc = ops.Exact.centsSql("l_extendedprice")
+      val dc = ops.Exact.centsSql("l_discount")
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(($pc * (100 - $dc)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin
+    },
     "q_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

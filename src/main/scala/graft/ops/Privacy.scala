@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.collection.parallel.CollectionConverters._
 
 /** Anonymization operators (SURVEY.md §2.5 V1–V5, V7) — the reference
   * engine's signature capability (`modules/privacy.py`).
@@ -297,14 +298,19 @@ object Privacy {
       Iterator.single((rows, bufs.map(_.result()), maps.map(_.toMap)))
     }.collect()
     val rowsTotal = parts.map(_._1).sum
-    val numArrs = numNames.zipWithIndex.map { case (c, bi) =>
+    // parallelSort + per-column parallelism: the driver fit's sort was
+    // the single-threaded half of v4's fit wall (r13 DevV4: 0.36 s
+    // fit-only against a 0.18 s collect job). Sort order is
+    // deterministic either way; the array stays bounded by the
+    // DriverFitMaxCells dispatch.
+    val numArrs = numNames.zipWithIndex.par.map { case (c, bi) =>
       val slices = parts.map(_._2(bi))
       val sorted = new Array[Double](slices.map(_.length).sum)
       var off = 0
       slices.foreach { p => System.arraycopy(p, 0, sorted, off, p.length); off += p.length }
-      java.util.Arrays.sort(sorted)
+      java.util.Arrays.parallelSort(sorted)
       c -> sorted
-    }.toMap
+    }.toList.toMap
     val catMaps = catNames.zipWithIndex.map { case (c, bj) =>
       val merged = scala.collection.mutable.HashMap.empty[String, Long]
       parts.foreach(_._3(bj).foreach { case (k, v) =>
@@ -485,10 +491,12 @@ object Privacy {
       if (useDriverFit) {
         val (rowsTotal, numArrs, catMaps) =
           collectRawState(df, numIdx.map(_._1.name).toSeq, catIdx.map(_._1.name).toSeq)
-        val nf = numIdx.flatMap { case ((f, i)) =>
+        // per-column Kahan fit in parallel (driver-bounded arrays; each
+        // column's fit is independent and order-insensitive in the map)
+        val nf = numIdx.par.flatMap { case ((f, i)) =>
           val sorted = numArrs(f.name)
           if (sorted.isEmpty) None else Some(i -> fitFromSortedDoubles(sorted))
-        }.toMap
+        }.toList.toMap
         val cc = catIdx.map { case (f, i) => i -> catMaps(f.name).toSeq }.toMap
         (rowsTotal, nf, cc)
       } else {

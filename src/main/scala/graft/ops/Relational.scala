@@ -107,8 +107,22 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue per nation for one region/year. Nation and
-    * region are tiny at every scale factor → explicit broadcast; the big
-    * fact-side joins shuffle on their keys. */
+    * region are tiny at every scale factor → explicit broadcast.
+    *
+    * While the FILTERED orders side sits under Catalyst's own broadcast
+    * threshold (the same optimizer estimate its join planning reads),
+    * the direct join is strictly better: lineitem streams through four
+    * broadcast joins with no fact-side exchange at all. Past it — the
+    * x64 rehearsal measured the broadcast→SMJ flip at 38 M rows as this
+    * row's curvature term — the fact side pre-aggregates per order
+    * BELOW the orders join (the q18 pattern): revenue is a per-line
+    * function summed per l_orderkey first, so the flipped plan's
+    * exchanges move ~|orders| aggregated rows instead of ~4× that many
+    * raw lines (parquet writes lines clustered by order, so map-side
+    * combine collapses partials before the wire). Exactness makes the
+    * dispatch free: both shapes sum integer units (the q1 recipe —
+    * cents × pct-units in DECIMAL(38,0)) and decimal addition is
+    * associative, so nation totals are bit-identical either way. */
   def q5LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, sfDir)
@@ -117,12 +131,28 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, sfDir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val revU = Exact.cents(col("l_extendedprice")) *
+      (lit(100L) - Exact.cents(col("l_discount")))
+    val lU = l.select(col("l_orderkey"), revU.cast(DecimalType(38, 0)).as("rev_u"))
+    // dispatch on the COLUMN-PRUNED filtered-orders estimate (the two
+    // join-surviving columns), with 2× headroom because the static
+    // estimate ignores the date filter's selectivity and so over-states
+    // what AQE will actually weigh at runtime (x16 measured: estimate
+    // 10.3 MB vs a ~3 MB runtime side that broadcasts fine). A wrong
+    // call in the direct direction degrades to the plain SMJ-of-lines
+    // plan, never worse than the undispatched form.
+    val oSmall = o.select(col("o_orderkey"), col("o_custkey"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes <=
+      2 * spark.sessionState.conf.autoBroadcastJoinThreshold
+    val fact =
+      if (oSmall) lU
+      else lU.groupBy(col("l_orderkey")).agg(sum(col("rev_u")).as("rev_u"))
+    fact.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsumExpr(revenueExpr).as("revenue"))
+      .agg((sum(col("rev_u")).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -31,7 +31,11 @@ class SourceSweepSpec extends AnyFunSuite {
     "ext/Sampling.scala" -> (0, 5),
     "ext/SimSearch.scala" -> (4, 5),
     "ext/Sketches.scala" -> (1, 0),
-    "ext/TextStats.scala" -> (0, 6),
+    // r13: bigramLogProb's two count-table broadcasts fused into ONE
+    // pre-combined (a,b)->term broadcast, gated by the checkpointed
+    // table's exact row count (BigramBroadcastMaxTermRows) — a bounded,
+    // measured-size broadcast, reviewed
+    "ext/TextStats.scala" -> (0, 5),
     "io/Csv.scala" -> (1, 0),
     "io/ZOrder.scala" -> (1, 1),
     "ops/Drift.scala" -> (7, 3),
