@@ -76,7 +76,7 @@ object ScaleUp {
     * (their quadratic candidate growth is the documented record, not a
     * defect). */
   val RecordedRatios: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 1.07, "q5_local_supplier_volume" -> 1.69,
+    "q1_pricing_summary" -> 1.07, "q5_local_supplier_volume" -> 1.54,
     "a1_profile_lineitem" -> 3.89, "d1_ks_statistic" -> 3.43,
     "d3_drift_all" -> 2.83, "v2_generalize" -> 3.76, "v4_synthetic" -> 6.10,
     "v5_smart_suggest" -> 1.49, "x_minhash_lsh" -> 10.29,
@@ -89,7 +89,10 @@ object ScaleUp {
     "x_leakage_split" -> 2.49, "x_neardup_delta" -> 8.11,
     "q_nearest_event" -> 2.26, "s_attribution" -> 2.08,
     "x_neardup_delta_auto" -> 1.62, "x_source_overlap" -> 1.60,
-    "x_ppl_buckets" -> 5.65, "q18_large_orders" -> 1.31,
+    // r13 plan-change record resets (SCALE_r13.json): the bigram scorer
+    // and the q5 fact pre-aggregate are new plans — their ratios are
+    // re-recorded from the round's gate run, TIGHTENING both ceilings
+    "x_ppl_buckets" -> 3.43, "q18_large_orders" -> 1.31,
     "q_enrich_events" -> 1.29, "q7_volume_shipping" -> 2.64,
     "x_doc_novelty" -> 4.83, "x_source_card" -> 1.91,
     "x_minhash_lsh_auto" -> 5.32, "x_neardup_auto" -> 2.45,
