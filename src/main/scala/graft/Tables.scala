@@ -14,9 +14,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, path) parquet SCHEMA cache — the table-handle role a
+    * metastore plays for a real deployment. A bare `spark.read.parquet`
+    * pays a footer-inference job on EVERY DataFrame construction
+    * (~30 ms), which a 195-query bench pass pays 195+ times for ten
+    * immutable fixture paths. Passing the cached schema skips exactly
+    * that job; file LISTING is untouched (still re-resolved per read,
+    * so a path whose files are rewritten mid-session — the fuzz
+    * fixtures' pattern — stays correct as long as its schema is stable,
+    * which per-table fixtures guarantee). Keyed by session identity
+    * because schema inference is conf-dependent (nanosAsLong). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def parquetCached(spark: SparkSession, path: String): DataFrame = {
+    // mtime in the key: the fuzz fixtures REWRITE one path per seed with
+    // a different schema (FuzzSpec.materialize*Fixture deletes and
+    // re-creates /tmp/graft_fuzz/seed$N), so a path-only key would serve
+    // a stale schema into a silent misread. One driver-side stat per
+    // construction buys exact invalidation.
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis catch { case _: Exception => -1L }
+    val key = System.identityHashCode(spark) + "|" + mtime + "|" + path
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else parquetCached(spark, s"$sfDir/$name.parquet")
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
     * unless `spark.sql.legacy.parquet.nanosAsLong` is set — `Sessions.local`
@@ -27,7 +58,7 @@ object Tables {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "events.parquet is TIMESTAMP(NANOS): build the session via graft.Sessions.local " +
         "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    parquetCached(spark, s"$sfDir/events.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
