@@ -728,8 +728,20 @@ object Privacy {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
     // Only string/numeric columns influence a suggestion.
-    val counted = fields.filter(f =>
+    val allCounted = fields.filter(f =>
       f.dataType == StringType || f.dataType.isInstanceOf[NumericType])
+    def threshold(f: StructField): Long = if (f.dataType == StringType) 20L else 50L
+    // Metadata fast path (r14): when the input is a pure parquet scan,
+    // the `nunique > T` comparisons are usually PROVABLE from the footers'
+    // dictionary metadata alone (graft.io.DictStats) — every proven column
+    // skips the scan entirely; only the unprovable remainder pays the
+    // capped hash-set sweep below. On the catalog fixtures every counted
+    // column proves, so V5 runs with ZERO Spark jobs.
+    val proven: Map[String, Boolean] =
+      try graft.io.DictStats.distinctExceeds(df,
+        allCounted.map(f => f.name -> threshold(f)).toMap)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val counted = allCounted.filterNot(f => proven.contains(f.name))
     val cap = SuggestDistinctCap
     val k = counted.length
     val uniq: Map[String, Long] = (if (counted.isEmpty) Map.empty[String, Long]
@@ -780,12 +792,12 @@ object Privacy {
       })
       .withDefaultValue(0L)
     val rows = fields.flatMap { f =>
-      val u = uniq(f.name)
       val isStr = f.dataType == StringType
       val isNum = f.dataType.isInstanceOf[NumericType]
+      def exceeds = proven.getOrElse(f.name, uniq(f.name) > threshold(f))
       val suggestion: Option[String] =
-        if (isStr) { if (u > 20) Some("sdc") else None }
-        else if (isNum) { if (u > 50) Some("generalize+dp") else Some("dp") }
+        if (isStr) { if (exceeds) Some("sdc") else None }
+        else if (isNum) { if (exceeds) Some("generalize+dp") else Some("dp") }
         else None
       suggestion.map(s =>
         (f.name, s, if (isNum) Some(1.0) else Option.empty[Double]))
