@@ -7,9 +7,6 @@ import org.apache.parquet.column.ColumnDescriptor
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Driver-side DISTINCT-COUNT threshold proofs from parquet DICTIONARY
   * metadata — no Spark job, no data-page IO.
@@ -62,7 +59,7 @@ object DictStats {
     * occurrence argument). */
   def distinctExceeds(df: DataFrame, asks: Map[String, Long]): Map[String, Boolean] = {
     if (asks.isEmpty) return Map.empty
-    pureParquetFiles(df) match {
+    ScanStats.pureParquetInputFiles(df) match {
       case Some(files) if files.nonEmpty && files.length <= MaxFiles =>
         val conf = df.sparkSession.sessionState.newHadoopConf()
         try answerFromFooters(files, conf, asks)
@@ -170,26 +167,4 @@ object DictStats {
     }
   }
 
-  /** The scanned parquet files when `df` is a pure scan: only
-    * column-pruning Projects (plain attribute lists) and aliases on top
-    * of a parquet `LogicalRelation`. Anything that could drop or remap
-    * ROWS (Filter, Join, ...) or rewrite VALUES (computed projections)
-    * disqualifies — the dictionary argument is about the stored bytes. */
-  private def pureParquetFiles(df: DataFrame): Option[Seq[String]] = {
-    def unwrap(p: LogicalPlan): LogicalPlan = p match {
-      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(child)
-      case SubqueryAlias(_, child) => unwrap(child)
-      case other => other
-    }
-    unwrap(df.queryExecution.optimizedPlan) match {
-      case rel: LogicalRelation => rel.relation match {
-        case fs: HadoopFsRelation
-            if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
-          Some(fs.location.inputFiles.toSeq)
-        case _ => None
-      }
-      case _ => None
-    }
-  }
 }

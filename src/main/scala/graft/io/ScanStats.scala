@@ -30,6 +30,30 @@ object ScanStats {
   def parquetScanRowCount(df: DataFrame): Option[Long] =
     parquetScanLayout(df).map(_._1)
 
+  /** The scanned parquet files when `df` is a pure scan whose projections
+    * only prune or rename columns (plain attribute lists — no computed
+    * expressions, no Filter/Join/Aggregate): the files' stored bytes ARE
+    * the column values, so metadata readers ([[DictStats]]) and direct
+    * column decoders ([[DriverParquet]]) may reason from them. */
+  def pureParquetInputFiles(df: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child)
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other => other
+    }
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
+          Some(fs.location.inputFiles.toSeq)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Exact (row count, row-group count) from the footers under the same
     * pure-scan condition as [[parquetScanRowCount]]. The row-group count
     * is the scan's PARALLELISM CEILING — data assignment is row-group

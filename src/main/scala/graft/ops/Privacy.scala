@@ -269,6 +269,104 @@ object Privacy {
     * [[DriverFitMaxCells]]). */
   private def collectRawState(df: DataFrame, numNames: Seq[String], catNames: Seq[String])
       : (Long, Map[String, Array[Double]], Map[String, Map[String, Long]]) = {
+    // r14: the fused one-job form below decodes every projected column
+    // SERIALLY within each scan task, and a small fixture's task count is
+    // its row-group count — a 1-row-group file runs the whole fit on one
+    // core while 31 idle (the v4 bench floor). When the scan's
+    // parallelism ceiling is far below the machine and several columns
+    // are projected, split the collect per COLUMN instead: column chunks
+    // are independent byte ranges, so per-column jobs decode in parallel
+    // at zero duplicated IO, and the exact row count ships free in the
+    // same footers. The fused path stays the at-scale form (row groups
+    // ≥ cores: scan tasks already saturate the cluster, one job beats
+    // |columns| scheduler round-trips).
+    // Fastest form first: a pure parquet scan's chunks decode DRIVER-side
+    // with (files × columns)-way parallelism and no scheduler at all
+    // (graft.io.DriverParquet — strict type pairings, refuses anything
+    // with cast/filter semantics). Safe here by construction: this
+    // collector only runs behind the DriverFitMaxCells dispatch, so the
+    // data was already driver-bound.
+    graft.io.DriverParquet.collectColumns(df, numNames, catNames) match {
+      case Some((rowsTotal, rawNums, catMaps)) =>
+        val numArrs = numNames.par.map { c =>
+          val a = rawNums(c)
+          java.util.Arrays.parallelSort(a)
+          c -> a
+        }.toList.toMap
+        return (rowsTotal, numArrs, catMaps)
+      case None => ()
+    }
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val layout = graft.io.ScanStats.parquetScanLayout(df)
+    if (numNames.length + catNames.length > 1 &&
+        layout.exists { case (_, groups) => groups * 2 <= cores }) {
+      val rowsTotal = layout.get._1
+      def collectNum(c: String): Array[Double] = {
+        val slices = df.select(col(c).cast("double")).queryExecution.toRdd
+          .mapPartitions { it =>
+            val b = new scala.collection.mutable.ArrayBuilder.ofDouble
+            it.foreach { r =>
+              if (!r.isNullAt(0)) {
+                val v = r.getDouble(0)
+                if (!v.isNaN && !v.isInfinite) b += v
+              }
+            }
+            Iterator.single(b.result())
+          }.collect()
+        val sorted = new Array[Double](slices.map(_.length).sum)
+        var off = 0
+        slices.foreach { p => System.arraycopy(p, 0, sorted, off, p.length); off += p.length }
+        java.util.Arrays.parallelSort(sorted)
+        sorted
+      }
+      def collectCat(c: String): Map[String, Long] = {
+        val slices = df.select(col(c).cast("string")).queryExecution.toRdd
+          .mapPartitions { it =>
+            // UTF8String-keyed with clone-on-first-insert: row buffers are
+            // transient, but content hash/equals makes the un-cloned probe
+            // safe — only the vocabulary pays an allocation, not every row
+            val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+            it.foreach { r =>
+              val key = if (r.isNullAt(0)) null else r.getUTF8String(0)
+              val cnt = m.get(key)
+              if (cnt != null) cnt(0) += 1L
+              else m.put(if (key == null) null else key.clone(), Array(1L))
+            }
+            val out = scala.collection.mutable.HashMap.empty[String, Long]
+            m.forEach((k, v) => out.update(if (k == null) null else k.toString, v(0)))
+            Iterator.single(out.toMap)
+          }.collect()
+        val merged = scala.collection.mutable.HashMap.empty[String, Long]
+        slices.foreach(_.foreach { case (k, v) =>
+          merged.update(k, merged.getOrElse(k, 0L) + v)
+        })
+        merged.toMap
+      }
+      // The session's `files.minPartitionNum = cores` floor (right for
+      // data-bearing scans) makes EACH of these jobs launch `cores`
+      // splits of which only the row-group-bearing ones produce rows —
+      // |columns| × (cores − groups) empty task launches of pure
+      // overhead. Parallelism here comes from the per-column fan-out,
+      // so pin the floor to the true row-group count around the fit
+      // (runtime SQL conf, read at each job's planning inside the try).
+      val sconf = df.sparkSession.conf
+      val prevFloor = sconf.getOption("spark.sql.files.minPartitionNum")
+      val results =
+        try {
+          sconf.set("spark.sql.files.minPartitionNum", layout.get._2.toString)
+          (numNames.map(Left(_): Either[String, String]) ++
+            catNames.map(Right(_): Either[String, String])).par.map {
+            case Left(c)  => Left(c -> collectNum(c))
+            case Right(c) => Right(c -> collectCat(c))
+          }.toList
+        } finally prevFloor match {
+          case Some(v) => sconf.set("spark.sql.files.minPartitionNum", v)
+          case None    => sconf.unset("spark.sql.files.minPartitionNum")
+        }
+      val numArrs = results.collect { case Left(kv) => kv }.toMap
+      val catMaps = results.collect { case Right(kv) => kv }.toMap
+      return (rowsTotal, numArrs, catMaps)
+    }
     val kN = numNames.length
     val kC = catNames.length
     val proj = df.select(numNames.map(c => col(c).cast("double")) ++

@@ -1,0 +1,71 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriverParquetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collectColumns: matches Spark-computed ground truth across types, nulls, NaN/Inf") {
+    val path = java.nio.file.Files.createTempDirectory("dp_types").toString + "/t.parquet"
+    spark.range(5000).select(
+      when(col("id") % 7 =!= 0, (col("id") % 13).cast("int")).as("i"),
+      (col("id") * 3).cast("long").as("l"),
+      when(col("id") % 11 === 0, lit(Float.NaN))
+        .otherwise((col("id") % 5).cast("float") / 2.0f).as("f"),
+      when(col("id") % 17 === 0, lit(Double.PositiveInfinity))
+        .when(col("id") % 19 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double") / 3.0).as("d"),
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .when(col("id") % 3 === 1, lit("héllo"))
+        .otherwise(concat(lit("v"), (col("id") % 4).cast("string"))).as("s")
+    ).repartition(3).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+
+    val got = DriverParquet.collectColumns(df, Seq("i", "l", "f", "d"), Seq("s"))
+    assert(got.isDefined, "pure parquet scan with supported types must be eligible")
+    val (rows, nums, cats) = got.get
+    assert(rows == 5000L)
+    // ground truth: finite values via Spark, sorted both sides
+    for (c <- Seq("i", "l", "f", "d")) {
+      val want = df.select(col(c).cast("double")).na.drop()
+        .filter(!isnan(col(c)) && abs(col(c)) =!= Double.PositiveInfinity)
+        .as[Double].collect().sorted
+      val have = nums(c).sorted
+      assert(have.toSeq == want.toSeq, s"numeric column $c")
+    }
+    val wantHist = df.groupBy("s").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(cats("s") == wantHist)
+  }
+
+  test("collectColumns: refuses filters, decimals, non-parquet, and type mismatches") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    assert(DriverParquet.collectColumns(
+      li.filter(col("l_quantity") > 10), Seq("l_quantity"), Nil).isEmpty)
+    assert(DriverParquet.collectColumns(
+      Seq(1.0, 2.0).toDF("v"), Seq("v"), Nil).isEmpty)
+    // decimal column: cast arithmetic, not a raw decode
+    val path = java.nio.file.Files.createTempDirectory("dp_dec").toString + "/t.parquet"
+    spark.range(10).select(col("id").cast("decimal(10,2)").as("m"))
+      .write.mode("overwrite").parquet(path)
+    assert(DriverParquet.collectColumns(
+      spark.read.parquet(path), Seq("m"), Nil).isEmpty)
+    // string column asked as numeric / numeric asked as cat
+    assert(DriverParquet.collectColumns(li, Seq("l_returnflag"), Nil).isEmpty)
+    assert(DriverParquet.collectColumns(li, Nil, Seq("l_quantity")).isEmpty)
+  }
+
+  test("syntheticSample: identical seeded output whichever fit collector runs") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_returnflag")
+    // pure scan → DriverParquet decode; a non-foldable always-true filter
+    // → same rows through the Spark collect path. The fit state must be
+    // bit-identical, so the seeded synthesis must be too.
+    val direct = graft.ops.Privacy.syntheticSample(li, cols, seed = 7L).collect().toSeq
+    val viaSpark = graft.ops.Privacy.syntheticSample(
+      li.filter(rand(7) >= 0), cols, seed = 7L).collect().toSeq
+    assert(direct == viaSpark)
+    assert(direct.nonEmpty)
+  }
+}
