@@ -20,10 +20,11 @@ object DevPplBreak {
     import graft.ext.{Dedup, TextStats}
 
     val docs = Tables.documents(spark, dir)
+    // context only — the r12 dispatch read this proxy; the live dispatch
+    // (below) reads the materialized term-table row count
     val statsBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val ceiling = Dedup.DfreqBroadcastMaxInputBytes
-    println(s"[pplbreak] dir=$dir inputBytes=$statsBytes broadcastCeiling=$ceiling " +
-      s"vocabSmall=${statsBytes <= ceiling}")
+    println(s"[pplbreak] dir=$dir inputBytes=$statsBytes " +
+      s"(legacy context; dfreq ceiling=${Dedup.DfreqBroadcastMaxInputBytes})")
     val nDocs = docs.count()
     println(s"[pplbreak] nDocs=$nDocs driverFitMaxRows=${graft.ops.Exact.DriverFitMaxRows}")
 
@@ -51,7 +52,14 @@ object DevPplBreak {
       uni.select(count(lit(1))).head().getLong(0) +
         bi.select(count(lit(1))).head().getLong(0)
     }
-    println(s"[pplbreak] vocab uni=${uni.count()} bi=${bi.count()}")
+    // the LIVE broadcast dispatch: bigramLogProb materializes the
+    // pre-combined (a, b) → term table and broadcasts on its TRUE row
+    // count vs BigramBroadcastMaxTermRows (r13 fix); the bigram count
+    // below IS that table's cardinality
+    val biCount = bi.count()
+    println(s"[pplbreak] vocab uni=${uni.count()} bi=$biCount — live dispatch: " +
+      s"termRows=$biCount vs BigramBroadcastMaxTermRows=${TextStats.BigramBroadcastMaxTermRows} " +
+      s"→ ${if (biCount <= TextStats.BigramBroadcastMaxTermRows) "broadcast" else "shuffle"}")
     t("lm_full") { Bench.materialize(TextStats.bigramLogProb(docs, "text", "doc_id")) }
     t("q_full") { Bench.materialize(SparkEntry.queries("x_ppl_buckets")(spark, dir)) }
     spark.stop()

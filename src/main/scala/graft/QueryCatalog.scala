@@ -61,6 +61,7 @@ object QueryCatalog {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_extendedprice_r"))),
     "p9_onehot" -> ((s, d) => p9OneHot(s, d)),
+    "p9_onehot_fuzz" -> ((s, d) => p9OneHotFuzz(s, d)),
     "v1_sdc_suppress" -> ((s, d) =>
       // window variant: supplier is small at every SF, so one count-over-
       // partition shuffle beats the groupBy+broadcast pair of jobs; at
@@ -452,6 +453,41 @@ object QueryCatalog {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     RowTransforms.oneHot(li, li, "l_returnflag")
       // no output orderBy (see p_winsorize)
+  }
+
+  /** P9's SCHEMA-STABLE twin (r14, SURVEY §5.5): the raw p9 row's pivot
+    * COLUMNS are data-dependent, so a static oracle can only pin the
+    * fixture alphabet and the operator stayed outside the fuzz gate. This
+    * form runs the same oneHot — vocabulary fitted as sorted distinct of
+    * a FIT slice (even orderkeys), applied to the FULL table so unseen
+    * and null rows exercise the all-zero contract — then UNPIVOTS the
+    * encoder's own output columns into a fixed (category, n_hot) shape
+    * plus `__rows`/`__allzero` audit rows. Any vocabulary-fitting,
+    * column-naming, unseen-ignored or null-handling defect moves a
+    * number or a category label; the schema never moves. */
+  private def p9OneHotFuzz(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val fit = li.filter(col("l_orderkey") % 2 === 0)
+    val oh = RowTransforms.oneHot(li, fit, "l_returnflag")
+    val catCols = oh.columns.filter(_.startsWith("l_returnflag__")).toSeq
+    def cc(name: String) = col("`" + name + "`") // fuzz alphabets carry '/', unicode, ''
+    val allZero =
+      if (catCols.isEmpty) lit(true)
+      else catCols.map(cc(_) === 0.0).reduce(_ && _)
+    val aggs =
+      catCols.map(c => sum(cc(c)).as(c)) ++ Seq(
+        count(lit(1)).cast("double").as("__rows"),
+        sum(when(allZero, 1.0).otherwise(0.0)).as("__allzero"))
+    val entries = catCols.map(c =>
+      struct(lit(c.stripPrefix("l_returnflag__")).as("category"),
+        coalesce(cc(c), lit(0.0)).as("n_hot"))) ++ Seq(
+      struct(lit("__rows").as("category"), col("__rows").as("n_hot")),
+      struct(lit("__allzero").as("category"), coalesce(col("__allzero"), lit(0.0)).as("n_hot")))
+    oh.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.category").as("category"), col("e.n_hot").as("n_hot"))
+      .orderBy("category")
   }
 
   // ------------------------------------------------------------- oracle SQL
@@ -1066,6 +1102,25 @@ object QueryCatalog {
         |  CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS "l_returnflag__N",
         |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS "l_returnflag__R"
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // data-derived vocabulary (no fixture alphabet anywhere): the fuzz
+    // gate's schema-stable window onto the same encoder
+    "p9_onehot_fuzz" ->
+      """WITH fitv AS (
+        |  SELECT DISTINCT l_returnflag AS cat FROM lineitem
+        |  WHERE l_orderkey % 2 = 0 AND l_returnflag IS NOT NULL
+        |)
+        |SELECT * FROM (
+        |  SELECT f.cat AS category,
+        |    CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_returnflag = f.cat) AS DOUBLE) AS n_hot
+        |  FROM fitv f
+        |  UNION ALL
+        |  SELECT '__rows' AS category, CAST(COUNT(*) AS DOUBLE) AS n_hot FROM lineitem
+        |  UNION ALL
+        |  SELECT '__allzero' AS category,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN (SELECT cat FROM fitv) THEN 1 ELSE 0 END), 0) AS DOUBLE) AS n_hot
+        |  FROM lineitem
+        |) ORDER BY category""".stripMargin,
     "v1_sdc_suppress" ->
       """SELECT s_suppkey,
         |  CASE WHEN COUNT(*) OVER (PARTITION BY s_name) < 5 THEN 'OTHER' ELSE s_name END AS s_name

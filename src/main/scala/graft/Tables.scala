@@ -24,23 +24,42 @@ object Tables {
     * fixtures' pattern — stays correct as long as its schema is stable,
     * which per-table fixtures guarantee). Keyed by session identity
     * because schema inference is conf-dependent (nanosAsLong). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** Weakly keyed on the SESSION OBJECT (not identityHashCode, which can
+    * collide across sessions): a stopped session's entries become
+    * unreachable and the GC evicts them with the session. */
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]())
+
+  /** Per-session entry bound — fuzz sessions rewrite the same paths under
+    * fresh mtimes every seed, so without eviction the map grows one dead
+    * entry per (seed × table) for the session's lifetime. Ten immutable
+    * fixture paths is the live set; blowing the whole map past the bound
+    * costs one re-inference per path, not correctness. */
+  private val SchemaCacheMaxEntries = 1024
 
   private def parquetCached(spark: SparkSession, path: String): DataFrame = {
     // mtime in the key: the fuzz fixtures REWRITE one path per seed with
     // a different schema (FuzzSpec.materialize*Fixture deletes and
     // re-creates /tmp/graft_fuzz/seed$N), so a path-only key would serve
     // a stale schema into a silent misread. One driver-side stat per
-    // construction buys exact invalidation.
+    // construction buys exact invalidation. A path that cannot be
+    // statted gets NO caching at all (r13 ADVICE: an un-stat-able path
+    // that is rewritten while stat keeps failing would otherwise pin its
+    // first schema forever under a constant key).
     val mtime = try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path)).toMillis catch { case _: Exception => -1L }
-    val key = System.identityHashCode(spark) + "|" + mtime + "|" + path
-    val cached = schemaCache.get(key)
+      java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Exception => return spark.read.parquet(path) }
+    // inference stays conf-keyed by session (the weak outer key).
+    val perSession = schemaCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+    val key = mtime + "|" + path
+    val cached = perSession.get(key)
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaCache.put(key, df.schema)
+      if (perSession.size >= SchemaCacheMaxEntries) perSession.clear()
+      perSession.put(key, df.schema)
       df
     }
   }

@@ -421,9 +421,44 @@ object TextStats {
     * the scoring join shuffles — equi-keyed, skew diluted by the
     * composite (a, b) key. Either way the per-doc sum windows partition
     * BY DOCUMENT, parallel across docs. */
+  /** Session-scoped memo of fitted bigram frames, keyed on the PURE-SCAN
+    * file list (fresh `spark.read` relations never compare equal, so a
+    * plan key would miss on every re-construction). Construction is EAGER
+    * by design — the fit is a model, and its dispatch reads a true row
+    * count — which without this memo made every bench rep / plan-only
+    * probe re-run two checkpoint jobs and strand the previous rep's
+    * checkpoint blocks until GC (r13 ADVICE). LRU-4: evicted entries drop
+    * to GC-driven cleanup (ContextCleaner unpersists on collect), same as
+    * before, but the steady state is ONE cached fit per corpus. */
+  private val bigramMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.LinkedHashMap[Any, DataFrame]]())
+
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     roundTo: Int = 6,
                     maxBroadcastTermRows: Long = BigramBroadcastMaxTermRows): DataFrame = {
+    val memoKey: Option[Any] =
+      graft.io.ScanStats.pureParquetInputFiles(df)
+        .map(files => (files.sorted, df.schema, textCol, idCol, roundTo, maxBroadcastTermRows))
+    val memo = bigramMemo.computeIfAbsent(df.sparkSession,
+      _ => new java.util.LinkedHashMap[Any, DataFrame](8, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Any, DataFrame]): Boolean =
+          size() > 4
+      })
+    memoKey.foreach { k =>
+      memo.synchronized {
+        val hit = memo.get(k)
+        if (hit != null) return hit
+      }
+    }
+    val result = bigramLogProbBuild(df, textCol, idCol, roundTo, maxBroadcastTermRows)
+    memoKey.foreach(k => memo.synchronized { memo.put(k, result) })
+    result
+  }
+
+  private def bigramLogProbBuild(df: DataFrame, textCol: String, idCol: String,
+                                 roundTo: Int,
+                                 maxBroadcastTermRows: Long): DataFrame = {
     val toks = regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))
     val base = df.select(col(idCol).as("doc_id"), toks.as("ts")).localCheckpoint()
     val pairs = base.filter(size(col("ts")) >= 2)

@@ -544,4 +544,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
     assert(math.abs(r.getDouble(6) - 0.5) < 1e-12)
   }
+
+  test("raw all-pairs tools fail loudly above the input ceiling, naming the auto twin") {
+    val docs = graft.Tables.documents(spark, Sf)
+    // plan-time guard: must throw at CONSTRUCTION, before any job
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6, maxRawInputBytes = 1L)
+    }
+    assert(e1.getMessage.contains("nearDupPairsAuto"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.neardupDelta(docs, docs, "text", "doc_id", maxRawInputBytes = 1L)
+    }
+    assert(e2.getMessage.contains("neardupDeltaAuto"))
+    // the default ceiling admits the test corpora (both construct fine)
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6)
+    Dedup.neardupDelta(docs, docs, "text", "doc_id")
+  }
 }

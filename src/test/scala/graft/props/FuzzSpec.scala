@@ -34,10 +34,14 @@ class FuzzSpec extends SparkSpec {
     "q1_pricing_summary", "q18_large_orders",
     "a1_profile_lineitem", "a2_value_counts", "a3_mode", "a4_rare_categories",
     "a5_distinct_counts", "a8_mu_sigma", "a9_category_pmf", "a_corr_matrix",
-    // p9_onehot excluded: its pivot COLUMNS are data-dependent while the
-    // static oracle necessarily pins the fixture alphabet (A/N/R) — on a
-    // random alphabet the schemas can never agree; its data-derived
-    // vocabulary is spec-gated instead (RowTransformsSpec).
+    // p9_onehot (raw) excluded: its pivot COLUMNS are data-dependent while
+    // the static oracle necessarily pins the fixture alphabet (A/N/R) — on
+    // a random alphabet the schemas can never agree. Its schema-stable
+    // twin p9_onehot_fuzz (r14) runs the same encoder — vocabulary fitted
+    // on the even-orderkey slice, applied to all rows — unpivoted to a
+    // fixed (category, n_hot) shape, so the fit/unseen/null contracts ARE
+    // fuzz-gated; the raw pivot naming stays spec-gated (RowTransformsSpec).
+    "p9_onehot_fuzz",
     "p_row_transforms", "p8_standardize", "p_winsorize", "p_robust_scale",
     "v1_sdc_suppress", "v2_generalize", "v5_smart_suggest",
     "d1_ks_statistic", "d2_chi2_drift", "d3_drift_all", "d_psi", "d_wasserstein",
