@@ -40,7 +40,10 @@ class SourceSweepSpec extends AnyFunSuite {
     "io/ZOrder.scala" -> (1, 1),
     "ops/Drift.scala" -> (7, 3),
     "ops/Exact.scala" -> (5, 1),
-    "ops/Privacy.scala" -> (4, 1),
+    // r14 +2 collects: collectRawState's per-column parallel path (one
+    // RDD collect per fitted column) — both behind the DriverFitMaxCells
+    // dispatch, same boundedness as the fused collect they replace
+    "ops/Privacy.scala" -> (6, 1),
     "ops/Profile.scala" -> (2, 1),
     "ops/Relational.scala" -> (0, 9),
     "ops/RowTransforms.scala" -> (1, 3),
