@@ -63,42 +63,51 @@ object ScaleUp {
     // curvature now rides the gate; first measured ratio is the record
     "v6_linkage_risk_lsh")
 
-  /** Per-query x16-ratio RECORD (round-8 definitive min-of-2 run,
-    * SCALE_r8.json) — the measured scaling curvature each headline plan
-    * actually has. [[RatioCeilings]] derives the regression GATE from it:
-    * recorded ratio × [[CeilingSlack]], floored at [[CeilingFloor]] (a
-    * sub-2× ratio is mostly job-floor constant, where run-to-run noise is
-    * proportionally largest — the floor keeps the gate meaningful without
-    * flapping). A breach fails DevScaleUp loudly, the way a correctness
-    * regression already fails Verify: scale-shape regressions stop being
-    * a narrative observation and become a gate. Rows above 8 are the
-    * deliberately-raw exact tools kept beside their dispatched twins
-    * (their quadratic candidate growth is the documented record, not a
-    * defect). */
+  /** Per-query x16-ratio RECORD — the measured scaling curvature each
+    * headline plan actually has. [[RatioCeilings]] derives the regression
+    * GATE from it: recorded ratio × [[CeilingSlack]], floored at
+    * [[CeilingFloor]] (a sub-2× ratio is mostly job-floor constant, where
+    * run-to-run noise is proportionally largest — the floor keeps the
+    * gate meaningful without flapping). A breach fails DevScaleUp loudly,
+    * the way a correctness regression already fails Verify. Rows above 8
+    * are the deliberately-raw exact tools kept beside their dispatched
+    * twins (their quadratic candidate growth is the documented record,
+    * not a defect).
+    *
+    * PROVENANCE: every value below is the r14 definitive pin run —
+    * `SCALE_r14_repin_source.json`, this round's first full min-of-2
+    * pass on the r14 tree (the confirmation re-run against these pins is
+    * `SCALE_r14.json`). The previous pins (r8 definitive run + r12/r13 plan-change
+    * resets) had drifted 0.5×–1.6× in BOTH directions after six rounds
+    * of base-side improvements (schema cache, fused fits, driver
+    * decode): rows like d3 (measured 1.65× its r8 pin) were one noisy
+    * run from a false breach, while x_neardup_delta (0.46× its pin) had
+    * a ceiling too loose to catch a real regression. Re-pinning the
+    * whole set to one artifact restores the gate's sensitivity in both
+    * directions and makes record↔artifact provenance auditable (the r13
+    * ADVICE item). v4/v5's jumps vs r13 are mechanical: their r14
+    * driver-side fits collapsed the BASE walls (0.29→0.18 s, 0.30→0.06 s)
+    * against unchanged x16-side distributed plans, so the ratio records
+    * rise while the implied x16 wall bounds tighten. */
   val RecordedRatios: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 1.07, "q5_local_supplier_volume" -> 1.54,
-    "a1_profile_lineitem" -> 3.89, "d1_ks_statistic" -> 3.43,
-    "d3_drift_all" -> 2.83, "v2_generalize" -> 3.76, "v4_synthetic" -> 6.10,
-    "v5_smart_suggest" -> 1.49, "x_minhash_lsh" -> 10.29,
-    "x_ngram_jaccard" -> 11.63, "x_corpus_clean" -> 2.34,
-    "s_sessionize" -> 1.77, "q_asof_join" -> 2.06, "d_psi" -> 2.56,
-    "x_vocab_topk" -> 4.92, "x_snapshot_diff" -> 3.15,
-    "x_embed_centroid" -> 1.79, "x_distinct_sketch" -> 1.86,
-    "q_salted_agg" -> 1.49, "a_corr_matrix" -> 4.48,
-    "d_drift_extended" -> 3.60, "x_bpe_pairs" -> 3.73, "s_funnel" -> 2.00,
-    "x_leakage_split" -> 2.49, "x_neardup_delta" -> 8.11,
-    "q_nearest_event" -> 2.26, "s_attribution" -> 2.08,
-    "x_neardup_delta_auto" -> 1.62, "x_source_overlap" -> 1.60,
-    // r13 plan-change record resets (SCALE_r13.json): the bigram scorer
-    // and the q5 fact pre-aggregate are new plans — their ratios are
-    // re-recorded from the round's gate run, TIGHTENING both ceilings
-    "x_ppl_buckets" -> 3.43, "q18_large_orders" -> 1.31,
-    "q_enrich_events" -> 1.29, "q7_volume_shipping" -> 2.64,
-    "x_doc_novelty" -> 4.83, "x_source_card" -> 1.91,
-    "x_minhash_lsh_auto" -> 5.32, "x_neardup_auto" -> 2.45,
-    // r12 first records (SCALE_r12.json, stop-on-stable timing): the
-    // distributed-forced cluster dispatch and the vector-grouped V6 LSH
-    "x_dedup_clusters_auto_dist" -> 1.63, "v6_linkage_risk_lsh" -> 1.98)
+    "q1_pricing_summary" -> 1.30, "q5_local_supplier_volume" -> 2.09,
+    "a1_profile_lineitem" -> 5.87, "d1_ks_statistic" -> 4.81,
+    "d3_drift_all" -> 4.68, "v2_generalize" -> 5.86, "v4_synthetic" -> 18.12,
+    "v5_smart_suggest" -> 7.25, "x_minhash_lsh" -> 4.94,
+    "x_ngram_jaccard" -> 9.25, "x_corpus_clean" -> 2.55,
+    "s_sessionize" -> 1.97, "q_asof_join" -> 2.54, "d_psi" -> 1.54,
+    "x_vocab_topk" -> 5.73, "x_snapshot_diff" -> 4.27,
+    "x_embed_centroid" -> 2.54, "x_distinct_sketch" -> 2.37,
+    "q_salted_agg" -> 1.72, "a_corr_matrix" -> 4.14,
+    "d_drift_extended" -> 2.54, "x_bpe_pairs" -> 5.07, "s_funnel" -> 2.13,
+    "x_leakage_split" -> 1.76, "x_neardup_delta" -> 3.76,
+    "q_nearest_event" -> 3.28, "s_attribution" -> 2.92,
+    "x_neardup_delta_auto" -> 0.93, "x_source_overlap" -> 1.69,
+    "x_ppl_buckets" -> 3.46, "q18_large_orders" -> 1.48,
+    "q_enrich_events" -> 1.04, "q7_volume_shipping" -> 3.66,
+    "x_doc_novelty" -> 4.05, "x_source_card" -> 2.05,
+    "x_minhash_lsh_auto" -> 3.61, "x_neardup_auto" -> 2.05,
+    "x_dedup_clusters_auto_dist" -> 1.82, "v6_linkage_risk_lsh" -> 1.71)
 
   val CeilingSlack = 2.0
   val CeilingFloor = 4.0
