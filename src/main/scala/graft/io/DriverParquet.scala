@@ -37,18 +37,20 @@ import org.apache.spark.sql.types._
   */
 object DriverParquet {
 
-  /** Raw finite doubles per numeric column (nulls/NaN/±Inf dropped,
-    * UNsorted), category histogram per string column (SQL NULL under the
-    * null key), and the exact row count. None = not eligible; use the
-    * Spark path. */
-  def collectColumns(df: DataFrame, numCols: Seq[String], catCols: Seq[String])
-      : Option[(Long, Map[String, Array[Double]], Map[String, Map[String, Long]])] = {
+  /** Raw finite doubles per numeric column (nulls dropped silently,
+    * NaN/±Inf dropped AND counted — the `collectColumnsDoubles`
+    * contract; UNsorted), category histogram per string column (SQL NULL
+    * under the null key), and the exact row count. None = not eligible;
+    * use the Spark path. */
+  def collectColumns(df: DataFrame, numCols: Seq[String], catCols: Seq[String],
+                     keepNonFinite: Boolean = false)
+      : Option[(Long, Map[String, (Array[Double], Long)], Map[String, Map[String, Long]])] = {
     try {
       val files = ScanStats.pureParquetInputFiles(df).getOrElse(return None)
       if (files.isEmpty) {
         // zero-file relation: zero rows, empty fits — trivially exact
         return Some((0L,
-          numCols.map(_ -> Array.empty[Double]).toMap,
+          numCols.map(_ -> (Array.empty[Double], 0L)).toMap,
           catCols.map(_ -> Map.empty[String, Long]).toMap))
       }
       val schema = df.schema
@@ -93,7 +95,7 @@ object DriverParquet {
       // re-opens its file (footer parse is ~ms and page-cache warm) and
       // walks only its own column's chunks.
       val units = for (f <- files; c <- numCols ++ catCols) yield (f, c)
-      val decoded: Seq[(String, Either[Array[Double], java.util.HashMap[Binary, Array[Long]]])] =
+      val decoded: Seq[(String, Either[(Array[Double], Long), java.util.HashMap[Binary, Array[Long]]])] =
         units.par.map { case (f, c) =>
           val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
           try {
@@ -105,6 +107,7 @@ object DriverParquet {
             reader.setRequestedSchema(projected)
             val isNum = sparkType(c) != StringType
             val nums = if (isNum) new scala.collection.mutable.ArrayBuilder.ofDouble else null
+            var droppedNonFinite = 0L
             val cats = if (isNum) null else new java.util.HashMap[Binary, Array[Long]]()
             var gi = 0
             val nGroups = reader.getRowGroups.size()
@@ -125,7 +128,9 @@ object DriverParquet {
                       case PrimitiveTypeName.FLOAT  => cr.getFloat.toDouble
                       case _                        => cr.getDouble
                     }
-                    if (!v.isNaN && !v.isInfinite) nums += v
+                    if (keepNonFinite) nums += (if (v == 0.0) 0.0 else v)
+                    else if (!v.isNaN && !v.isInfinite) nums += v
+                    else droppedNonFinite += 1L
                   } else {
                     // probe with the (possibly page-buffer-backed) Binary;
                     // copy only on first insert — the vocabulary pays the
@@ -144,13 +149,15 @@ object DriverParquet {
               }
               gi += 1
             }
-            c -> (if (isNum) Left(nums.result()) else Right(cats))
+            c -> (if (isNum) Left((nums.result(), droppedNonFinite)) else Right(cats))
           } finally reader.close()
         }.toList
 
-      val numArrs: Map[String, Array[Double]] = numCols.map { c =>
+      val numArrs: Map[String, (Array[Double], Long)] = numCols.map { c =>
         val slices = decoded.collect { case (`c`, Left(a)) => a }
-        c -> (if (slices.length == 1) slices.head else Array.concat(slices: _*))
+        val arr = if (slices.length == 1) slices.head._1
+          else Array.concat(slices.map(_._1): _*)
+        c -> (arr, slices.map(_._2).sum)
       }.toMap
       val catMaps: Map[String, Map[String, Long]] = catCols.map { c =>
         val merged = scala.collection.mutable.HashMap.empty[String, Long]
@@ -164,6 +171,22 @@ object DriverParquet {
       Some((rowsTotal, numArrs, catMaps))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** [[collectColumns]] for numeric columns only — the drop-in fast path
+    * for [[graft.ops.Exact.collectColumnsDoubles]] (same contract:
+    * finite doubles + the non-finite drop count per column). */
+  def collectNumericColumns(df: DataFrame, cols: Seq[String])
+      : Option[Map[String, (Array[Double], Long)]] =
+    collectColumns(df, cols, Nil).map(_._2)
+
+  /** The KS/drift collector's contract ([[graft.ops.Drift]].collectRaw):
+    * NaN/±Inf are KEPT (real sample points — NaN groups sort last in the
+    * plan path and the oracle alike) and -0.0 normalizes to 0.0
+    * (grouping treats them equal). */
+  def collectNumericColumnsRaw(df: DataFrame, cols: Seq[String])
+      : Option[Map[String, Array[Double]]] =
+    collectColumns(df, cols, Nil, keepNonFinite = true)
+      .map(_._2.view.mapValues(_._1).toMap)
 
   /** Inert converter tree for ColumnReadStoreImpl — values are pulled via
     * the typed getters, never pushed through converters. */

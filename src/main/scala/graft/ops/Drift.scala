@@ -142,6 +142,13 @@ object Drift {
     * sample points to the plan path and the oracle — NaN groups sort
     * last) and normalizing -0.0 → 0.0 (grouping treats them equal). */
   private def collectRaw(df: DataFrame, cols: Seq[String]): Map[String, Array[Double]] = {
+    // r14: pure parquet scans decode driver-side, (files × columns)-way
+    // parallel, no Spark job (graft.io.DriverParquet keep-non-finite
+    // mode — same NaN-kept / -0.0-normalized contract as below)
+    graft.io.DriverParquet.collectNumericColumnsRaw(df, cols) match {
+      case Some(m) => return m
+      case None    => ()
+    }
     val k = cols.length
     val rows = df.select(cols.map(c => col(c).cast("double")): _*)
     val parts: Array[Array[Array[Double]]] = rows.queryExecution.toRdd

@@ -634,6 +634,16 @@ object Exact {
     * the array is not a faithful sample for exact-parity work). */
   def collectColumnsDoubles(df: org.apache.spark.sql.DataFrame,
                             cols: Seq[String]): Map[String, (Array[Double], Long)] = {
+    // r14 fast path: a pure parquet scan's chunks decode DRIVER-side with
+    // (files × columns)-way parallelism and no Spark job at all
+    // (graft.io.DriverParquet — same contract, strict type pairings,
+    // refuses anything with cast/filter semantics). This is the shared
+    // collector behind the a1 profile's driver-sort fit, winsorize and
+    // robust-scale — all already bounded by DriverFitMaxRows.
+    graft.io.DriverParquet.collectNumericColumns(df, cols) match {
+      case Some(m) => return m
+      case None    => ()
+    }
     val k = cols.length
     val rows = df.select(cols.map(c => col(c).cast("double")): _*)
     val parts: Array[(Array[Array[Double]], Array[Long])] = rows.queryExecution.toRdd

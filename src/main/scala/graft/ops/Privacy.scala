@@ -289,7 +289,7 @@ object Privacy {
     graft.io.DriverParquet.collectColumns(df, numNames, catNames) match {
       case Some((rowsTotal, rawNums, catMaps)) =>
         val numArrs = numNames.par.map { c =>
-          val a = rawNums(c)
+          val a = rawNums(c)._1 // non-finite values dropped, as this fit wants
           java.util.Arrays.parallelSort(a)
           c -> a
         }.toList.toMap

@@ -28,11 +28,25 @@ class DriverParquetSpec extends SparkSpec {
     assert(rows == 5000L)
     // ground truth: finite values via Spark, sorted both sides
     for (c <- Seq("i", "l", "f", "d")) {
-      val want = df.select(col(c).cast("double")).na.drop()
-        .filter(!isnan(col(c)) && abs(col(c)) =!= Double.PositiveInfinity)
-        .as[Double].collect().sorted
-      val have = nums(c).sorted
-      assert(have.toSeq == want.toSeq, s"numeric column $c")
+      // isNotNull, NOT na.drop: na.drop treats NaN as missing for doubles,
+      // but NaN here is a COUNTED drop, not an absent value
+      val all = df.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull).as[Double].collect()
+      val want = all.filterNot(v => v.isNaN || v.isInfinite).sorted
+      val (arr, dropped) = nums(c)
+      assert(arr.sorted.toSeq == want.toSeq, s"numeric column $c")
+      assert(dropped == all.count(v => v.isNaN || v.isInfinite),
+        s"non-finite drop count for $c")
+    }
+    // keep-non-finite mode: NaN/Inf are sample points, -0.0 normalizes
+    val raw = DriverParquet.collectNumericColumnsRaw(df, Seq("f", "d")).get
+    for (c <- Seq("f", "d")) {
+      val want = df.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull).as[Double]
+        .collect().map(v => if (v == 0.0) 0.0 else v).sorted
+      // Arrays.equals, not Seq ==: primitive Seq equality unboxes to
+      // NaN != NaN; bit-level comparison is the intended semantics here
+      assert(java.util.Arrays.equals(raw(c).sorted, want), s"raw column $c")
     }
     val wantHist = df.groupBy("s").count().collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
