@@ -31,8 +31,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Host 1/5/15-minute run-queue lengths as a JSON array — the window
+    * marker that lets a later reader distinguish "this run was noisy"
+    * from "this query regressed" (r14's three final-tree runs spread
+    * 121.6–154.0 s with nothing recording why). */
+  private def loadavg: String =
+    try {
+      val p = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+")
+      s"[${p(0)},${p(1)},${p(2)}]"
+    } catch { case _: Throwable => "null" }
+
+  /** Fixed-cost single-thread calibration: sort 4M seeded doubles. Its
+    * wall is a direct probe of CPU contention DURING this process (a
+    * loadavg number is a minutes-scale average that can miss a short
+    * co-tenant burst); the quiet-window figure on this box is recorded
+    * alongside each run so drift is self-evident. */
+  private def calibrate(): Double = {
+    val rnd = new java.util.Random(42)
+    val a = Array.fill(1 << 22)(rnd.nextDouble())
+    val t0 = System.nanoTime()
+    java.util.Arrays.sort(a)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg
+    val calibStart = calibrate()
     val spark = Sessions.local(appName = "graft-bench")
 
     // Warmup 1: fully materialize every table at the TARGET sf (all columns,
@@ -128,8 +154,19 @@ object Bench {
         ""
       }
 
+    // Fast-path observability (r15): tally of driver-side metadata paths
+    // vs Spark fallbacks across the whole timed run. These paths degrade
+    // silently by design (any surprise → the Spark path), so a parquet-mr
+    // version drift that broke them would otherwise show up only as v4/v5
+    // wall times sliding — the counter makes it a visible number in the
+    // artifact diff instead.
+    val fastpath = graft.io.FastPath.snapshotJson
+    val loadJson =
+      s"""{"loadavg_start":$loadStart,"loadavg_end":$loadavg,""" +
+        s""""calib_sort_sec_start":$calibStart,"calib_sort_sec_end":${calibrate()},""" +
+        s""""cores":${Runtime.getRuntime.availableProcessors()}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"$scaleupJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"fastpath":$fastpath,"load":$loadJson,"sf":"$sfDir"$scaleupJson}"""
     println(json)
     // Also drop the line as a file: sbt wraps stdout in "[info] " prefixes,
     // so a consumer that greps the raw line has a clean fallback.
@@ -145,7 +182,7 @@ object Bench {
       s""","scaleup":{"copies":$copies,"total_base":$b,"total_x$copies":$x,"ratio":${x / math.max(b, 1e-9)}}"""
     }.getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_SELF.json"$scaleupBrief}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failed,"fastpath":$fastpath,"load":$loadJson,"sf":"$sfDir","queries_file":"BENCH_SELF.json"$scaleupBrief}""")
     spark.stop()
   }
 }

@@ -471,7 +471,9 @@ object QueryCatalog {
     val fit = li.filter(col("l_orderkey") % 2 === 0)
     val oh = RowTransforms.oneHot(li, fit, "l_returnflag")
     val catCols = oh.columns.filter(_.startsWith("l_returnflag__")).toSeq
-    def cc(name: String) = col("`" + name + "`") // fuzz alphabets carry '/', unicode, ''
+    // fuzz alphabets carry '/', unicode, '' — and a literal '`' must be
+    // DOUBLED inside the quoting or col() parsing fails (r15 ADVICE)
+    def cc(name: String) = col("`" + name.replace("`", "``") + "`")
     val allZero =
       if (catCols.isEmpty) lit(true)
       else catCols.map(cc(_) === 0.0).reduce(_ && _)

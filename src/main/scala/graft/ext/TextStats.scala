@@ -437,9 +437,26 @@ object TextStats {
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     roundTo: Int = 6,
                     maxBroadcastTermRows: Long = BigramBroadcastMaxTermRows): DataFrame = {
-    val memoKey: Option[Any] =
-      graft.io.ScanStats.pureParquetInputFiles(df)
-        .map(files => (files.sorted, df.schema, textCol, idCol, roundTo, maxBroadcastTermRows))
+    // Per-file (mtime, length) in the key (r15 ADVICE): a parquet file
+    // REWRITTEN IN PLACE under the same path (fixed-name writers do this)
+    // must miss and refit, not serve the stale model — the same
+    // invalidation Tables.parquetCached buys with its mtime key. A file
+    // that cannot be statted (foreign scheme, races with a delete) gets
+    // NO memoization at all rather than a constant key that would pin the
+    // first fit forever.
+    val memoKey: Option[Any] = graft.io.ScanStats.pureParquetInputFiles(df).flatMap { files =>
+      try {
+        val stamped = files.sorted.map { f =>
+          val p =
+            if (f.contains(":/")) java.nio.file.Paths.get(new java.net.URI(f))
+            else java.nio.file.Paths.get(f)
+          val attrs = java.nio.file.Files.readAttributes(
+            p, classOf[java.nio.file.attribute.BasicFileAttributes])
+          (f, attrs.lastModifiedTime.toMillis, attrs.size)
+        }
+        Some((stamped, df.schema, textCol, idCol, roundTo, maxBroadcastTermRows))
+      } catch { case _: Exception => None }
+    }
     val memo = bigramMemo.computeIfAbsent(df.sparkSession,
       _ => new java.util.LinkedHashMap[Any, DataFrame](8, 0.75f, true) {
         override def removeEldestEntry(e: java.util.Map.Entry[Any, DataFrame]): Boolean =

@@ -59,17 +59,26 @@ object DictStats {
     * occurrence argument). */
   def distinctExceeds(df: DataFrame, asks: Map[String, Long]): Map[String, Boolean] = {
     if (asks.isEmpty) return Map.empty
-    ScanStats.pureParquetInputFiles(df) match {
+    FastPath.dictAsks.addAndGet(asks.size.toLong)
+    val answers = ScanStats.pureParquetInputFiles(df) match {
       case Some(files) if files.nonEmpty && files.length <= MaxFiles =>
         val conf = df.sparkSession.sessionState.newHadoopConf()
         try answerFromFooters(files, conf, asks)
-        catch { case _: Exception => Map.empty } // unreadable metadata → fallback
-      case _ => Map.empty
+        catch { case _: Exception => Map.empty[String, Boolean] } // unreadable metadata → fallback
+      case _ => Map.empty[String, Boolean]
     }
+    FastPath.dictAnswered.addAndGet(answers.size.toLong)
+    answers
   }
 
   /** Per-column accumulation across every (file × row-group) chunk. */
   private final class Acc(val threshold: Long) {
+    var observed = false       // column appeared in at least one file footer —
+                               // a PARTITION column never does (its values live
+                               // in directory names, not pages), so an
+                               // unobserved column must get NO answer: its
+                               // vacuous allExact would otherwise prove
+                               // "distinct ≤ T" for arbitrary cardinality
     var provenExceeds = false  // some chunk's dictionary alone passed T
     var allExact = true        // every value-bearing chunk was fully dict-encoded
     val union = new java.util.HashSet[Any]() // saturates at threshold+1
@@ -87,6 +96,9 @@ object DictStats {
         val descByName: Map[String, ColumnDescriptor] =
           msgType.getColumns.asScala.filter(_.getPath.length == 1)
             .map(d => d.getPath()(0) -> d).toMap
+        accs.foreach { case (name, a) =>
+          if (descByName.contains(name)) a.observed = true
+        }
         reader.getRowGroups.asScala.foreach { block =>
           val wanted = block.getColumns.asScala.filter { c =>
             c.getPath.size() == 1 && accs.get(c.getPath.toDotString).exists { a =>
@@ -140,8 +152,8 @@ object DictStats {
     }
     accs.flatMap { case (name, a) =>
       if (a.provenExceeds) Some(name -> true)
-      else if (a.allExact) Some(name -> false) // exact saturated union stayed ≤ T
-      else None
+      else if (a.observed && a.allExact) Some(name -> false) // exact saturated union stayed ≤ T
+      else None // never in any footer (partition/missing column) or inexact
     }
   }
 

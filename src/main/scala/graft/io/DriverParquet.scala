@@ -45,6 +45,15 @@ object DriverParquet {
   def collectColumns(df: DataFrame, numCols: Seq[String], catCols: Seq[String],
                      keepNonFinite: Boolean = false)
       : Option[(Long, Map[String, (Array[Double], Long)], Map[String, Map[String, Long]])] = {
+    val r = collectColumnsImpl(df, numCols, catCols, keepNonFinite)
+    (if (r.isDefined) FastPath.driverParquetHits else FastPath.driverParquetMisses)
+      .incrementAndGet()
+    r
+  }
+
+  private def collectColumnsImpl(df: DataFrame, numCols: Seq[String], catCols: Seq[String],
+                                 keepNonFinite: Boolean)
+      : Option[(Long, Map[String, (Array[Double], Long)], Map[String, Map[String, Long]])] = {
     try {
       val files = ScanStats.pureParquetInputFiles(df).getOrElse(return None)
       if (files.isEmpty) {

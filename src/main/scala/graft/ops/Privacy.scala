@@ -16,6 +16,10 @@ import scala.collection.parallel.CollectionConverters._
   */
 object Privacy {
 
+  /** Guards [[collectRawState]]'s temporary `files.minPartitionNum`
+    * override — see the comment at the use site. */
+  private val fitConfLock = new Object
+
   /** V1 SDC rare-category suppression (`modules/privacy.py:4-11`): values
     * of `cols` whose GLOBAL frequency < threshold become "OTHER"; non-string
     * columns are silently skipped, as in the reference (`:7`).
@@ -349,9 +353,16 @@ object Privacy {
       // overhead. Parallelism here comes from the per-column fan-out,
       // so pin the floor to the true row-group count around the fit
       // (runtime SQL conf, read at each job's planning inside the try).
+      // The set/restore window is serialized (r15, ADVICE): two
+      // overlapping fits on one session would otherwise race the
+      // save/restore and the second restore could persist the pinned
+      // floor. A single process-wide monitor is enough — the window is
+      // tens of ms on the tiny inputs that reach this branch, and the
+      // fit's own parallelism (the per-column .par fan-out) runs inside
+      // the lock, not against it.
       val sconf = df.sparkSession.conf
-      val prevFloor = sconf.getOption("spark.sql.files.minPartitionNum")
-      val results =
+      val results = fitConfLock.synchronized {
+        val prevFloor = sconf.getOption("spark.sql.files.minPartitionNum")
         try {
           sconf.set("spark.sql.files.minPartitionNum", layout.get._2.toString)
           (numNames.map(Left(_): Either[String, String]) ++
@@ -363,6 +374,7 @@ object Privacy {
           case Some(v) => sconf.set("spark.sql.files.minPartitionNum", v)
           case None    => sconf.unset("spark.sql.files.minPartitionNum")
         }
+      }
       val numArrs = results.collect { case Left(kv) => kv }.toMap
       val catMaps = results.collect { case Right(kv) => kv }.toMap
       return (rowsTotal, numArrs, catMaps)

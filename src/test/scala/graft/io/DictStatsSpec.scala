@@ -82,6 +82,49 @@ class DictStatsSpec extends SparkSpec {
     assert(DictStats.distinctExceeds(df, Map("v" -> 10000000L)).isEmpty)
   }
 
+  test("distinctExceeds: partition columns get NO answer — their values live in paths, not footers") {
+    val path = tmp("parts").stripSuffix("/t.parquet") + "/t_parts.parquet"
+    // 25 distinct partition values at threshold 20: the truth is `true`,
+    // but no file footer ever carries column p, so the only SOUND outputs
+    // are "true via some other proof" or "no answer" — never `false`
+    // (the r15 ADVICE defect: the vacuous all-exact empty union answered
+    // false and smartSuggest consumed it as proven).
+    spark.range(1000).select(
+      (col("id") % 25).cast("string").as("p"),
+      (col("id") % 10).cast("string").as("s10"))
+      .coalesce(1) // 25 files (one per partition dir), under DictStats.MaxFiles
+      .write.partitionBy("p").mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    assert(df.select(count_distinct(col("p"))).head().getLong(0) == 25L)
+    val got = DictStats.distinctExceeds(df, Map("p" -> 20L, "s10" -> 20L, "s10b" -> 5L))
+    assert(!got.contains("p"), s"partition column must be unanswerable, got $got")
+    assert(got.get("s10").contains(false)) // data columns still proven
+    assert(!got.contains("s10b"))          // asked-but-absent column: no answer either
+  }
+
+  test("reflective parquet-mr surface canary: answers computed UNswallowed (loud on version drift)") {
+    // distinctExceeds swallows every exception into "no answer" because
+    // per-input ineligibility is routine; that same swallow would hide a
+    // parquet-mr upgrade breaking the reflective getDictionaryReader /
+    // readDictionaryPage lookup (DictStats.GetDictReader), silently
+    // degrading v4/v5 to their Spark fallbacks forever. This test drives
+    // the UNswallowed internal entry point on a file that is guaranteed
+    // dictionary-encoded, so an ABI break is a thrown test error — loud —
+    // while a wrong answer would fail the assert.
+    val path = tmp("canary")
+    spark.range(4000).select((col("id") % 7).cast("string").as("s"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).toSeq
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val got = DictStats.answerFromFooters(files, conf, Map("s" -> 5L, "s_hi" -> 6L))
+    assert(got == Map("s" -> true))
+    val exact = DictStats.answerFromFooters(files, conf, Map("s" -> 7L))
+    assert(exact == Map("s" -> false))
+  }
+
   test("smartSuggest rides the metadata path with zero scan jobs on a pure parquet scan") {
     val li = graft.Tables.lineitem(spark, Sf)
     val expected = graft.ops.Privacy.smartSuggest(li).collect().map(_.toSeq).toSeq
