@@ -21,8 +21,15 @@ import graft.io.{Csv, YamlConfig}
   * S3 round-trip), report.html (S4), report.pdf (S5). */
 object DemoPipeline {
 
+  /** What one end-to-end run leaves behind — returned so the gate spec
+    * (DemoPipelineSpec, r15: the front door must fail the suite when it
+    * rots) can assert on artifact content without re-parsing logs. */
+  final case class DemoArtifacts(cfgPath: String, htmlPath: String,
+                                 pdfPath: String, html: String,
+                                 riskScore: Double, complianceScore: Double)
+
   /** Deterministic demo CSVs in the reference sample shape. */
-  private def writeDemoCsvs(dir: String): (String, String) = {
+  private[graft] def writeDemoCsvs(dir: String): (String, String) = {
     val r = new scala.util.Random(42)
     val genders = Seq("M", "F", "O")
     def rows(jitter: Int) = (1 to 500).map { i =>
@@ -51,6 +58,18 @@ object DemoPipeline {
     }
     val spark = Sessions.local(cpus = "4", appName = "graft-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, outDir, realCsv, anonCsv)
+    println(s"[demo] done — artifacts in $outDir")
+    spark.stop()
+  }
+
+  /** The whole 6-step pipeline on a CALLER-OWNED session (main wraps
+    * this; the suite gate drives it directly — it must never create or
+    * stop a session, or the shared test session dies with it). */
+  def run(spark: SparkSession, outDir: String,
+          realCsv: String, anonCsv: String,
+          clock: () => java.time.Instant = () => java.time.Instant.now())
+      : DemoArtifacts = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
     // ── Step 1: Upload (app.py:113-142 — S1 CSV with schema inference)
@@ -95,12 +114,12 @@ object DemoPipeline {
     println(s"[demo] compliance score: $score")
 
     // ── Step 6: Report (modules/reporting.py — S4 HTML + S5 PDF)
-    val html = s.report()
+    val html = s.report(clock = clock)
     val htmlPath = java.nio.file.Paths.get(s"$outDir/report.html")
     java.nio.file.Files.writeString(htmlPath, html)
-    val pdfPath = s.reportPdf(s"$outDir/report.pdf")
+    val pdfPath = s.reportPdf(s"$outDir/report.pdf", clock = clock)
     println(s"[demo] report: $htmlPath (${html.length} chars), $pdfPath")
-    println(s"[demo] done — artifacts in $outDir")
-    spark.stop()
+    DemoArtifacts(cfgPath, htmlPath.toString, pdfPath, html,
+      risk.riskScore, score)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -20,9 +21,15 @@ import graft.streaming.{CorpusStream, DriftStream}
   * ~10 batches behind the head and the 10-minute PSI windows close and
   * emit continuously after the 5-minute watermark.
   *
-  * Usage: runMain graft.DevSoak [batches] [out.json]
-  * Emits one JSON line (and optionally the artifact file) with the
-  * state-rows / heap series and pass booleans.
+  * Usage: runMain graft.DevSoak [batches] [out.json] [sink]
+  * `sink` = `memory` (default: results queryable, survivors counted) or
+  * `noop` (r15, the r14 verdict's ask 6: the memory-sink variant's
+  * post-GC heap crept 83→119 MB over 120 batches and the envelope
+  * attributed it to the sink's accumulating result tables — the noop
+  * variant drains identical micro-batches into Spark's no-op sink, so a
+  * flat heap series here isolates the creep to the sink and proves the
+  * ENGINE side leak-free). Emits one JSON line (and optionally the
+  * artifact file) with the state-rows / heap series and pass booleans.
   */
 object DevSoak {
   final case class Doc(doc_id: Long, text: String, ingest_ts: Timestamp)
@@ -46,27 +53,33 @@ object DevSoak {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(120)
     val out = args.lift(1)
+    val sink = args.lift(2).getOrElse("memory")
+    require(sink == "memory" || sink == "noop", s"unknown sink '$sink'")
     val spark = Sessions.local(cpus = "8", appName = "graft-soak")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    def sunk(df: DataFrame, name: String) = sink match {
+      case "memory" =>
+        df.writeStream.format("memory").queryName(name).outputMode("append").start()
+      case _ =>
+        df.writeStream.format("noop").outputMode("append").start()
+    }
+
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
     // corpus ingestion: quality floor + language filter + watermarked dedup
     val memDocs = MemoryStream[Doc]
-    val corpusQ = CorpusStream.ingest(memDocs.toDF(), watermark = "10 minutes")
-      .writeStream.format("memory").queryName("soak_corpus")
-      .outputMode("append").start()
+    val corpusQ = sunk(CorpusStream.ingest(memDocs.toDF(), watermark = "10 minutes"),
+      "soak_corpus")
 
     // PSI drift monitor over a numeric stream vs a fixed seeded reference
     val reference = spark.range(20000)
       .select((randn(7) * lit(10.0) + lit(50.0)).as("v"))
     val memObs = MemoryStream[Obs]
-    val psiQ = DriftStream.psiMonitor(memObs.toDF(), reference, "v",
-        windowDur = "10 minutes", watermark = "5 minutes")
-      .writeStream.format("memory").queryName("soak_psi")
-      .outputMode("append").start()
+    val psiQ = sunk(DriftStream.psiMonitor(memObs.toDF(), reference, "v",
+      windowDur = "10 minutes", watermark = "5 minutes"), "soak_psi")
 
     def genDocs(b: Int): Seq[Doc] = {
       val r = new scala.util.Random(b)
@@ -109,8 +122,9 @@ object DevSoak {
       }
     }
     corpusQ.processAllAvailable(); psiQ.processAllAvailable()
-    val survivors = spark.table("soak_corpus").count()
-    val psiRows = spark.table("soak_psi").count()
+    // survivor counts only exist under the memory sink; -1 marks "drained"
+    val survivors = if (sink == "memory") spark.table("soak_corpus").count() else -1L
+    val psiRows = if (sink == "memory") spark.table("soak_psi").count() else -1L
     corpusQ.stop(); psiQ.stop()
 
     val states = stateSeries.result()
@@ -124,7 +138,7 @@ object DevSoak {
     // memory stable: post-GC heap at the end ≤ 1.5× the early steady point
     val memStable = heaps.last._2 <= heaps(math.min(1, heaps.length - 1))._2 * 3 / 2
     val json =
-      s"""{"metric":"stream_soak","batches":$batches,"docs_per_batch":300,"obs_per_batch":1000,""" +
+      s"""{"metric":"stream_soak","sink":"$sink","batches":$batches,"docs_per_batch":300,"obs_per_batch":1000,""" +
       s""""corpus_survivors":$survivors,"psi_windows":$psiRows,""" +
       s""""state_series":[${states.map(s => s"[${s._1},${s._2},${s._3}]").mkString(",")}],""" +
       s""""heap_mb_series":[${heaps.map(h => s"[${h._1},${h._2 / 1048576}]").mkString(",")}],""" +

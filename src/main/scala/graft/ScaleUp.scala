@@ -63,59 +63,73 @@ object ScaleUp {
     // curvature now rides the gate; first measured ratio is the record
     "v6_linkage_risk_lsh")
 
-  /** Per-query x16-ratio RECORD — the measured scaling curvature each
-    * headline plan actually has. [[RatioCeilings]] derives the regression
-    * GATE from it: recorded ratio × [[CeilingSlack]], floored at
-    * [[CeilingFloor]] (a sub-2× ratio is mostly job-floor constant, where
-    * run-to-run noise is proportionally largest — the floor keeps the
-    * gate meaningful without flapping). A breach fails DevScaleUp loudly,
-    * the way a correctness regression already fails Verify. Rows above 8
-    * are the deliberately-raw exact tools kept beside their dispatched
-    * twins (their quadratic candidate growth is the documented record,
-    * not a defect).
+  /** Per-query (base wall, x16 wall) RECORD in seconds — the measured
+    * scaling evidence each headline plan actually has. [[ceilingFor]]
+    * derives the regression GATE from it. A breach fails DevScaleUp
+    * loudly, the way a correctness regression already fails Verify.
+    * Ratio rows above 8 are the deliberately-raw exact tools kept beside
+    * their dispatched twins (their quadratic candidate growth is the
+    * documented record, not a defect).
     *
-    * PROVENANCE: every value below is the r14 definitive pin run —
-    * `SCALE_r14_repin_source.json`, this round's first full min-of-2
-    * pass on the r14 tree (the confirmation re-run against these pins is
-    * `SCALE_r14.json`). The previous pins (r8 definitive run + r12/r13 plan-change
-    * resets) had drifted 0.5×–1.6× in BOTH directions after six rounds
-    * of base-side improvements (schema cache, fused fits, driver
-    * decode): rows like d3 (measured 1.65× its r8 pin) were one noisy
-    * run from a false breach, while x_neardup_delta (0.46× its pin) had
-    * a ceiling too loose to catch a real regression. Re-pinning the
-    * whole set to one artifact restores the gate's sensitivity in both
-    * directions and makes record↔artifact provenance auditable (the r13
-    * ADVICE item). v4/v5's jumps vs r13 are mechanical: their r14
-    * driver-side fits collapsed the BASE walls (0.29→0.18 s, 0.30→0.06 s)
-    * against unchanged x16-side distributed plans, so the ratio records
-    * rise while the implied x16 wall bounds tighten. */
-  val RecordedRatios: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 1.30, "q5_local_supplier_volume" -> 2.09,
-    "a1_profile_lineitem" -> 5.87, "d1_ks_statistic" -> 4.81,
-    "d3_drift_all" -> 4.68, "v2_generalize" -> 5.86, "v4_synthetic" -> 18.12,
-    "v5_smart_suggest" -> 7.25, "x_minhash_lsh" -> 4.94,
-    "x_ngram_jaccard" -> 9.25, "x_corpus_clean" -> 2.55,
-    "s_sessionize" -> 1.97, "q_asof_join" -> 2.54, "d_psi" -> 1.54,
-    "x_vocab_topk" -> 5.73, "x_snapshot_diff" -> 4.27,
-    "x_embed_centroid" -> 2.54, "x_distinct_sketch" -> 2.37,
-    "q_salted_agg" -> 1.72, "a_corr_matrix" -> 4.14,
-    "d_drift_extended" -> 2.54, "x_bpe_pairs" -> 5.07, "s_funnel" -> 2.13,
-    "x_leakage_split" -> 1.76, "x_neardup_delta" -> 3.76,
-    "q_nearest_event" -> 3.28, "s_attribution" -> 2.92,
-    "x_neardup_delta_auto" -> 0.93, "x_source_overlap" -> 1.69,
-    "x_ppl_buckets" -> 3.46, "q18_large_orders" -> 1.48,
-    "q_enrich_events" -> 1.04, "q7_volume_shipping" -> 3.66,
-    "x_doc_novelty" -> 4.05, "x_source_card" -> 2.05,
-    "x_minhash_lsh_auto" -> 3.61, "x_neardup_auto" -> 2.05,
-    "x_dedup_clusters_auto_dist" -> 1.82, "v6_linkage_risk_lsh" -> 1.71)
+    * PROVENANCE: every pair below is the r14 definitive pin run —
+    * `SCALE_r14_repin_source.json`, r14's first full min-of-2 pass on
+    * its final tree (the confirmation re-run against these pins is
+    * `SCALE_r14.json`). The r8/r12/r13 ratio pins had drifted 0.5×–1.6×
+    * in BOTH directions after six rounds of base-side improvements;
+    * re-pinning the whole set to one named artifact restored gate
+    * sensitivity and made record↔artifact provenance auditable. */
+  val RecordedWalls: Map[String, (Double, Double)] = Map(
+    "q1_pricing_summary" -> (1.46, 1.90), "q5_local_supplier_volume" -> (0.46, 0.96),
+    "a1_profile_lineitem" -> (1.40, 8.25), "d1_ks_statistic" -> (0.25, 1.19),
+    "d3_drift_all" -> (1.67, 7.82), "v2_generalize" -> (0.25, 1.49),
+    "v4_synthetic" -> (0.18, 3.32), "v5_smart_suggest" -> (0.06, 0.42),
+    "x_minhash_lsh" -> (0.66, 3.24), "x_ngram_jaccard" -> (2.55, 23.58),
+    "x_corpus_clean" -> (0.54, 1.38), "s_sessionize" -> (0.52, 1.03),
+    "q_asof_join" -> (0.44, 1.12), "d_psi" -> (0.52, 0.81),
+    "x_vocab_topk" -> (0.17, 0.99), "x_snapshot_diff" -> (0.21, 0.91),
+    "x_embed_centroid" -> (0.29, 0.74), "x_distinct_sketch" -> (0.18, 0.42),
+    "q_salted_agg" -> (0.37, 0.63), "a_corr_matrix" -> (2.20, 9.12),
+    "d_drift_extended" -> (1.90, 4.82), "x_bpe_pairs" -> (0.33, 1.69),
+    "s_funnel" -> (0.36, 0.76), "x_leakage_split" -> (2.88, 5.07),
+    "x_neardup_delta" -> (2.75, 10.35), "q_nearest_event" -> (0.30, 1.00),
+    "s_attribution" -> (0.30, 0.88), "x_neardup_delta_auto" -> (2.78, 2.59),
+    "x_source_overlap" -> (0.91, 1.53), "x_ppl_buckets" -> (0.59, 2.03),
+    "q18_large_orders" -> (0.75, 1.11), "q_enrich_events" -> (0.23, 0.23),
+    "q7_volume_shipping" -> (0.48, 1.75), "x_doc_novelty" -> (0.45, 1.83),
+    "x_source_card" -> (0.49, 1.01), "x_minhash_lsh_auto" -> (0.73, 2.63),
+    "x_neardup_auto" -> (2.48, 5.08), "x_dedup_clusters_auto_dist" -> (4.08, 7.43),
+    "v6_linkage_risk_lsh" -> (1.04, 1.78))
 
   val CeilingSlack = 2.0
-  val CeilingFloor = 4.0
+  val CeilingFloor = 4.0         // ratio-rule floor (sub-2× ratios are job-floor constant)
+  val WallRuleBaseCutoffSec = 1.0
+  val WallCeilingFloorSec = 2.0  // wall-rule floor: sub-2 s x16 walls are scheduler noise
 
-  val RatioCeilings: Map[String, Double] =
-    RecordedRatios.map { case (q, r) =>
-      q -> math.max(r * CeilingSlack, CeilingFloor)
+  /** The gate rule per headline row (r15, the r14 verdict/envelope ask):
+    * a row whose RECORDED base wall is under [[WallRuleBaseCutoffSec]]
+    * gates on its x16 WALL (recorded x16 wall × slack, floored at
+    * [[WallCeilingFloorSec]]) — a ratio against a 0.06–0.9 s base
+    * measures base-side speedups, not scaling (three rounds of base
+    * improvements inflated a1's ratio record 5.87→8.89 at a FLAT x16
+    * wall, and forced the v4/v5 18.12/7.25 re-pins for the same
+    * mechanical reason). Rows with a ≥1 s base keep the ratio rule
+    * (recorded ratio × slack, floored at [[CeilingFloor]]): there the
+    * ratio is genuine curvature signal and survives base drift.
+    * Returns (kind, ceiling) with kind ∈ {"wall","ratio"}. */
+  def ceilingFor(q: String): Option[(String, Double)] =
+    RecordedWalls.get(q).map { case (base, x16) =>
+      if (base < WallRuleBaseCutoffSec)
+        ("wall", math.max(x16 * CeilingSlack, WallCeilingFloorSec))
+      else
+        ("ratio", math.max((x16 / base) * CeilingSlack, CeilingFloor))
     }
+
+  /** One-line statement of the active rule, recorded verbatim in the
+    * gate artifact's `ceiling_rule` so a reader can audit ceilings
+    * without the source. */
+  val CeilingRule: String =
+    s"base < ${WallRuleBaseCutoffSec}s (recorded): x16 WALL ceiling = recorded x16 wall x $CeilingSlack, floor ${WallCeilingFloorSec}s; " +
+      s"else RATIO ceiling = recorded ratio x $CeilingSlack, floor $CeilingFloor; records = SCALE_r14_repin_source.json; breach = nonzero exit"
 
   /** Materialize (or reuse) the N× directory; returns its path. A marker
     * file keyed on (src, copies) makes repeated bench runs reuse the
