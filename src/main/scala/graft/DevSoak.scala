@@ -23,13 +23,18 @@ import graft.streaming.{CorpusStream, DriftStream}
   *
   * Usage: runMain graft.DevSoak [batches] [out.json] [sink]
   * `sink` = `memory` (default: results queryable, survivors counted) or
-  * `noop` (r15, the r14 verdict's ask 6: the memory-sink variant's
-  * post-GC heap crept 83→119 MB over 120 batches and the envelope
-  * attributed it to the sink's accumulating result tables — the noop
-  * variant drains identical micro-batches into Spark's no-op sink, so a
-  * flat heap series here isolates the creep to the sink and proves the
-  * ENGINE side leak-free). Emits one JSON line (and optionally the
-  * artifact file) with the state-rows / heap series and pass booleans.
+  * `noop` (r15, the r14 verdict's ask 6): drains identical
+  * micro-batches into Spark's no-op sink so the heap series excludes
+  * memory-sink result tables. Measured finding (SOAK_NOOP_r15 /
+  * SOAK_NOOP360_r15): the creep is NOT the sink — it persists without
+  * it, but a 360-batch run shows it PLATEAUS at ~120 MB from batch
+  * ~140 onward, and the controlled experiment in
+  * SOAK_NOOP_LOWRETAIN_r15 (same seeds, retained status-history caps
+  * shrunk via the conf-override arg) runs dead flat at 79-85 MB:
+  * the creep is Spark's retained job/stage/execution history filling
+  * to its default caps, not a per-batch leak.
+  * Emits one JSON line (and optionally the artifact file) with the
+  * state-rows / heap series and pass booleans.
   */
 object DevSoak {
   final case class Doc(doc_id: Long, text: String, ingest_ts: Timestamp)
@@ -55,7 +60,14 @@ object DevSoak {
     val out = args.lift(1)
     val sink = args.lift(2).getOrElse("memory")
     require(sink == "memory" || sink == "noop", s"unknown sink '$sink'")
-    val spark = Sessions.local(cpus = "8", appName = "graft-soak")
+    // optional 4th arg: comma-separated k=v Spark conf overrides, for
+    // attribution experiments (e.g. shrinking spark.ui.retained* to
+    // prove the plateau is the retained status/progress history)
+    val extraConf = args.lift(3).map(_.split(',').map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap).getOrElse(Map.empty[String, String])
+    val spark = Sessions.local(cpus = "8", appName = "graft-soak",
+      extraConf = extraConf)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -138,7 +150,8 @@ object DevSoak {
     // memory stable: post-GC heap at the end ≤ 1.5× the early steady point
     val memStable = heaps.last._2 <= heaps(math.min(1, heaps.length - 1))._2 * 3 / 2
     val json =
-      s"""{"metric":"stream_soak","sink":"$sink","batches":$batches,"docs_per_batch":300,"obs_per_batch":1000,""" +
+      s"""{"metric":"stream_soak","sink":"$sink","batches":$batches,""" +
+      s""""conf_overrides":"${extraConf.map { case (k, v) => s"$k=$v" }.mkString(",")}","docs_per_batch":300,"obs_per_batch":1000,""" +
       s""""corpus_survivors":$survivors,"psi_windows":$psiRows,""" +
       s""""state_series":[${states.map(s => s"[${s._1},${s._2},${s._3}]").mkString(",")}],""" +
       s""""heap_mb_series":[${heaps.map(h => s"[${h._1},${h._2 / 1048576}]").mkString(",")}],""" +
