@@ -408,15 +408,25 @@ object QueryCatalog {
                 col(s"s${tag}_max") <= col(s"r${tag}_max") + sigmaSynth * 6.0)
                 .as(s"range_ok_$tag"))
       }
+      // PMF envelope is n-aware like the mean envelope (r15: extended
+      // fuzz seeds 5001/5002 — 37/200-row fixtures — showed a FIXED
+      // L∞ ≤ 0.05 measures the fixture size, not the sampler: an
+      // unbiased multinomial draw over n=37 has per-category sd
+      // ≈ 0.08). Per-category 6σ binomial CLT bound on the synthetic
+      // side's draw count instead — sound at any n, and TIGHTER than
+      // the old constant at catalog n (≈0.012 at 60 k rows).
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val pmfOk = pmf(syn, "s").join(pmf(li, "r"), Seq("k"), "full_outer")
-        .select(abs(
-          coalesce(col("s_n"), lit(0L)).cast("double") /
-            sum(coalesce(col("s_n"), lit(0L))).over(w) -
-          coalesce(col("r_n"), lit(0L)).cast("double") /
-            sum(coalesce(col("r_n"), lit(0L))).over(w)).as("d"))
-        .agg(max("d").as("linf"))
-        .select((col("linf") <= 0.05).as("pmf_ok"))
+        .select(
+          (coalesce(col("s_n"), lit(0L)).cast("double") /
+            sum(coalesce(col("s_n"), lit(0L))).over(w)).as("ps"),
+          (coalesce(col("r_n"), lit(0L)).cast("double") /
+            sum(coalesce(col("r_n"), lit(0L))).over(w)).as("pr"),
+          sum(coalesce(col("s_n"), lit(0L))).over(w).cast("double").as("ns"))
+        .select((abs(col("ps") - col("pr")) <=
+          sqrt(col("pr") * (lit(1.0) - col("pr")) / col("ns")) * lit(6.0) +
+            lit(1e-6)).as("ok"))
+        .agg(bool_and(col("ok")).as("pmf_ok"))
       syn.agg(count(lit(1)).as("n_rows"))
         .crossJoin(joins(0)).crossJoin(joins(1)).crossJoin(pmfOk)
     }),

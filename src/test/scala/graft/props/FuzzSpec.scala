@@ -28,6 +28,20 @@ class FuzzSpec extends SparkSpec {
     try scala.sys.process.Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: Exception => false }
 
+  /** Extended sweep (r15): `SPARK_GRAFT_FUZZ_EXTRA=N` adds N fresh
+    * fully-random seeds per family, in reserved bands (base, base+N)
+    * disjoint from the committed seed ledger and from each other (the
+    * fixture dir is keyed by seed, so cross-family collisions would
+    * overwrite). Every generator is total in the seed — named edge
+    * shapes live on the pinned low seeds; extras draw the generic
+    * randomized profile (dedup extras still plant mutated clones: the
+    * clone branch triggers for any seed ≥ 25). Off (N=0) in the default
+    * suite so `sbt test` stays deterministic and bounded; a widened run
+    * is one env var away and any divergence reproduces by seed. */
+  private val extraN =
+    sys.env.get("SPARK_GRAFT_FUZZ_EXTRA").map(_.trim.toInt).getOrElse(0)
+  private def extra(base: Int): Seq[Int] = (0 until extraN).map(base + _)
+
   /** Catalog queries reading only lineitem/orders/supplier/customer —
     * the profile, drift, transform, privacy and relational families. */
   private val FuzzQueries = Set(
@@ -441,21 +455,21 @@ class FuzzSpec extends SparkSpec {
     assert(code == 0, s"oracle divergence at seed $seed:\n$buf")
   }
 
-  for (seed <- 10 to 12)
+  for (seed <- (10 to 12) ++ extra(1000))
     test(s"differential events fuzz seed $seed: ${EventsFuzzQueries.size} stream queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeOneTable(seed, "events", genEvents(seed)),
         EventsFuzzQueries)
     }
 
-  for (seed <- (13 to 15) ++ (64 to 66))
+  for (seed <- (13 to 15) ++ (64 to 66) ++ extra(2000))
     test(s"differential embeddings fuzz seed $seed: ${EmbedFuzzQueries.size} similarity queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeOneTable(seed, "embeddings", genEmbeddings(seed)),
         EmbedFuzzQueries)
     }
 
-  for (seed <- (7 to 9) ++ (61 to 63))
+  for (seed <- (7 to 9) ++ (61 to 63) ++ extra(3000))
     test(s"differential text fuzz seed $seed: ${TextFuzzQueries.size} document queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       val dir = materializeDocFixture(seed)
@@ -491,7 +505,7 @@ class FuzzSpec extends SparkSpec {
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q7_volume_shipping", "x_zorder_stats")
 
-  for (seed <- (16 to 18) :+ 34)
+  for (seed <- (16 to 18) ++ Seq(34) ++ extra(4000))
     test(s"differential window/grouping fuzz seed $seed: ${WindowFuzzQueries.size} relational queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeFixture(seed), WindowFuzzQueries)
@@ -514,7 +528,7 @@ class FuzzSpec extends SparkSpec {
     // degenerate fits) and D4's range-contract audit ride along.
     "v6_linkage_risk", "v4_synthetic_audit", "d4_utility_audit")
 
-  for (seed <- 19 to 21)
+  for (seed <- (19 to 21) ++ extra(5000))
     test(s"differential privacy fuzz seed $seed: ${PrivacyFuzzQueries.size} privacy queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeFixture(seed), PrivacyFuzzQueries)
@@ -547,7 +561,7 @@ class FuzzSpec extends SparkSpec {
     // fuzzes here where the documents table is the generated one
     "a_mutual_info")
 
-  for (seed <- 22 to 24)
+  for (seed <- (22 to 24) ++ extra(6000))
     test(s"differential curation fuzz seed $seed: ${CurationFuzzQueries.size} curation queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeDocFixture(seed), CurationFuzzQueries)
@@ -572,7 +586,7 @@ class FuzzSpec extends SparkSpec {
     // seam, its attribution view, and the bloom-prefiltered form
     "x_contamination", "x_contamination_attr", "x_bloom_contamination")
 
-  for (seed <- 25 to 27)
+  for (seed <- (25 to 27) ++ extra(7000))
     test(s"differential dedup fuzz seed $seed: ${DedupFuzzQueries.size} near-dup queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed, materializeDocFixture(seed), DedupFuzzQueries)
@@ -618,7 +632,7 @@ class FuzzSpec extends SparkSpec {
     spark.createDataFrame(docs.asJava, docSchema)
   }
 
-  for (seed <- (28 to 30) ++ (67 to 69))
+  for (seed <- (28 to 30) ++ (67 to 69) ++ extra(8000))
     test(s"differential multimodal fuzz seed $seed: ${MultimodalFuzzQueries.size} media queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       runDifferential(seed,
@@ -626,7 +640,7 @@ class FuzzSpec extends SparkSpec {
         MultimodalFuzzQueries)
     }
 
-  for (seed <- 1 to 6)
+  for (seed <- (1 to 6) ++ extra(9000))
     test(s"differential fuzz seed $seed: ${FuzzQueries.size} catalog queries vs the DuckDB oracle") {
       assume(duckdbOk, "python3+duckdb not available in this environment")
       val dir = materializeFixture(seed)
