@@ -47,9 +47,20 @@ object Tables {
     // statted gets NO caching at all (r13 ADVICE: an un-stat-able path
     // that is rewritten while stat keeps failing would otherwise pin its
     // first schema forever under a constant key).
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path)).toMillis
-      catch { case _: Exception => return spark.read.parquet(path) }
+    // Regular files ONLY (r15): for a DIRECTORY dataset (hive-partitioned
+    // or multi-part) the top-level mtime misses every in-place part
+    // rewrite — a file rewritten inside key=value/ updates its own mtime,
+    // not the directory's — so a dir-keyed entry would serve a stale
+    // schema forever (the same stale-cache class the r13 unstattable-path
+    // and r15 bigram-memo ADVICE items closed). Directories skip caching
+    // and pay one footer-inference job per construction; the hot bench
+    // fixtures are single files, which the file's own mtime invalidates
+    // exactly.
+    val p = java.nio.file.Paths.get(path)
+    val mtime = try {
+      if (!java.nio.file.Files.isRegularFile(p)) return spark.read.parquet(path)
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    } catch { case _: Exception => return spark.read.parquet(path) }
     // inference stays conf-keyed by session (the weak outer key).
     val perSession = schemaCache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap())

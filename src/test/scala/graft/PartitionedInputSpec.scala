@@ -132,6 +132,37 @@ class PartitionedInputSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("directory datasets: in-place part rewrite is visible to the next load (no stale schema cache)") {
+    // A part file rewritten IN PLACE (same name, truncate+write) changes
+    // its own mtime but not any directory's — the one invalidation signal
+    // a dir-keyed schema cache can never see. Tables must therefore not
+    // cache directory datasets at all.
+    import org.apache.spark.sql.functions.lit
+    val dir = "/tmp/graft_dirschema"
+    val path = java.nio.file.Paths.get(dir, "documents.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(path)
+    def onePart(df: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val tmp = s"$dir/__tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get.toPath
+    }
+    val base = Tables.documents(spark, Sf).limit(20)
+    val v1 = onePart(base)
+    val target = path.resolve("part-00000.parquet")
+    java.nio.file.Files.copy(v1, target)
+    assert(!Tables.load(spark, dir, "documents").columns.contains("extra"))
+    val v2 = onePart(base.withColumn("extra", lit(1L)))
+    // in-place: same file name, content replaced — dir mtimes untouched
+    java.nio.file.Files.write(target, java.nio.file.Files.readAllBytes(v2),
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    assert(Tables.load(spark, dir, "documents").columns.contains("extra"),
+      "rewritten part file served a stale schema")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("partitioned lineitem: partition column recovered with original type and full cardinality") {
     val df = Tables.load(spark, partDir, "lineitem")
     val flat = Tables.load(spark, Sf, "lineitem")
