@@ -247,6 +247,33 @@ object Drift {
     * review actually wants. Composes the three existing operators — each
     * keeps its own scale-safe plan — and unions three 1-row frames. */
   def driftPanel(before: DataFrame, after: DataFrame, c: String): DataFrame = {
+    // Fused driver dispatch (r15, guide §1.2 "remove passes"): composed,
+    // the three operators collect/scan the two sides SEVEN times between
+    // them (KS 2 collects, PSI 1 edge-fit collect + 2 binning scans, W₁
+    // 2 collects) plus PSI/W₁'s shuffle machinery. Below the measured KS
+    // driver ceiling, ONE collect per side feeds all three merge-walks —
+    // each the bit-identical driver twin of its plan form (ksMerge,
+    // psiMergeDriver, w1Merge; equality pinned by DriftSpec on both
+    // paths). Non-finite samples fall back to the composed operators,
+    // whose NaN/∞ ordering and range-gate semantics own those inputs.
+    val useDriver =
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes
+    if (useDriver) {
+      val spark = before.sparkSession
+      import spark.implicits._
+      val a = collectRaw(before, Seq(c))(c)
+      val b = collectRaw(after, Seq(c))(c)
+      if (allFinite(a) && allFinite(b)) {
+        java.util.Arrays.parallelSort(a)
+        java.util.Arrays.parallelSort(b)
+        val ks = ksMerge(a, b)
+        val ps = psiMergeDriver(a, b, bins = 10, eps = 1e-6, roundTo = 6)
+        val w1 = w1Merge(a, b)
+        return Seq(("ks", ks), ("psi", ps), ("wasserstein", w1))
+          .toDF("metric", "value").orderBy(col("metric"))
+      }
+    }
     val ks = ksStatistic(before, after, c)
       .select(lit("ks").as("metric"), col("ks").cast("double").as("value"))
     val ps = psi(before, after, c)
@@ -254,6 +281,59 @@ object Drift {
     val w1 = wasserstein(before, after, c)
       .select(lit("wasserstein").as("metric"), col("w1").cast("double").as("value"))
     ks.union(ps).union(w1).orderBy(col("metric"))
+  }
+
+  /** Driver PSI over two sorted finite arrays — the exact arithmetic of
+    * [[psiFrame]]'s plan, op for op: edges are the before side's
+    * interpolated `quantile_cont` deciles (the fitOne formula, then
+    * `.distinct.sorted` like psiEdges); bin(v) = #{edges ≤ v} via binary
+    * search (ties land exactly as the plan's `v >= e` fold, -0.0/0.0
+    * included); proportions eps-floored per bin; terms summed in
+    * ascending bin order (the plan's fixed-order cumulative window);
+    * Spark-ROUND-equivalent rounding. Callers guarantee finiteness —
+    * non-finite inputs stay on the composed plan path. */
+  private def psiMergeDriver(aSorted: Array[Double], bSorted: Array[Double],
+                             bins: Int, eps: Double, roundTo: Int): Option[Double] = {
+    val ta = aSorted.length; val tb = bSorted.length
+    if (ta == 0 || tb == 0) return None
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val qs = probs.map { p =>
+      val h = p * (ta - 1)
+      val i = math.floor(h).toInt
+      if (h == math.floor(h)) aSorted(i)
+      else Exact.interp(aSorted(i), aSorted(i + 1), h - math.floor(h))
+    }
+    val edges = qs.distinct.sorted
+    val nb = edges.size + 1
+    def binCounts(arr: Array[Double], n: Int): Array[Long] = {
+      // #(bin ≥ k+1) = n − (first index with arr(i) ≥ edges(k))
+      val ge = edges.map { e =>
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) < e) lo = mid + 1 else hi = mid
+        }
+        (n - lo).toLong
+      }
+      Array.tabulate(nb) { k =>
+        val atLeastK = if (k == 0) n.toLong else ge(k - 1)
+        val atLeastK1 = if (k == nb - 1) 0L else ge(k)
+        atLeastK - atLeastK1
+      }
+    }
+    val ca = binCounts(aSorted, ta)
+    val cb = binCounts(bSorted, tb)
+    var cum = 0.0
+    var best = Double.NegativeInfinity
+    var k = 0
+    while (k < nb) {
+      val pa = math.max(ca(k).toDouble / ta, eps)
+      val pb = math.max(cb(k).toDouble / tb, eps)
+      cum += (pa - pb) * math.log(pa / pb)
+      if (cum > best) best = cum
+      k += 1
+    }
+    Some(roundLike(best, roundTo))
   }
 
   /** Segmented drift — per-group two-sample KS: "WHICH segment drifted",
@@ -440,8 +520,86 @@ object Drift {
     * offsets, and the cross-bucket LEAD stitched through each bucket's
     * min(v) carried on the (≤`buckets`-row) offsets frame — no
     * global-ordered window ever touches the O(|distinct|) frame. */
+  /** Driver merge-walk W₁ — the exact per-segment arithmetic of the
+    * bucketed plan below, op for op (same IEEE double chain
+    * num/ta/tb·width·2⁶², same two-level floor, exact integer
+    * accumulation, same range≤10¹⁵ dispatch back to the plain double
+    * sum, NaN sorting last like Spark/DuckDB ascending order), so the
+    * two paths are bit-identical — the ksMerge precedent. The legacy
+    * (range-gate-failed) double sum runs in ascending grid order here;
+    * the plan's shuffle-order sum is only reachable on non-finite or
+    * >10¹⁵-wide domains where both engines already own the ±n·ε answer. */
+  private def w1Merge(a: Array[Double], b: Array[Double]): Option[Double] = {
+    val na = a.length; val nb = b.length
+    if (na == 0 || nb == 0) return None
+    java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+    val vmin = if (java.lang.Double.compare(a(0), b(0)) <= 0) a(0) else b(0)
+    val vmax = if (java.lang.Double.compare(a(na - 1), b(nb - 1)) >= 0) a(na - 1)
+               else b(nb - 1)
+    val rangeOk = (vmax - vmin) <= 1e15 // NaN/∞ compare false, like the plan
+    val taD = na.toDouble; val tbD = nb.toDouble
+    val two62 = 4.611686018427387904e18
+    var sq = java.math.BigInteger.ZERO
+    var s = 0.0
+    var i = 0; var j = 0
+    while (i < na || j < nb) {
+      val cmp =
+        if (i >= na) 1 else if (j >= nb) -1
+        else java.lang.Double.compare(a(i), b(j))
+      val v = if (cmp <= 0) a(i) else b(j)
+      if (cmp <= 0) while (i < na && java.lang.Double.compare(a(i), v) == 0) i += 1
+      if (cmp >= 0) while (j < nb && java.lang.Double.compare(b(j), v) == 0) j += 1
+      // width to the next merged grid value; 0.0 on the last row
+      // (coalesce(lead(v) − v, 0) in the plan)
+      val width =
+        if (i >= na && j >= nb) 0.0
+        else {
+          val nxt =
+            if (i >= na) b(j) else if (j >= nb) a(i)
+            else if (java.lang.Double.compare(a(i), b(j)) <= 0) a(i) else b(j)
+          nxt - v
+        }
+      // cumulative counts ARE the consumed prefix lengths
+      val num = math.abs(i.toDouble * tbD - j.toDouble * taD)
+      if (rangeOk) {
+        val t4 = num / taD / tbD * width * two62
+        if (t4 < 8.6e37) {
+          if (t4 < 4.503599627370496e15)
+            sq = sq.add(java.math.BigInteger.valueOf(math.floor(t4).toLong))
+          else
+            sq = sq.add(java.math.BigDecimal.valueOf(t4)
+              .setScale(0, java.math.RoundingMode.HALF_UP).toBigInteger)
+        }
+      } else s += num * width
+    }
+    Some(
+      if (rangeOk) new java.math.BigDecimal(sq).doubleValue() / two62
+      else s / taD / tbD)
+  }
+
   def wasserstein(before: DataFrame, after: DataFrame, c: String,
-                  buckets: Int = 32): DataFrame = {
+                  buckets: Int = 32,
+                  driverCollect: Option[Boolean] = None): DataFrame = {
+    // Auto-dispatch (the ksStatisticMulti shape, same measured ceiling):
+    // below the per-side plan-stats ceiling both sides collect in one
+    // narrow scan each (parquet-footer driver decode when the input is a
+    // pure scan) and the driver merge-walks the grid — the whole
+    // histogram shuffle + range partition + checkpoint + two window
+    // stages collapse into one pass over two sorted arrays, bit-identical
+    // output (W1DispatchSpec pins equality on both sides of the range
+    // gate). Above the ceiling the scale-safe bucketed plan below runs
+    // unchanged; `driverCollect` is the spec's override, like
+    // ksStatisticMulti's.
+    val useDriver = driverCollect.getOrElse(
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes)
+    if (useDriver) {
+      val spark = before.sparkSession
+      import spark.implicits._
+      val aArr = collectRaw(before, Seq(c))(c)
+      val bArr = collectRaw(after, Seq(c))(c)
+      return Seq((c, w1Merge(aArr, bArr))).toDF("column", "w1")
+    }
     val counts = ksCountsFrame(before, after, Seq(c))
     // localCheckpoint freezes bucket ids — the two consumers (offsets,
     // cumulative join) must see ONE range partitioning; see the
@@ -522,12 +680,44 @@ object Drift {
     * sums all run per-ci in parallel. Returns (column → Some(psi)), None
     * when a side has no non-null rows. */
   def psiMulti(before: DataFrame, after: DataFrame, cols: Seq[String],
-               bins: Int = 10, eps: Double = 1e-6, roundTo: Int = 6)
+               bins: Int = 10, eps: Double = 1e-6, roundTo: Int = 6,
+               driverCollect: Option[Boolean] = None)
       : Seq[(String, Option[Double])] = {
     if (cols.isEmpty) return Seq.empty
+    // Driver dispatch (r15, the ksStatisticMulti shape): below the KS
+    // ceiling the edge fit was ALREADY a driver sort (psiEdges) — but the
+    // binning still paid two fused scans plus the spine/window plan. One
+    // collect per side now feeds edges AND bins via [[psiMergeDriver]],
+    // bit-identical (DriftSpec pins both paths). Any non-finite value
+    // anywhere falls back to the composed plan, whose in-agg percentile
+    // fallback owns non-finite ordering.
+    val useDriver = driverCollect.getOrElse(
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes)
+    if (useDriver) {
+      val aM = collectRaw(before, cols)
+      val bM = collectRaw(after, cols)
+      if (cols.forall(c => allFinite(aM(c)) && allFinite(bM(c)))) {
+        return cols.map { c =>
+          val a = aM(c); val b = bM(c)
+          java.util.Arrays.parallelSort(a)
+          java.util.Arrays.parallelSort(b)
+          c -> psiMergeDriver(a, b, bins, eps, roundTo)
+        }
+      }
+    }
     val byCi = psiFrame(before, after, cols, bins, eps, roundTo).collect()
       .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     cols.zipWithIndex.map { case (c, i) => c -> byCi.getOrElse(i, None) }
+  }
+
+  private def allFinite(x: Array[Double]): Boolean = {
+    var i = 0
+    while (i < x.length) {
+      if (x(i).isNaN || x(i).isInfinite) return false
+      i += 1
+    }
+    true
   }
 
   /** The distributed (ci, psi) plan behind [[psiMulti]] — exposed so the

@@ -34,6 +34,77 @@ class DriftSpec extends SparkSpec {
     assert(d2 == Seq("l_quantity" -> None))
   }
 
+  test("wasserstein: driver merge-walk and bucketed plan agree bit-exactly (both range regimes)") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val before = li.filter(col("l_orderkey") % 2 === 0)
+    val after = li.filter(col("l_orderkey") % 2 === 1)
+    def both(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame,
+             c: String): (Any, Any) = {
+      val d = Drift.wasserstein(b, a, c, driverCollect = Some(true)).collect()(0)
+      val p = Drift.wasserstein(b, a, c, driverCollect = Some(false)).collect()(0)
+      (if (d.isNullAt(1)) null else d.getDouble(1),
+        if (p.isNullAt(1)) null else p.getDouble(1))
+    }
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey").foreach { c =>
+      val (d, p) = both(before, after, c)
+      assert(d == p, s"$c: driver=$d plan=$p")
+    }
+    // range gate FAILED side (legacy double sum) and sub-cent gaps
+    val wideA = Seq(0.0, 1.0, 2e15).toDF("x")
+    val wideB = Seq(0.5, 1.5, 2e15).toDF("x")
+    val (dw, pw) = both(wideA, wideB, "x")
+    assert(dw == pw, s"wide: driver=$dw plan=$pw")
+    val subA = Seq(0.001, 0.002, 0.003).toDF("x")
+    val subB = Seq(0.0015, 0.0025, 0.0035).toDF("x")
+    val (ds, ps) = both(subA, subB, "x")
+    assert(ds == ps, s"subcent: driver=$ds plan=$ps")
+    // NaN rides as a sample point on both paths
+    val nanA = Seq(1.0, 2.0, Double.NaN).toDF("x")
+    val nanB = Seq(1.0, 3.0).toDF("x")
+    val (dn, pn) = both(nanA, nanB, "x")
+    assert((dn == pn) || (dn.asInstanceOf[Double].isNaN && pn.asInstanceOf[Double].isNaN),
+      s"nan: driver=$dn plan=$pn")
+    // empty side → null on the driver path too
+    val (de, _) = both(Seq.empty[Double].toDF("x"), nanB, "x")
+    assert(de == null)
+  }
+
+  test("psiMulti: driver merge-walk and plan binning agree bit-exactly") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val before = li.filter(col("l_orderkey") % 2 === 0)
+    val after = li.filter(col("l_orderkey") % 2 === 1)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+    val viaDriver = Drift.psiMulti(before, after, cols, driverCollect = Some(true))
+    val viaPlan = Drift.psiMulti(before, after, cols, driverCollect = Some(false))
+    assert(viaDriver == viaPlan, s"\ndriver: $viaDriver\nplan:   $viaPlan")
+    // empty side → None on the driver path too
+    import spark.implicits._
+    val e = Seq.empty[Double].toDF("l_quantity")
+    assert(Drift.psiMulti(before.select("l_quantity"), e, Seq("l_quantity"),
+      driverCollect = Some(true)) == Seq("l_quantity" -> None))
+  }
+
+  test("driftPanel: fused driver path equals the standalone operators on lineitem") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val before = li.filter(col("l_orderkey") % 2 === 0)
+    val after = li.filter(col("l_orderkey") % 2 === 1)
+    val panel = Drift.driftPanel(before, after, "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(panel("ks") ==
+      Drift.ksStatistic(before, after, "l_extendedprice").collect()(0).getDouble(1))
+    assert(panel("psi") ==
+      Drift.psi(before, after, "l_extendedprice").collect()(0).getDouble(1))
+    assert(panel("wasserstein") ==
+      Drift.wasserstein(before, after, "l_extendedprice",
+        driverCollect = Some(false)).collect()(0).getDouble(1))
+    // non-finite samples take the composed fallback, same three rows
+    import spark.implicits._
+    val withNaN = Seq(1.0, 2.0, Double.NaN, 3.0).toDF("x")
+    val other = Seq(1.5, 2.5, 3.5).toDF("x")
+    val p2 = Drift.driftPanel(withNaN, other, "x").collect()
+    assert(p2.map(_.getString(0)).toSeq == Seq("ks", "psi", "wasserstein"))
+  }
+
   test("driftPanel: three metrics, each matching its standalone operator") {
     val a = (1 to 100).map(_.toDouble).toDF("x")
     val b = (1 to 100).map(_ + 10.0).toDF("x")
