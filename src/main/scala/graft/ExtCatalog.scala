@@ -686,7 +686,10 @@ object ExtCatalog {
     "t_lang_id" -> ((s, d) =>
       TextStats.langId(Tables.documents(s, d), "text", "doc_id")),
     "t_gopher_rules" -> ((s, d) =>
-      TextStats.gopherRules(Tables.documents(s, d), "text", "doc_id")),
+      // widened at the CALL SITE, not inside the operator: QualityModel's
+      // fit reads gopherRules on the un-widened frame to keep the LBFGS
+      // sample placement (and so the declared model bits) untouched
+      TextStats.gopherRules(graft.ops.Par.widen(Tables.documents(s, d)), "text", "doc_id")),
     "t_freq_spectrum" -> ((s, d) =>
       TextStats.freqSpectrum(Tables.documents(s, d), "text")),
     "x_source_overlap" -> ((s, d) =>

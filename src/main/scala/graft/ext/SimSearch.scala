@@ -369,7 +369,14 @@ object SimSearch {
       }
       centers
     }
-    val codebooks: Array[Array[Array[Double]]] = (0 until mEff).map(fitSub).toArray
+    // per-subspace fits are independent (own seeded Random(seed+j), own
+    // slice of the sample) — run them on the common pool instead of
+    // serially on one driver core (the numProfileViaDriverSort idiom);
+    // output identical, fit wall ÷ min(mEff, cores)
+    val codebooks: Array[Array[Array[Double]]] =
+      (0 until mEff).map(j => java.util.concurrent.CompletableFuture
+        .supplyAsync(() => fitSub(j)))
+        .map(_.join()).toArray
     val bc = spark.sparkContext.broadcast(codebooks)
 
     // .asNondeterministic() is a PLAN BARRIER, not a semantics claim:

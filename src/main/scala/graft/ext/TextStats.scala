@@ -186,7 +186,10 @@ object TextStats {
     * One stateless codegen scan; every term is a per-row integer count
     * or a fixed-order double blend — oracle-EXACT. Empty text → null
     * score (no evidence either way), mirroring the oracle's 0/0→NULL. */
-  def codeDetect(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def codeDetect(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // regex strip + keyword filter per row is the cost; a single-split
+    // corpus scan would run it one-core (Par.widen: no-op at real scale)
+    val df = graft.ops.Par.widen(df0)
     val nChars = length(col(textCol))
     val nSym = nChars - length(regexp_replace(col(textCol), "[{}()\\[\\];=<>]", ""))
     val kwArr = array(CodeKeywords.map(lit): _*)
@@ -538,7 +541,8 @@ object TextStats {
   /** Document fingerprint: left fold of token hashes mod 1e9+7 (rolling
     * polynomial hash). Stable across engines: all-integer math. */
   def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), fingerprintExpr(col(textCol)).as("fingerprint"))
+    graft.ops.Par.widen(df)
+      .select(col(idCol), fingerprintExpr(col(textCol)).as("fingerprint"))
       .orderBy(col(idCol))
 
   /** Intra-document repetition: 1 − |distinct n-grams| / |n-grams| — the
@@ -562,7 +566,9 @@ object TextStats {
     * consumed before the phone/id patterns see them). Pure codegen'd
     * `regexp_replace` chain over lowercased text: one scan, no shuffle,
     * and the patterns are shared verbatim with the oracle. */
-  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def piiRedact(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the regexp_replace chain is the per-row cost; widen a few-split scan
+    val df = graft.ops.Par.widen(df0)
     val redacted = PiiPatterns.foldLeft(lower(col(textCol))) {
       case (c, (name, pat)) =>
         regexp_replace(c, lit(pat), lit(s"[${name.toUpperCase}]"))
@@ -592,7 +598,11 @@ object TextStats {
     * group into one task; the aggregate reduces it per map partition and
     * AQE can skew-split the join probe side. Every other column is a
     * stateless projection riding the same scan. */
-  def curationReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def curationReport(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // fingerprint + quality + lang are all heavy per-row kernels riding
+    // the scan stage; widen so a single-split corpus doesn't serialize
+    // them on one core (no-op at real scale)
+    val df = graft.ops.Par.widen(df0)
     val withFp = df.withColumn("fp", fingerprintExpr(col(textCol)))
     val groups = withFp.groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("survivor_id"))

@@ -50,13 +50,24 @@ object QualityModel {
                             dim: Int = 64): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val labels = graft.ext.TextStats.gopherRules(df, textCol, idCol)
-      .select(col(idCol), col("passes").cast("double").as("label"))
-    val feats = df.select(col(idCol),
-      graft.ext.TextStats.hashEmbedVec(col(textCol), dim)
-        .cast("array<double>").as("arr"))
-    val data = feats.join(labels, idCol)
-      .withColumn("features", array_to_vector(col("arr")))
+    def dataOver(src: DataFrame): DataFrame = {
+      val labels = graft.ext.TextStats.gopherRules(src, textCol, idCol)
+        .select(col(idCol), col("passes").cast("double").as("label"))
+      val feats = src.select(col(idCol),
+        graft.ext.TextStats.hashEmbedVec(col(textCol), dim)
+          .cast("array<double>").as("arr"))
+      feats.join(labels, idCol)
+        .withColumn("features", array_to_vector(col("arr")))
+    }
+    // FIT input stays on the un-widened frame: the sample's physical
+    // placement feeds LBFGS's float-sum order, so widening it would
+    // perturb coefficients in the last ulps for no model-quality gain.
+    // SCORING is a stateless per-row projection — identical values under
+    // any partitioning — so it reads the widened frame: the gopher-rule
+    // + hash-embed kernels were measured serializing on ONE core behind
+    // the single-split bench corpus scan (~0.8 s of the row's 2.8 s;
+    // Par.widen is a no-op on a real multi-split corpus).
+    val data = dataOver(df)
     // Row count for the fit-sample fraction comes from the INPUT frame,
     // never from `data`: the join is inner 1:1 on the id (labels derive
     // from the same rows), so the counts are equal — and for the common
@@ -111,17 +122,18 @@ object QualityModel {
             s"qualityClassifier: fit sample single-class at ${FitSampleCap * 16} " +
               "rows — scoring degrades to the heuristic echo (p_pass ∈ {0,1})")
       }
+      val scoreData = dataOver(graft.ops.Par.widen(df))
       if (classes < 2)
         // degenerate corpus (all-pass or all-fail in the fit sample):
         // the heuristic IS the classifier — echo it with probability
         // 0/1, same schema, still over the full corpus
-        return data.select(col(idCol), col("label"),
+        return scoreData.select(col(idCol), col("label"),
           col("label").as("p_pass"), col("label").as("prediction"))
       val model = new LogisticRegression()
         .setMaxIter(100).setTol(1e-4).fit(fitData)
       // transform = broadcast-coefficient stateless projection: adds
-      // columns to `data` without repartitioning it
-      model.transform(data)
+      // columns to the scoring frame without repartitioning it
+      model.transform(scoreData)
         .select(col(idCol), col("label"),
           vector_to_array(col("probability")).getItem(1).as("p_pass"),
           col("prediction"))
