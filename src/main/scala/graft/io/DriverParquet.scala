@@ -67,6 +67,11 @@ object DriverParquet {
       if (!catCols.forall(c => sparkType(c) == StringType)) return None
       if (!numCols.forall(c => sparkType(c) match {
         case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+        // timestamps decode as their raw INT64 epoch value (whatever the
+        // file's unit) — callers that use them (distinctCounts) only need
+        // a value-injective image, and prove |v| < 2⁵³ from the footer
+        // range first
+        case TimestampType | TimestampNTZType => true
         case _ => false // DecimalType etc: cast arithmetic isn't a raw decode
       })) return None
 
@@ -90,6 +95,7 @@ object DriverParquet {
             val ok = (sparkType(c), desc.getPrimitiveType.getPrimitiveTypeName) match {
               case (ByteType | ShortType | IntegerType, PrimitiveTypeName.INT32) => true
               case (LongType, PrimitiveTypeName.INT64)                           => true
+              case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64)   => true
               case (FloatType, PrimitiveTypeName.FLOAT)                          => true
               case (DoubleType, PrimitiveTypeName.DOUBLE)                        => true
               case (StringType, PrimitiveTypeName.BINARY)                        => true

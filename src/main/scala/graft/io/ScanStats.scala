@@ -30,6 +30,14 @@ object ScanStats {
   def parquetScanRowCount(df: DataFrame): Option[Long] =
     parquetScanLayout(df).map(_._1)
 
+  /** Exact row count, footer-first: the metadata answer when the plan is
+    * a pure parquet scan, else one zero-column count job. For the
+    * pre-flight `df.count()` dispatch sites (moment accumulator domain,
+    * driver-fit ceilings) whose input is almost always a pure scan —
+    * each swap deletes one Spark job from the operator's wall. */
+  def exactRowCount(df: DataFrame): Long =
+    parquetScanRowCount(df).getOrElse(df.count())
+
   /** The scanned parquet files when `df` is a pure scan whose projections
     * only prune or rename columns (plain attribute lists — no computed
     * expressions, no Filter/Join/Aggregate): the files' stored bytes ARE
@@ -52,6 +60,66 @@ object ScanStats {
       }
       case _ => None
     }
+  }
+
+  /** Per-column (min, max, nullCount) over INTEGRAL columns from the
+    * footers' column-chunk statistics — no Spark job. Some only when the
+    * plan is a pure parquet scan AND every requested column is an
+    * integral Spark type (byte/short/int/long — NaN-free by type, so the
+    * writer-skips-NaN stats caveat cannot bite) AND every chunk carries
+    * complete statistics. An all-null column reports
+    * (MaxValue, MinValue) sentinels with nullCount = rows. Callers use
+    * this to PROVE value-domain properties (e.g. |v| < 2⁵³ ⇒ the long
+    * column's double image is injective) without a scan. */
+  def parquetIntegerRanges(df: DataFrame, cols: Seq[String])
+      : Option[Map[String, (Long, Long, Long)]] = {
+    import org.apache.spark.sql.types._
+    if (cols.isEmpty) return Some(Map.empty)
+    try {
+      val files = pureParquetInputFiles(df).getOrElse(return None)
+      val schema = df.schema
+      if (!cols.forall(c => schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        // timestamps are INT64 on disk; their LongStatistics bound the
+        // raw epoch value — NaN-free by type like the integrals
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      })) return None
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val mins = scala.collection.mutable.Map(cols.map(_ -> Long.MaxValue): _*)
+      val maxs = scala.collection.mutable.Map(cols.map(_ -> Long.MinValue): _*)
+      val nulls = scala.collection.mutable.Map(cols.map(_ -> 0L): _*)
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getRowGroups.asScala.foreach { block =>
+            cols.foreach { c =>
+              val chunk = block.getColumns.asScala.find(ch =>
+                ch.getPath.size() == 1 && ch.getPath.toDotString == c)
+                .getOrElse(return None)
+              val st = chunk.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nulls(c) += st.getNumNulls
+              val nonNull = chunk.getValueCount - st.getNumNulls
+              if (nonNull > 0) {
+                if (!st.hasNonNullValue) return None
+                val (lo, hi) = st match {
+                  case s: org.apache.parquet.column.statistics.LongStatistics =>
+                    (s.getMin, s.getMax)
+                  case s: org.apache.parquet.column.statistics.IntStatistics =>
+                    (s.getMin.toLong, s.getMax.toLong)
+                  case _ => return None
+                }
+                if (lo < mins(c)) mins(c) = lo
+                if (hi > maxs(c)) maxs(c) = hi
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      Some(cols.map(c => c -> (mins(c), maxs(c), nulls(c))).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Exact (row count, row-group count) from the footers under the same

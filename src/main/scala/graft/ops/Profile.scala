@@ -83,7 +83,7 @@ object Profile {
     // count_distinct (each one multiplies its Expand factor) only for the
     // rare column the fit can't certify (non-finite / >2-decimals at
     // scale).
-    val nRows = if (numCols.isEmpty) 0L else df.count()
+    val nRows = if (numCols.isEmpty) 0L else graft.io.ScanStats.exactRowCount(df)
     // moment accumulators: hi/lo long sums inside the row ceiling (every
     // in-domain row updates long buffers only — no per-row BigDecimal),
     // plain decimal sums past it
@@ -487,26 +487,98 @@ object Profile {
     * (flagged by the key itself) so an all-null column still reports 0,
     * but are excluded from the count — COUNT(DISTINCT) semantics. */
   def distinctCounts(df: DataFrame): DataFrame = {
-    val types = df.schema.fields.map(_.dataType).distinct.toSeq
-    val entries = df.schema.fields.toSeq.map { f =>
-      val vs = types.zipWithIndex.map { case (t, i) =>
-        (if (f.dataType == t) col(f.name) else lit(null).cast(t)).as(s"v$i")
-      }
-      struct(lit(f.name).as("column") +: vs: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields.toSeq
+    // r15 driver dispatch: when the plan is a pure parquet scan within
+    // the profile's driver-cell ceiling, numeric and string columns
+    // decode straight from the files on the driver (DriverParquet — zero
+    // Spark jobs) and count distincts exactly: numeric via a sorted walk
+    // (Double.compare: NaN is ONE value, -0.0 == 0.0 after the
+    // collector's normalization — count_distinct's grouping semantics),
+    // strings via the decoded vocabulary map minus the null key. A LONG
+    // column enters only when its footer range PROVES |v| < 2⁵³ (its
+    // double image is then injective — the same no-lossy-cast rule the
+    // fused plan enforces by keeping native types). Everything else —
+    // other types, unprovable longs, non-scan plans, above-ceiling —
+    // keeps the fused explode+distinct plan, now exploding ONLY the
+    // leftover columns (at 100 TB the footer row count trips the
+    // ceiling and the whole operator stays on the scale plan).
+    val safeNum: Set[DataType] = Set(ByteType, ShortType, IntegerType, FloatType, DoubleType)
+    def isInt64Like(dt: DataType): Boolean = dt match {
+      case LongType | TimestampType | TimestampNTZType => true
+      case _ => false
     }
-    val vCols = types.indices.map(i => col(s"v$i"))
-    val nonNull = vCols.map(_.isNotNull).reduce(_ || _)
-    val counted = Par.widen(df)
-      .select(explode(array(entries: _*)).as("e")).select(col("e.*"))
-      .distinct()
-      .groupBy(col("column"))
-      .agg(sum(when(nonNull, 1L).otherwise(0L)).as("n_unique"))
+    val numCand = fields.filter(f => safeNum(f.dataType) || isInt64Like(f.dataType)).map(_.name)
+    val strCand = fields.filter(_.dataType == StringType).map(_.name)
+    val underCeiling = graft.io.ScanStats.parquetScanRowCount(df).exists(r =>
+      r * math.max(1, numCand.length + strCand.length) <= DriverSortMaxCells)
+    val two53 = 9007199254740992L // 2^53: doubles are exact integers below
+    // INT64-backed columns (longs, timestamps — distinctness of the raw
+    // epoch equals distinctness of the value: micros/millis units map
+    // injectively) enter only with the footer-range proof
+    val int64Safe: Set[String] =
+      if (!underCeiling) Set.empty
+      else {
+        val int64Cols = fields.filter(f => isInt64Like(f.dataType)).map(_.name)
+        if (int64Cols.isEmpty) Set.empty
+        else graft.io.ScanStats.parquetIntegerRanges(df, int64Cols) match {
+          case Some(m) => m.collect {
+            case (c, (mn, mx, _)) if mn > -two53 && mx < two53 => c
+          }.toSet
+          case None => Set.empty
+        }
+      }
+    val driverNum = numCand.filter(c => safeNum(df.schema(c).dataType) || int64Safe(c))
+    val driverCounts: Map[String, Long] =
+      if (!underCeiling || (driverNum.isEmpty && strCand.isEmpty)) Map.empty
+      else graft.io.DriverParquet.collectColumns(df, driverNum, strCand,
+        keepNonFinite = true) match {
+        case None => Map.empty
+        case Some((_, numArrs, catMaps)) =>
+          val numCounts = numArrs.map { case (c, (arr, _)) =>
+            java.util.Arrays.parallelSort(arr)
+            var u = 0L
+            var i = 0
+            while (i < arr.length) {
+              if (i == 0 || java.lang.Double.compare(arr(i), arr(i - 1)) != 0) u += 1
+              i += 1
+            }
+            c -> u
+          }
+          val strCounts = catMaps.map { case (c, m) =>
+            c -> m.keysIterator.count(_ != null).toLong
+          }
+          numCounts ++ strCounts
+      }
+    val planFields = fields.filterNot(f => driverCounts.contains(f.name))
+    val counted: DataFrame =
+      if (planFields.isEmpty)
+        driverCounts.toSeq.toDF("column", "n_unique")
+      else {
+        val types = planFields.map(_.dataType).distinct
+        val entries = planFields.map { f =>
+          val vs = types.zipWithIndex.map { case (t, i) =>
+            (if (f.dataType == t) col(f.name) else lit(null).cast(t)).as(s"v$i")
+          }
+          struct(lit(f.name).as("column") +: vs: _*)
+        }
+        val vCols = types.indices.map(i => col(s"v$i"))
+        val nonNull = vCols.map(_.isNotNull).reduce(_ || _)
+        val planCounted = Par.widen(df)
+          .select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+          .distinct()
+          .groupBy(col("column"))
+          .agg(sum(when(nonNull, 1L).otherwise(0L)).as("n_unique"))
+        if (driverCounts.isEmpty) planCounted
+        else planCounted.unionByName(driverCounts.toSeq.toDF("column", "n_unique"))
+      }
     // An EMPTY input explodes to zero entries; the pre-fusion wide agg
     // (a global aggregate) always returned one row per column with
     // n_unique=0. Left-join the static column list back in — `counted`
     // is ≤ k rows, so this costs nothing.
-    val names = df.schema.fields.map(_.name).toSeq
-    val baseNames = df.sparkSession.range(names.length.toLong)
+    val names = fields.map(_.name)
+    val baseNames = spark.range(names.length.toLong)
       .select(element_at(array(names.map(lit): _*), (col("id") + 1).cast("int")).as("column"))
     baseNames.join(counted, Seq("column"), "left")
       .select(col("column"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
@@ -593,7 +665,7 @@ object Profile {
     * `or 1.0` fallback (NaN from a single row, 0 from a constant column —
     * both become 1.0; `modules/privacy.py:44`). */
   def muSigma(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val hiLo = df.count() <= Exact.HiLoSafeMaxRows
+    val hiLo = graft.io.ScanStats.exactRowCount(df) <= Exact.HiLoSafeMaxRows
     // cents projected once per column under the aggregate (momentPartsPre)
     val proj = df.select(cols.map(c => col(c)) ++
       cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
@@ -1059,7 +1131,7 @@ object Profile {
     // hi/lo long accumulators inside the row ceiling (per-group n is
     // bounded by the input count), decimal sums past it — same exact
     // integers, same output schema either way
-    val hiLo = df.count() <= Exact.HiLoSafeMaxRows
+    val hiLo = graft.io.ScanStats.exactRowCount(df) <= Exact.HiLoSafeMaxRows
     val aggs = Seq(count(col("v")).as("n")) ++
       Exact.momentAggsPre(col("cv"), "v", hiLo) ++
       Seq(min(col("v")).as("mn"), max(col("v")).as("mx"))

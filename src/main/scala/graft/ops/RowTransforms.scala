@@ -64,7 +64,7 @@ object RowTransforms {
     if (cols.isEmpty) return Map.empty
     // hi/lo long accumulators inside the row ceiling (see Exact.momentParts);
     // recombined below so the collected row keeps the (s1, s2, n) layout
-    val hiLo = fit.count() <= Exact.HiLoSafeMaxRows
+    val hiLo = graft.io.ScanStats.exactRowCount(fit) <= Exact.HiLoSafeMaxRows
     val proj = fit.select(cols.map(c => col(c)) ++
       cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
     val aggs = cols.flatMap { c =>
@@ -120,7 +120,7 @@ object RowTransforms {
     // — the original in-agg broadcast fit runs. Both produce the same
     // quantile_cont interpolation, applied as literals vs broadcast row.
     val driverFit: Option[Exact.QuantFit] =
-      if (df.count() <= Exact.DriverFitMaxRows)
+      if (graft.io.ScanStats.exactRowCount(df) <= Exact.DriverFitMaxRows)
         Some(Exact.quantilesViaDriverSortMulti(df, Seq(c), Seq(pLo, pHi))(c))
       else None
     driverFit.flatMap(_.quantiles) match {
@@ -155,7 +155,7 @@ object RowTransforms {
     // (two driver sorts), where the in-plan form needs two chained
     // percentile fit jobs because MAD depends on the median.
     val driverFit: Option[(Double, Double)] =
-      if (df.count() > Exact.DriverFitMaxRows) None
+      if (graft.io.ScanStats.exactRowCount(df) > Exact.DriverFitMaxRows) None
       else {
         val (arr, dropped) = Exact.collectColumnsDoubles(df, Seq(c))(c)
         if (dropped > 0 || arr.isEmpty) None // non-finite / all-null: in-plan form
