@@ -666,9 +666,12 @@ object Profile {
     * both become 1.0; `modules/privacy.py:44`). */
   def muSigma(df: DataFrame, cols: Seq[String]): DataFrame = {
     val hiLo = graft.io.ScanStats.exactRowCount(df) <= Exact.HiLoSafeMaxRows
-    // cents projected once per column under the aggregate (momentPartsPre)
-    val proj = df.select(cols.map(c => col(c)) ++
-      cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
+    // cents projected once per column under the aggregate (momentPartsPre),
+    // ABOVE the widen exchange so the BigDecimal round-trips run at
+    // session parallelism, not on a few scan splits (the corr fix)
+    val proj = Par.widen(df.select(cols.map(col): _*))
+      .select(cols.map(c => col(c)) ++
+        cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n")) ++
         Exact.momentAggsPre(col(s"__cents_$c"), c, hiLo)
@@ -744,7 +747,15 @@ object Profile {
     // drops from a pair's rows like a null — pandas' missing semantics.
     // widen BEFORE the ×C(k,2) explode: the narrow fan-out+aggregate is
     // the CPU cost, and a single-split scan would run it on one core
-    val proj = Par.widen(df.select(cols.map(c => Exact.cents(col(c)).as(c)): _*))
+    // widen FIRST, cents-convert ABOVE the exchange: the BigDecimal
+    // round-trip × k columns is the per-row hot path, and with the cents
+    // projection under the repartition it ran on the scan's 3 row-group
+    // tasks (measured: 1.9 s of a_corr_matrix's 2.7 s wall in that one
+    // stage) while 32 cores idled. A Project above Repartition is not
+    // pushed down, so the conversion now runs post-exchange at session
+    // parallelism; same values, same single evaluation per column.
+    val proj = Par.widen(df.select(cols.map(col): _*))
+      .select(cols.map(c => Exact.cents(col(c)).as(c)): _*)
     // Shape: explode each row into C(k,2) (pair, x, y) entries and hash-
     // aggregate BY PAIR with six accumulators. The flat one-row form
     // (6·C(k,2) aggregates in one wide agg) generates an update method
@@ -1135,7 +1146,11 @@ object Profile {
     val aggs = Seq(count(col("v")).as("n")) ++
       Exact.momentAggsPre(col("cv"), "v", hiLo) ++
       Seq(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+    // explode + cents ABOVE the widen exchange (the corr fix): the k×
+    // fan-out and the BigDecimal round-trip are the per-row cost, and a
+    // few-split scan would run them on as many cores
+    Par.widen(df.select(cols.map(col): _*))
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("column"), col(c).cast("double").as("v"))
       }: _*)).as("e"))
       .select(col("e.column").as("column"), col("e.v").as("v"),

@@ -65,8 +65,11 @@ object RowTransforms {
     // hi/lo long accumulators inside the row ceiling (see Exact.momentParts);
     // recombined below so the collected row keeps the (s1, s2, n) layout
     val hiLo = graft.io.ScanStats.exactRowCount(fit) <= Exact.HiLoSafeMaxRows
-    val proj = fit.select(cols.map(c => col(c)) ++
-      cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
+    // cents above the widen exchange — session-parallel BigDecimal
+    // round-trips instead of a few scan splits (the corr fix)
+    val proj = graft.ops.Par.widen(fit.select(cols.map(col): _*))
+      .select(cols.map(c => col(c)) ++
+        cols.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
     val aggs = cols.flatMap { c =>
       Exact.momentAggsPre(col(s"__cents_$c"), c, hiLo) :+ count(col(c)).as(s"${c}__n")
     }
