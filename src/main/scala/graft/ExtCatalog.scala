@@ -187,6 +187,11 @@ object ExtCatalog {
         .localCheckpoint()
       val nq = q.select(count(lit(1)).as("n_queries"))
       def one(name: String, res: DataFrame, floor: Double): DataFrame = {
+        // deliberately NOT checkpointed (r15 measured): each method's
+        // result feeds three consumers, but the lazy union runs all nine
+        // consumer jobs CONCURRENTLY — eager per-method checkpoints
+        // serialized the three ANN materializations and cost more than
+        // the recompute they saved (5.0 → 8.4 s warm)
         val ids = res.select(col("qid"), col("rk").cast("long").as("rk"), col("cid"))
         val bad = ids.join(e.select(col("vec_id").as("cid")), Seq("cid"), "left_anti")
           .agg(count(lit(1)).as("n_bad"))

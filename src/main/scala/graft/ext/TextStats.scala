@@ -566,9 +566,10 @@ object TextStats {
     * consumed before the phone/id patterns see them). Pure codegen'd
     * `regexp_replace` chain over lowercased text: one scan, no shuffle,
     * and the patterns are shared verbatim with the oracle. */
-  def piiRedact(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // the regexp_replace chain is the per-row cost; widen a few-split scan
-    val df = graft.ops.Par.widen(df0)
+  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NOT widened (r15 measured): the redaction chain is cheap enough at
+    // bench scale that the widen exchange of full text cost more than it
+    // saved (0.17 → 0.44 s); the op stays the one-scan codegen chain
     val redacted = PiiPatterns.foldLeft(lower(col(textCol))) {
       case (c, (name, pat)) =>
         regexp_replace(c, lit(pat), lit(s"[${name.toUpperCase}]"))

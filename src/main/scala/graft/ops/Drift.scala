@@ -924,6 +924,9 @@ object Drift {
     // runs each side's scan exactly once (cheaper than persist, whose
     // cache materialization measurably outweighed the saved scan here).
     val edgesByCi = psiEdges(before, numCols, bins)
+    // NOT widened (r15 measured): the two sides' explode scans overlap as
+    // concurrent jobs, so wall ≈ the slowest scan, and a widen exchange
+    // of full rows cost more than it saved (2.6 → 3.3 s warm)
     def fusedSide(df: DataFrame, out: String) = df
       .select(explode(array(
         numCols.zipWithIndex.map { case (c, i) =>

@@ -74,7 +74,15 @@ object Relational {
     val discU = pc * (lit(100L) - dc)
     val chargeU = discU * (lit(100L) + tc)
     def usum(u: Column): Column = sum(u.cast(DecimalType(38, 0))).cast("double")
-    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+    // widen the projected input (r15): the cents conversions + wide
+    // DECIMAL(38,0) partial aggregation are the per-row cost, and a
+    // 3-row-group scan ran them on 3 tasks (1.6 s of the row's 1.9 s
+    // wall). Exact integer sums — partitioning-invariant; Par.widen is a
+    // no-op on a real multi-split table.
+    Par.widen(l.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (usum(qc) / 100.0).as("sum_qty"),
         (usum(pc) / 100.0).as("sum_base_price"),
