@@ -101,8 +101,14 @@ object SimSearch {
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       sqrt(norm2(col(vecCol), dim)).as("qn"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      sqrt(norm2(col(vecCol), dim)).as("cn"))
+    // widen the corpus scan (r15): the per-row norm + the per-pair dot
+    // products below run in the scan stage, and a single-split corpus
+    // file serialized the whole brute-force scorer on one task; output
+    // is partitioning-invariant (per-row math + deterministic top-k
+    // tie-break). No-op on a real multi-split corpus.
+    val c = graft.ops.Par.widen(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        sqrt(norm2(col(vecCol), dim)).as("cn"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -148,7 +154,11 @@ object SimSearch {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 
     val q = queries.select(col(idCol).as("qid"), toUnitVec(col(vecCol)).as("fv"))
-    val c = corpus.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    // widened corpus scan (r15, see cosineTopK): the LSH model is a pure
+    // function of (seed, dim), so hashing/joining a repartitioned corpus
+    // produces the identical candidate set
+    val c = graft.ops.Par.widen(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
     // MLlib's fit reads head() for the input dim and aborts on an empty
     // corpus; an empty candidate set is the correct result instead
     if (c.isEmpty)
@@ -201,7 +211,16 @@ object SimSearch {
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("list_id")
     val model = km.fit(c)
-    val assigned = model.transform(c).select(col("cid"), col("cv"), col("cn"), col("list_id"))
+    // the FIT reads the un-widened frame (k-means float-sum order feeds
+    // the centroids, which are part of this declared operator's output
+    // identity); the list ASSIGNMENT + exact re-rank are per-row math
+    // under a fixed model, so they read the widened scan (r15 — the
+    // single-split corpus serialized the whole probe on one task)
+    val cW = graft.ops.Par.widen(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        toUnitVec(col(vecCol)).as("fv"),
+        sqrt(norm2(col(vecCol))).as("cn"))
+    val assigned = model.transform(cW).select(col("cid"), col("cv"), col("cn"), col("list_id"))
 
     val centers = model.clusterCenters.map(_.toArray)
     val probesUdf = udf { (v: Vector) =>
@@ -282,7 +301,12 @@ object SimSearch {
       val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
       arr.map(x => if (n == 0) 0.0 else x / n)
     }
-    val c0 = corpus.select(col(idCol).cast("long").as("cid"), unitArr(col(vecCol)).as("cu"))
+    // widened corpus scan (r15, see cosineTopK): the codebook fit sample
+    // is a pure hash gate on the id SORTED after collect, so the fitted
+    // codebooks are partition-invariant by construction; encode + ADC
+    // are per-row math under the broadcast codebooks
+    val c0 = graft.ops.Par.widen(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).cast("long").as("cid"), unitArr(col(vecCol)).as("cu"))
     val stats = c0.agg(count(lit(1)), max(size(col("cu")))).head()
     val nCorpus = stats.getLong(0)
     if (nCorpus == 0)
