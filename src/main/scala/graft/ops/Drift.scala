@@ -269,8 +269,13 @@ object Drift {
         java.util.Arrays.parallelSort(b)
         val ks = ksMerge(a, b)
         val ps = psiMergeDriver(a, b, bins = 10, eps = 1e-6, roundTo = 6)
-        val w1 = w1Merge(a, b)
-        return Seq(("ks", ks), ("psi", ps), ("wasserstein", w1))
+        // both sides empty ⇒ the composed panel has NO wasserstein row
+        // (W₁'s grouped aggregate over an empty grid emits zero rows,
+        // see wasserstein) — ks/psi still contribute their null rows
+        val w1Rows =
+          if (a.isEmpty && b.isEmpty) Nil
+          else Seq(("wasserstein", w1Merge(a, b)))
+        return (Seq(("ks", ks), ("psi", ps)) ++ w1Rows)
           .toDF("metric", "value").orderBy(col("metric"))
       }
     }
@@ -598,6 +603,13 @@ object Drift {
       import spark.implicits._
       val aArr = collectRaw(before, Seq(c))(c)
       val bArr = collectRaw(after, Seq(c))(c)
+      // BOTH sides without a single non-null value ⇒ the plan's grouped
+      // aggregate runs over an EMPTY merged grid and emits ZERO rows
+      // (grouping keys, not a global agg) — replicate exactly, or the
+      // driver path invents a null row the oracle doesn't have (caught
+      // by the r15 differential fuzz, seed 1: an all-null column)
+      if (aArr.isEmpty && bArr.isEmpty)
+        return Seq.empty[(String, Option[Double])].toDF("column", "w1")
       return Seq((c, w1Merge(aArr, bArr))).toDF("column", "w1")
     }
     val counts = ksCountsFrame(before, after, Seq(c))

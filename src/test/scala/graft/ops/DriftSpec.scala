@@ -67,6 +67,14 @@ class DriftSpec extends SparkSpec {
     // empty side → null on the driver path too
     val (de, _) = both(Seq.empty[Double].toDF("x"), nanB, "x")
     assert(de == null)
+    // BOTH sides empty → ZERO rows on both paths (the grouped aggregate
+    // over an empty merged grid — the r15 fuzz-seed-1 catch)
+    val e2 = Seq.empty[Double].toDF("x")
+    assert(Drift.wasserstein(e2, e2, "x", driverCollect = Some(true)).collect().isEmpty)
+    assert(Drift.wasserstein(e2, e2, "x", driverCollect = Some(false)).collect().isEmpty)
+    // and the fused panel drops the wasserstein row, keeping ks/psi nulls
+    val p = Drift.driftPanel(e2, e2, "x").collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("ks", "psi"))
   }
 
   test("psiMulti: driver merge-walk and plan binning agree bit-exactly") {
