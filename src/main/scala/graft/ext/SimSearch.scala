@@ -154,11 +154,11 @@ object SimSearch {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 
     val q = queries.select(col(idCol).as("qid"), toUnitVec(col(vecCol)).as("fv"))
-    // widened corpus scan (r15, see cosineTopK): the LSH model is a pure
-    // function of (seed, dim), so hashing/joining a repartitioned corpus
-    // produces the identical candidate set
-    val c = graft.ops.Par.widen(corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
+    // NOT widened (r15 measured): approxSimilarityJoin explodes and
+    // reshuffles the hashed corpus itself, so a widen exchange upstream
+    // only added cost (0.66 → 0.85 s pooled) — unlike the brute/PQ/IVF
+    // siblings whose per-row scan work dominates
+    val c = corpus.select(col(idCol).as("cid"), toUnitVec(col(vecCol)).as("fv"))
     // MLlib's fit reads head() for the input dim and aborts on an empty
     // corpus; an empty candidate set is the correct result instead
     if (c.isEmpty)
