@@ -336,9 +336,13 @@ object QueryCatalog {
       val anon = li.filter(col("l_orderkey") % 100 === 0)
       val real = li.filter(col("l_orderkey") % 100 === 50)
       val quasi = Seq("l_quantity", "l_discount", "l_returnflag")
-      val lsh = Linkage.linkageRiskLSH(anon, real, quasi)
+      // ONE anon-side fit for both physical forms (r16): they fit the
+      // same frame with the same parameters by construction, so sharing
+      // is value-identical and halves the fused fit jobs
+      val fitP = Linkage.fitFeatures(anon, quasi)
+      val lsh = Linkage.linkageRiskLSHFitted(anon, real, quasi, fitP)
         .select(col("risk_score").as("r_lsh"))
-      val exact = Linkage.linkageRiskExact(anon, real, quasi)
+      val exact = Linkage.linkageRiskExactFitted(anon, real, quasi, fitP)
         .select(col("risk_score").as("r_exact"))
       lsh.crossJoin(exact).select(
         (col("r_lsh") >= 0.0 && col("r_lsh") <= 1.0).as("in_range"),

@@ -41,18 +41,29 @@ object DriverParquet {
     * NaN/±Inf dropped AND counted — the `collectColumnsDoubles`
     * contract; UNsorted), category histogram per string column (SQL NULL
     * under the null key), and the exact row count. None = not eligible;
-    * use the Spark path. */
+    * use the Spark path.
+    *
+    * `rawInt64Timestamps` (r16 ADVICE): timestamp columns decode as their
+    * RAW INT64 epoch value in the FILE's unit (e.g. micros) — NOT the
+    * seconds-since-epoch double the Spark `cast('double')` fallback
+    * produces — so they are only eligible when the caller explicitly opts
+    * in because it needs nothing beyond a value-injective image
+    * (Profile.distinctCounts). Default OFF: every other caller
+    * (collectNumericColumns / collectNumericColumnsRaw behind the fit and
+    * drift collectors) refuses timestamps here and keeps its cast-to-
+    * seconds Spark path, preserving the driver/plan bit-parity contract. */
   def collectColumns(df: DataFrame, numCols: Seq[String], catCols: Seq[String],
-                     keepNonFinite: Boolean = false)
+                     keepNonFinite: Boolean = false,
+                     rawInt64Timestamps: Boolean = false)
       : Option[(Long, Map[String, (Array[Double], Long)], Map[String, Map[String, Long]])] = {
-    val r = collectColumnsImpl(df, numCols, catCols, keepNonFinite)
+    val r = collectColumnsImpl(df, numCols, catCols, keepNonFinite, rawInt64Timestamps)
     (if (r.isDefined) FastPath.driverParquetHits else FastPath.driverParquetMisses)
       .incrementAndGet()
     r
   }
 
   private def collectColumnsImpl(df: DataFrame, numCols: Seq[String], catCols: Seq[String],
-                                 keepNonFinite: Boolean)
+                                 keepNonFinite: Boolean, rawInt64Timestamps: Boolean)
       : Option[(Long, Map[String, (Array[Double], Long)], Map[String, Map[String, Long]])] = {
     try {
       val files = ScanStats.pureParquetInputFiles(df).getOrElse(return None)
@@ -67,11 +78,12 @@ object DriverParquet {
       if (!catCols.forall(c => sparkType(c) == StringType)) return None
       if (!numCols.forall(c => sparkType(c) match {
         case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-        // timestamps decode as their raw INT64 epoch value (whatever the
-        // file's unit) — callers that use them (distinctCounts) only need
-        // a value-injective image, and prove |v| < 2⁵³ from the footer
+        // timestamps decode as their raw INT64 epoch value (the FILE's
+        // unit, not seconds) — opt-in only (see collectColumns doc):
+        // callers that use them (distinctCounts) need only a
+        // value-injective image, and prove |v| < 2⁵³ from the footer
         // range first
-        case TimestampType | TimestampNTZType => true
+        case TimestampType | TimestampNTZType => rawInt64Timestamps
         case _ => false // DecimalType etc: cast arithmetic isn't a raw decode
       })) return None
 
@@ -79,7 +91,13 @@ object DriverParquet {
       // Validation pass: one footer per file — physical-type pairing and
       // flatness per column, exact row count. Refuse the whole call on
       // any surprise; eligibility must hold for every file.
+      // Timestamp columns additionally require ONE logical unit across
+      // every file (r16 ADVICE): parquet allows per-file TIMESTAMP(MILLIS)
+      // vs TIMESTAMP(MICROS) under writer-config drift, and the same
+      // instant then decodes to different raw longs per file — the
+      // value-injective-image claim the opt-in rests on would fail.
       var rowsTotal = 0L
+      val tsUnit = scala.collection.mutable.Map.empty[String, String]
       files.foreach { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
         try {
@@ -95,13 +113,28 @@ object DriverParquet {
             val ok = (sparkType(c), desc.getPrimitiveType.getPrimitiveTypeName) match {
               case (ByteType | ShortType | IntegerType, PrimitiveTypeName.INT32) => true
               case (LongType, PrimitiveTypeName.INT64)                           => true
-              case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64)   => true
+              case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64)   =>
+                rawInt64Timestamps
               case (FloatType, PrimitiveTypeName.FLOAT)                          => true
               case (DoubleType, PrimitiveTypeName.DOUBLE)                        => true
               case (StringType, PrimitiveTypeName.BINARY)                        => true
               case _                                                             => false
             }
             if (!ok) return None
+            sparkType(c) match {
+              case TimestampType | TimestampNTZType =>
+                // annotation carries unit + UTC adjustment; it must exist
+                // and be byte-identical across files
+                val ann = desc.getPrimitiveType.getLogicalTypeAnnotation
+                if (ann == null) return None
+                val key = ann.toString
+                tsUnit.get(c) match {
+                  case Some(prev) if prev != key => return None
+                  case None                      => tsUnit(c) = key
+                  case _                         => ()
+                }
+              case _ => ()
+            }
           }
         } finally reader.close()
       }
@@ -174,11 +207,21 @@ object DriverParquet {
           else Array.concat(slices.map(_._1): _*)
         c -> (arr, slices.map(_._2).sum)
       }.toMap
+      // STRICT UTF-8 decode (r16 ADVICE): `new String(bytes, UTF_8)` maps
+      // every invalid byte sequence to replacement characters, so two
+      // DISTINCT binary keys could merge into one string key — Spark's
+      // distinct/groupBy compares UTF8String bytes and keeps them apart.
+      // A malformed sequence throws CharacterCodingException here, the
+      // outer NonFatal catch returns None, and the caller keeps its Spark
+      // path — the fast path refuses rather than miscounts.
       val catMaps: Map[String, Map[String, Long]] = catCols.map { c =>
         val merged = scala.collection.mutable.HashMap.empty[String, Long]
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
         decoded.collect { case (`c`, Right(m)) => m }.foreach(_.forEach { (k, v) =>
           val key = if (k == null) null
-            else new String(k.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+            else dec.decode(java.nio.ByteBuffer.wrap(k.getBytes)).toString
           merged.update(key, merged.getOrElse(key, 0L) + v(0))
         })
         c -> merged.toMap

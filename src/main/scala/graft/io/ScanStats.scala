@@ -38,6 +38,42 @@ object ScanStats {
   def exactRowCount(df: DataFrame): Long =
     parquetScanRowCount(df).getOrElse(df.count())
 
+  /** UPPER BOUND on the row count when `df` is a parquet scan under any
+    * stack of row-REMOVING-or-preserving operators (Project/alias/Filter):
+    * the underlying files' footer row count. A filter only drops rows, so
+    * the bound is sound however selective it is. For ceiling decisions
+    * whose two branches are value-identical (hi/lo moment accumulators),
+    * this answers from metadata what [[exactRowCount]] needs a zero-column
+    * count job for — the conservative direction (bound above actual) only
+    * costs the slower-but-exact branch, never correctness. */
+  def parquetScanRowUpperBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(exprs, child) if exprs.forall(_.deterministic) => unwrap(child)
+      case SubqueryAlias(_, child) => unwrap(child)
+      case Filter(_, child)        => unwrap(child)
+      case other => other
+    }
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          try {
+            var rows = 0L
+            fs.location.inputFiles.foreach { f =>
+              val reader = ParquetFileReader.open(
+                HadoopInputFile.fromPath(new Path(f), conf))
+              try rows += reader.getRecordCount finally reader.close()
+            }
+            Some(rows)
+          } catch { case _: Exception => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** The scanned parquet files when `df` is a pure scan whose projections
     * only prune or rename columns (plain attribute lists — no computed
     * expressions, no Filter/Join/Aggregate): the files' stored bytes ARE

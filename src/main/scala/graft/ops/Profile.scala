@@ -533,7 +533,7 @@ object Profile {
     val driverCounts: Map[String, Long] =
       if (!underCeiling || (driverNum.isEmpty && strCand.isEmpty)) Map.empty
       else graft.io.DriverParquet.collectColumns(df, driverNum, strCand,
-        keepNonFinite = true) match {
+        keepNonFinite = true, rawInt64Timestamps = true) match {
         case None => Map.empty
         case Some((_, numArrs, catMaps)) =>
           val numCounts = numArrs.map { case (c, (arr, _)) =>

@@ -63,8 +63,13 @@ object RowTransforms {
                                     cols: Seq[String]): Map[String, Option[(Double, Double)]] = {
     if (cols.isEmpty) return Map.empty
     // hi/lo long accumulators inside the row ceiling (see Exact.momentParts);
-    // recombined below so the collected row keeps the (s1, s2, n) layout
-    val hiLo = graft.io.ScanStats.exactRowCount(fit) <= Exact.HiLoSafeMaxRows
+    // recombined below so the collected row keeps the (s1, s2, n) layout.
+    // Both branches are value-identical, so the footer UPPER bound answers
+    // for filtered scans too (r16) — no pre-flight count job on the V6
+    // fits, and a too-high bound only picks the slower exact branch
+    val hiLo = graft.io.ScanStats.parquetScanRowCount(fit)
+      .orElse(graft.io.ScanStats.parquetScanRowUpperBound(fit))
+      .getOrElse(fit.count()) <= Exact.HiLoSafeMaxRows
     // cents above the widen exchange — session-parallel BigDecimal
     // round-trips instead of a few scan splits (the corr fix)
     val proj = graft.ops.Par.widen(fit.select(cols.map(col): _*))

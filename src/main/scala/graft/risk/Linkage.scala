@@ -67,9 +67,49 @@ object Linkage {
 
   private[graft] def fitFeatures(fit: DataFrame, quasi: Seq[String]): FeatParams = {
     val (nums, cats) = split(fit, quasi)
-    FeatParams(nums, cats,
-      RowTransforms.standardizeFit(fit, nums),
-      cats.map(c => c -> RowTransforms.oneHotVocab(fit, c)).toMap)
+    if (nums.isEmpty && cats.isEmpty)
+      return FeatParams(nums, cats, Map.empty, Map.empty)
+    // ONE fused fit job (r16, guide §1.2: remove passes): the μ/σ moment
+    // aggregate and every categorical's sorted vocabulary ride the same
+    // widened pass — previously one standardizeFit job plus one
+    // distinct+collect job PER categorical, each a full scan of the fit
+    // side at 100 TB. Values are bit-identical by construction: the
+    // moment sums are exact decimal/long accumulators (partitioning-
+    // invariant), and sort_array(collect_set(c)) is exactly
+    // `distinct().orderBy(c)` — both drop nulls and order by Spark's
+    // binary UTF8String comparison. hi/lo accumulator choice takes the
+    // footer row UPPER bound (value-identical branches; no count job).
+    val hiLo = graft.io.ScanStats.parquetScanRowCount(fit)
+      .orElse(graft.io.ScanStats.parquetScanRowUpperBound(fit))
+      .getOrElse(fit.count()) <= graft.ops.Exact.HiLoSafeMaxRows
+    import graft.ops.Exact
+    val proj = graft.ops.Par.widen(fit.select((nums ++ cats).map(col): _*))
+      .select((nums ++ cats).map(c => col(c)) ++
+        nums.map(c => Exact.cents(col(c)).as(s"__cents_$c")): _*)
+    val aggs: Seq[Column] =
+      nums.flatMap { c =>
+        Exact.momentAggsPre(col(s"__cents_$c"), c, hiLo) :+ count(col(c)).as(s"${c}__n")
+      } ++ cats.map(c => sort_array(collect_set(col(c))).as(s"${c}__vocab"))
+    val row = proj.agg(aggs.head, aggs.tail: _*)
+      .select(nums.flatMap { c =>
+        Seq(Exact.s1Col(c, hiLo).as(s"${c}__s1"),
+          Exact.s2Col(c, hiLo).as(s"${c}__s2"), col(s"${c}__n"))
+      } ++ cats.map(c => col(s"${c}__vocab")): _*).head()
+    val stdParams = nums.zipWithIndex.map { case (c, i) =>
+      val s1 = row.getDecimal(3 * i)
+      val n = row.getLong(3 * i + 2)
+      c -> (if (n == 0L || s1 == null) None
+      else {
+        val mu = Exact.meanDouble(s1, n)
+        val sd = Exact.stdPopDouble(s1, row.getDecimal(3 * i + 1), n)
+        Some((mu, if (sd == 0.0 || sd.isNaN) 1.0 else sd))
+      })
+    }.toMap
+    val base = 3 * nums.length
+    val vocab = cats.zipWithIndex.map { case (c, j) =>
+      c -> row.getSeq[String](base + j).toSeq
+    }.toMap
+    FeatParams(nums, cats, stdParams, vocab)
   }
 
   private[graft] def applyFeatures(df: DataFrame, quasi: Seq[String],
@@ -115,14 +155,21 @@ object Linkage {
     * hardcoded per-category CASE list: any category set, any subset,
     * bit-identical terms (each is exactly 0.0 / 1.0 / 2.0) and identical
     * addition order (numeric terms first, then one term per cat column). */
-  def linkageRiskExact(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame = {
-    val (nums, cats) = split(anon, quasi)
-    // ONE μ/σ fit + ONE vocab collect per categorical, shared by both
-    // sides (the fit frame is anon for both — see features). The fit
-    // runs on the FULL anon frame — grouping must not change μ/σ.
-    val stdP = RowTransforms.standardizeFit(anon, nums)
-    val fitted: Map[String, Seq[String]] =
-      cats.map(c => c -> RowTransforms.oneHotVocab(anon, c)).toMap
+  def linkageRiskExact(anon: DataFrame, real: DataFrame, quasi: Seq[String]): DataFrame =
+    linkageRiskExactFitted(anon, real, quasi, fitFeatures(anon, quasi))
+
+  /** [[linkageRiskExact]] with a pre-computed anon-side fit — the audit
+    * runs BOTH physical forms over the same fit frame, and refitting per
+    * form doubled the fused fit job (r16). */
+  private[graft] def linkageRiskExactFitted(anon: DataFrame, real: DataFrame,
+                                            quasi: Seq[String], fitP: FeatParams): DataFrame = {
+    val nums = fitP.nums
+    val cats = fitP.cats
+    // ONE fused μ/σ + vocab fit, shared by both sides (the fit frame is
+    // anon for both — see features). The fit runs on the FULL anon
+    // frame — grouping must not change μ/σ.
+    val stdP = fitP.stdParams
+    val fitted: Map[String, Seq[String]] = fitP.vocab
     // vector-grouping (see the object doc): the pair scan runs over
     // DISTINCT quasi tuples — the anon side keeps its multiplicity.
     // Standardization commutes with the grouping ((x−μ)/σ is per-value
@@ -149,13 +196,15 @@ object Linkage {
       .agg(min("dist").as("d0"))
     // deterministic fp order for the oracle: cum-sum of the per-tuple
     // weighted scores in tuple order (distinct tuples ⇒ total order;
-    // Spark asc = nulls first = the oracle's NULLS FIRST)
+    // Spark asc = nulls first = the oracle's NULLS FIRST).
+    // n rides the SAME cumulative window (one WindowExec pass instead of
+    // two, r16): __acnt ≥ 1 makes its cum-sum strictly increasing, so
+    // max(cum n) IS the exact long total the old whole-frame window gave.
     val score = (lit(1.0) - col("d0") / (col("d0") + lit(1e-9))) * col("__acnt")
     val wCum = Window.orderBy(quasi.map(c => col(s"k_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
     d0.withColumn("cum", sum(score).over(wCum))
-      .withColumn("n", sum(col("__acnt")).over(wAll))
+      .withColumn("n", sum(col("__acnt")).over(wCum))
       .agg(max(col("cum")).as("sum_score"), max(col("n")).as("n"))
       .select(round(least(lit(1.0), greatest(lit(0.0), col("sum_score") / col("n"))), 9).as("risk_score"))
   }
@@ -181,8 +230,16 @@ object Linkage {
     * keep the narrow bucket/distance math parallel on few-split scans. */
   def linkageRiskLSH(anon: DataFrame, real: DataFrame, quasi: Seq[String],
                      threshold: Double = 2.0, bucketLength: Double = 1.0,
+                     numHashTables: Int = 4, seed: Long = 42L): DataFrame =
+    linkageRiskLSHFitted(anon, real, quasi, fitFeatures(anon, quasi),
+      threshold, bucketLength, numHashTables, seed)
+
+  /** [[linkageRiskLSH]] with a pre-computed anon-side fit (see
+    * [[linkageRiskExactFitted]]). */
+  private[graft] def linkageRiskLSHFitted(anon: DataFrame, real: DataFrame,
+                     quasi: Seq[String], fitP: FeatParams,
+                     threshold: Double = 2.0, bucketLength: Double = 1.0,
                      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val fitP = fitFeatures(anon, quasi)
     val featCols = fitP.featCols
     require(featCols.nonEmpty, "linkageRiskLSH needs at least one quasi-ID feature")
     // vector-grouping (see the object doc): buckets, candidates and
@@ -231,13 +288,13 @@ object Linkage {
       .select(quasi.map(c => col(s"l.k_$c").as(s"k_$c")) ++ Seq(
         col("l.__acnt").as("__acnt"),
         coalesce(col("j.d0"), lit(threshold)).as("d0")): _*)
-    // same deterministic weighted-mean tail as the exact form
+    // same deterministic weighted-mean tail as the exact form (n on the
+    // cumulative window — see linkageRiskExactFitted: one WindowExec pass)
     val score = (lit(1.0) - col("d0") / (col("d0") + lit(1e-9))) * col("__acnt")
     val wCum = Window.orderBy(kRefs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
     withAll.withColumn("cum", sum(score).over(wCum))
-      .withColumn("n", sum(col("__acnt")).over(wAll))
+      .withColumn("n", sum(col("__acnt")).over(wCum))
       .agg(max(col("cum")).as("sum_score"), max(col("n")).as("n"))
       .select(least(lit(1.0), greatest(lit(0.0),
         col("sum_score") / col("n"))).as("risk_score"))

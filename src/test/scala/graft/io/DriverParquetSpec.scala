@@ -70,6 +70,76 @@ class DriverParquetSpec extends SparkSpec {
     assert(DriverParquet.collectColumns(li, Nil, Seq("l_quantity")).isEmpty)
   }
 
+  test("timestamps: refused by default, raw epoch only under rawInt64Timestamps opt-in") {
+    val path = java.nio.file.Files.createTempDirectory("dp_ts").toString + "/t.parquet"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.range(100).select(timestamp_micros(col("id") * 1000000L).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    } finally prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    val df = spark.read.parquet(path)
+    assert(df.schema("ts").dataType.typeName.startsWith("timestamp"))
+    // default OFF (r16 ADVICE): the fit/drift collectors' contract is
+    // cast-to-seconds doubles; a raw-micros image would be ~1e6× off, so
+    // both shared entry points must REFUSE and fall back to Spark
+    assert(DriverParquet.collectColumns(df, Seq("ts"), Nil).isEmpty)
+    assert(DriverParquet.collectNumericColumnsRaw(df, Seq("ts")).isEmpty)
+    assert(DriverParquet.collectNumericColumns(df, Seq("ts")).isEmpty)
+    // opted in (distinctCounts): the raw INT64 epoch image, file unit
+    val got = DriverParquet.collectColumns(df, Seq("ts"), Nil,
+      keepNonFinite = true, rawInt64Timestamps = true)
+    assert(got.isDefined)
+    val arr = got.get._2("ts")._1.sorted
+    assert(arr.toSeq == (0 until 100).map(_ * 1e6))
+  }
+
+  test("timestamps: mixed per-file units refuse even the opt-in path") {
+    val dir = java.nio.file.Files.createTempDirectory("dp_tsmix").toString + "/t.parquet"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      // same INSTANTS, two writer units — raw decode would see different
+      // longs per file (overcount) and could collide across instants
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.range(50).select(timestamp_micros(col("id") * 1000000L).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      spark.range(50).select(timestamp_micros(col("id") * 1000000L).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    } finally prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    val df = spark.read.parquet(dir)
+    assert(DriverParquet.collectColumns(df, Seq("ts"), Nil,
+      keepNonFinite = true, rawInt64Timestamps = true).isEmpty)
+  }
+
+  test("strings: invalid UTF-8 bytes refuse the fast path (Spark keeps them distinct)") {
+    // two DISTINCT invalid byte sequences that lenient decoding merges
+    // into the same replacement-char string — written via parquet-mr
+    // directly (Spark cannot produce invalid UTF-8 through its API)
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = java.nio.file.Files.createTempDirectory("dp_badutf8").toString
+    val file = new org.apache.hadoop.fs.Path(dir + "/t.parquet")
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { optional binary s (UTF8); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter.builder(file).withConf(conf).build()
+    try Seq(Array(0xC3.toByte), Array(0xFF.toByte), "ok".getBytes("UTF-8")).foreach { bs =>
+      val g = new SimpleGroup(schema)
+      g.add("s", org.apache.parquet.io.api.Binary.fromConstantByteArray(bs))
+      writer.write(g)
+    } finally writer.close()
+    val df = spark.read.parquet(dir)
+    // Spark sees 3 distinct values (UTF8String compares bytes); a lenient
+    // driver decode would see 2 — the fast path must refuse instead
+    assert(df.select(col("s")).distinct().count() == 3L)
+    assert(DriverParquet.collectColumns(df, Nil, Seq("s")).isEmpty)
+  }
+
   test("syntheticSample: identical seeded output whichever fit collector runs") {
     val li = graft.Tables.lineitem(spark, Sf)
     val cols = Seq("l_quantity", "l_extendedprice", "l_returnflag")
