@@ -341,6 +341,110 @@ object Drift {
     Some(roundLike(best, roundTo))
   }
 
+  /** Spark's ascending STRING order (UTF8String binary compare =
+    * unsigned byte-wise lexicographic UTF-8) — java.lang.String.compareTo
+    * is UTF-16 code-unit order, which diverges above the BMP, so the
+    * driver tails sort keys by bytes like the plan's window does. */
+  private val Utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Driver twin of [[psiFromSides]] over ALREADY-BINNED per-side counts
+    * (the plan did the binning — this replaces only the tiny spine-join +
+    * window + collect tail): dense spine 0..|edges| per column,
+    * eps-floored proportions, terms summed in ascending bin order,
+    * max-of-cumsum, Spark ROUND. Counts are exact longs, so values are
+    * bit-identical to the plan tail (DriftSpec pins both). */
+  private def psiCountsDriver(counts: Map[Int, Map[Int, (Long, Long)]],
+                              edgesByCi: Map[Int, Seq[Double]], nCols: Int,
+                              eps: Double, roundTo: Int): Map[Int, Option[Double]] =
+    (0 until nCols).map { ci =>
+      val byBin = counts.getOrElse(ci, Map.empty)
+      val nb = edgesByCi(ci).size + 1
+      var ta = 0L; var tb = 0L
+      byBin.valuesIterator.foreach { case (a, b) => ta += a; tb += b }
+      ci -> (if (ta <= 0 || tb <= 0) None
+      else {
+        var cum = 0.0
+        var best = Double.NegativeInfinity
+        var k = 0
+        while (k < nb) {
+          val (ca, cb) = byBin.getOrElse(k, (0L, 0L))
+          val pa = math.max(ca.toDouble / ta.toDouble, eps)
+          val pb = math.max(cb.toDouble / tb.toDouble, eps)
+          cum += (pa - pb) * math.log(pa / pb)
+          if (cum > best) best = cum
+          k += 1
+        }
+        Some(roundLike(best, roundTo))
+      })
+    }.toMap
+
+  /** Driver twin of [[jsFromSides]] over per-side category counts: union
+    * of categories per column, totals, the 0·ln0-guarded JS term, cum-sum
+    * in the plan window's byte-wise key order, max-of-cumsum (JS terms
+    * can be NEGATIVE per category, so max ≠ last — replicated exactly).
+    * UNrounded like the frame; callers apply the plan's round. */
+  private def jsCountsDriver(counts: Map[Int, Map[String, (Long, Long)]])
+      : Map[Int, Option[Double]] =
+    counts.map { case (ci, byK) =>
+      var ta = 0L; var tb = 0L
+      byK.valuesIterator.foreach { case (a, b) => ta += a; tb += b }
+      ci -> (if (ta <= 0 || tb <= 0) None
+      else {
+        var cum = 0.0
+        var best = Double.NegativeInfinity
+        byK.keysIterator.toArray.sorted(Utf8Ordering).foreach { k =>
+          val (oa, ob) = byK(k)
+          val p = oa.toDouble / ta.toDouble
+          val q = ob.toDouble / tb.toDouble
+          val m = (p + q) / 2.0
+          val term = (if (oa > 0) p * math.log(p / m) * 0.5 else 0.0) +
+            (if (ob > 0) q * math.log(q / m) * 0.5 else 0.0)
+          cum += term
+          if (cum > best) best = cum
+        }
+        Some(best)
+      })
+    }
+
+  /** Driver twin of [[chi2Multi]]'s tail over per-side category counts —
+    * the reference's Σ (oa−ob)²/(oa+ob+1e-9) in byte-wise key order,
+    * max-of-cumsum, unrounded (the caller rounds like the plan). */
+  private def chi2CountsDriver(counts: Map[Int, Map[String, (Long, Long)]])
+      : Map[Int, Option[Double]] =
+    counts.map { case (ci, byK) =>
+      var ta = 0L; var tb = 0L
+      byK.valuesIterator.foreach { case (a, b) => ta += a; tb += b }
+      ci -> (if (ta <= 0 || tb <= 0) None
+      else {
+        var cum = 0.0
+        var best = Double.NegativeInfinity
+        byK.keysIterator.toArray.sorted(Utf8Ordering).foreach { k =>
+          val (oa, ob) = byK(k)
+          val d = (oa - ob).toDouble
+          cum += d * d / ((oa + ob).toDouble + 1e-9)
+          if (cum > best) best = cum
+        }
+        Some(best)
+      })
+    }
+
+  /** Run two independent driver actions concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially). */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val f1 = Future(fa)
+      val f2 = Future(fb)
+      (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Segmented drift — per-group two-sample KS: "WHICH segment drifted",
     * the question a whole-table statistic can't answer (a 2% global KS
     * can hide one segment at 40%). Reuses the scale-safe cumulative-CDF
@@ -437,14 +541,39 @@ object Drift {
     * categorical-domain metric: vocabularies are bounded by design, and
     * an id-like string column is degenerate for it (every count 1)
     * whatever the plan shape. */
+  /** The fused (ci, category) count side — shared by [[chi2Multi]],
+    * [[jsMulti]] and the driver-tail collects. */
+  private def catSideCounts(df: DataFrame, cols: Seq[String], out: String): DataFrame = df
+    .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
+    }: _*)).as("e"))
+    .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
+    .agg(count(lit(1)).as(out))
+
+  /** Collect two (ci, k, count) side frames concurrently and merge into
+    * the per-column category-count maps the driver tails consume. */
+  private def collectCatSides(before: DataFrame, after: DataFrame,
+                              cols: Seq[String]): Map[Int, Map[String, (Long, Long)]] = {
+    val (bRows, aRows) = inParallel(
+      catSideCounts(before, cols, "n").collect(),
+      catSideCounts(after, cols, "n").collect())
+    val m = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, (Long, Long)]]
+    bRows.foreach { r =>
+      val byK = m.getOrElseUpdate(r.getInt(0), scala.collection.mutable.Map.empty)
+      val (a, b) = byK.getOrElse(r.getString(1), (0L, 0L))
+      byK(r.getString(1)) = (a + r.getLong(2), b)
+    }
+    aRows.foreach { r =>
+      val byK = m.getOrElseUpdate(r.getInt(0), scala.collection.mutable.Map.empty)
+      val (a, b) = byK.getOrElse(r.getString(1), (0L, 0L))
+      byK(r.getString(1)) = (a, b + r.getLong(2))
+    }
+    m.view.mapValues(_.toMap).toMap
+  }
+
   private[graft] def chi2Multi(before: DataFrame, after: DataFrame,
                                cols: Seq[String]): DataFrame = {
-    def counted(df: DataFrame, out: String) = df
-      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
-      }: _*)).as("e"))
-      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
-      .agg(count(lit(1)).as(out))
+    def counted(df: DataFrame, out: String) = catSideCounts(df, cols, out)
     val j = counted(before, "oa").join(counted(after, "ob"), Seq("ci", "k"), "full_outer")
       .select(col("ci"), col("k"),
         coalesce(col("oa"), lit(0L)).as("oa"),
@@ -889,15 +1018,8 @@ object Drift {
   }
 
   private[graft] def jsMulti(before: DataFrame, after: DataFrame,
-                             cols: Seq[String]): DataFrame = {
-    def counted(df: DataFrame, out: String) = df
-      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("ci"), coalesce(col(c).cast("string"), lit("NA")).as("k"))
-      }: _*)).as("e"))
-      .groupBy(col("e.ci").as("ci"), col("e.k").as("k"))
-      .agg(count(lit(1)).as(out))
-    jsFromSides(counted(before, "oa"), counted(after, "ob"))
-  }
+                             cols: Seq[String]): DataFrame =
+    jsFromSides(catSideCounts(before, cols, "oa"), catSideCounts(after, cols, "ob"))
 
   /** Extended drift view — the model-monitoring metrics next to the
     * reference's D3: per shared numeric column a PSI row, per shared
@@ -906,7 +1028,8 @@ object Drift {
     * cleanly. TWO fused jobs however many columns (one [[psiMulti]], one
     * [[jsMulti]]), 6-dp rounding in-plan like D3. */
   def driftAllExtended(before: DataFrame, after: DataFrame,
-                       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+                       bins: Int = 10, eps: Double = 1e-6,
+                       driverTail: Option[Boolean] = None): DataFrame = {
     implicit val spark: SparkSession = before.sparkSession
     import spark.implicits._
     val afterCols = after.columns.toSet
@@ -953,22 +1076,71 @@ object Drift {
       .filter(col("e.ci") >= numCols.length || col("e.bin").isNotNull)
       .groupBy(col("e.ci").as("ci"), col("e.bin").as("bin"), col("e.k").as("k"))
       .agg(count(lit(1)).as(out))
-    val bc = fusedSide(before, "ca")
-    val ac = fusedSide(after, "cb")
-    val psiPart = psiFromSides(
-        bc.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("ca")),
-        ac.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("cb")),
-        edgesByCi, numCols.length, eps, roundTo = 6)
-      .select(lit("psi").as("kind"), col("ci"), col("psi").as("m"))
-    val jsPart = jsFromSides(
-        bc.filter(col("ci") >= numCols.length)
-          .select((col("ci") - numCols.length).as("ci"), col("k"), col("ca").as("oa")),
-        ac.filter(col("ci") >= numCols.length)
-          .select((col("ci") - numCols.length).as("ci"), col("k"), col("cb").as("ob")))
-      .select(lit("js").as("kind"), col("ci"), round(col("js"), 6).as("m"))
-    val collected = psiPart.unionByName(jsPart).collect()
-      .map(r => (r.getString(0), r.getInt(1)) ->
-        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // Tail dispatch (r16): the fused side counts are the data-sized work
+    // and stay in Spark; below the KS driver ceiling (bounded inputs ⇒
+    // bounded category/bin domains) the grouped EXACT counts collect —
+    // two concurrent jobs, like the union legs before — and the tiny
+    // spine/window/collect tail (~8 single-partition stages) becomes the
+    // bit-identical driver twins (counts are exact longs, binning already
+    // happened in-plan; DriftSpec pins both paths). Above the ceiling the
+    // plan tail runs untouched — the 100 TB shape is unchanged.
+    val useDriverTail = driverTail.getOrElse(
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes)
+    val collected: Map[(String, Int), Option[Double]] = if (useDriverTail) {
+      // Numeric side: the SAME binIdx expression feeds a flat codegen
+      // count-if aggregate (one count per (column, bin)) instead of the
+      // 15-entries-per-row explode + hash groupBy — identical exact
+      // counts (count(when(bin===b)) ≡ the grouped count; null bins are
+      // never === b), no per-entry allocation, no shuffle beyond the
+      // 1-row partials. Categorical side: the shared fused count scan.
+      // All four side jobs run concurrently (guide §2.6).
+      def psiBinCounts(df: DataFrame): Array[Array[Long]] = {
+        val binCols = numCols.zipWithIndex.map { case (c, i) =>
+          when(col(c).isNotNull, binIdx(col(c), edgesByCi(i))).as(s"__b$i")
+        }
+        val aggs = numCols.indices.flatMap { i =>
+          (0 to edgesByCi(i).size).map(b =>
+            count(when(col(s"__b$i") === b, 1)).as(s"c_${i}_$b"))
+        }
+        val row = df.select(binCols: _*).agg(aggs.head, aggs.tail: _*).head()
+        var off = 0
+        numCols.indices.map { i =>
+          val nb = edgesByCi(i).size + 1
+          val a = Array.tabulate(nb)(b => row.getLong(off + b))
+          off += nb
+          a
+        }.toArray
+      }
+      val ((pb, pa), jsSides) = inParallel(
+        inParallel(psiBinCounts(before), psiBinCounts(after)),
+        collectCatSides(before, after, catCols))
+      val psiCounts: Map[Int, Map[Int, (Long, Long)]] =
+        numCols.indices.map { i =>
+          i -> pb(i).indices.map(b => b -> (pb(i)(b), pa(i)(b))).toMap
+        }.toMap
+      val psiByCi = psiCountsDriver(psiCounts, edgesByCi, numCols.length, eps, roundTo = 6)
+      val jsByCi = jsCountsDriver(jsSides)
+      psiByCi.map { case (i, v) => ("psi", i) -> v } ++
+        jsByCi.map { case (i, v) => ("js", i) -> v.map(roundLike(_, 6)) }
+    } else {
+      val bc = fusedSide(before, "ca")
+      val ac = fusedSide(after, "cb")
+      val psiPart = psiFromSides(
+          bc.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("ca")),
+          ac.filter(col("ci") < numCols.length).select(col("ci"), col("bin"), col("cb")),
+          edgesByCi, numCols.length, eps, roundTo = 6)
+        .select(lit("psi").as("kind"), col("ci"), col("psi").as("m"))
+      val jsPart = jsFromSides(
+          bc.filter(col("ci") >= numCols.length)
+            .select((col("ci") - numCols.length).as("ci"), col("k"), col("ca").as("oa")),
+          ac.filter(col("ci") >= numCols.length)
+            .select((col("ci") - numCols.length).as("ci"), col("k"), col("cb").as("ob")))
+        .select(lit("js").as("kind"), col("ci"), round(col("js"), 6).as("m"))
+      psiPart.unionByName(jsPart).collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    }
     val psiRows = numCols.zipWithIndex.map { case (c, i) =>
       (c, "psi", collected.getOrElse(("psi", i), None))
     }
@@ -982,9 +1154,18 @@ object Drift {
   private def jsMultiRows(before: DataFrame, after: DataFrame,
                           catCols: Seq[String]): Seq[(String, String, Option[Double])] = {
     if (catCols.isEmpty) return Seq.empty
-    val jsByCi = jsMulti(before, after, catCols)
-      .select(col("ci"), round(col("js"), 6).as("m")).collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // same tail dispatch as the fused form: side counts in Spark, the
+    // ordered term sum on the driver below the ceiling
+    val useDriverTail =
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes
+    val jsByCi: Map[Int, Option[Double]] =
+      if (useDriverTail)
+        jsCountsDriver(collectCatSides(before, after, catCols))
+          .view.mapValues(_.map(roundLike(_, 6))).toMap
+      else jsMulti(before, after, catCols)
+        .select(col("ci"), round(col("js"), 6).as("m")).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     catCols.zipWithIndex.map { case (c, i) => (c, "js", jsByCi.getOrElse(i, None)) }
   }
 
@@ -1001,7 +1182,8 @@ object Drift {
     * differs in tree shape across engines (segment-tree vs sequential
     * window sums), so the last ulps of many-category sums are not
     * portable. */
-  def driftAll(before: DataFrame, after: DataFrame): DataFrame = {
+  def driftAll(before: DataFrame, after: DataFrame,
+               driverTail: Option[Boolean] = None): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._
     val afterCols = after.columns.toSet
@@ -1011,13 +1193,25 @@ object Drift {
         after.schema(f.name).dataType.isInstanceOf[NumericType]
     val numCols = shared.filter(numericBoth).map(_.name).toSeq
     val catCols = shared.filterNot(numericBoth).map(_.name).toSeq
-    val ksRows = ksStatisticMulti(before, after, numCols, roundTo = Some(6))
-      .map { case (c, v) => (c, "ks", v) }
-    val chiByCi: Map[Int, Option[Double]] =
-      if (catCols.isEmpty) Map.empty
+    // The KS family and the chi2 family are independent jobs — run them
+    // from two driver threads so the chi2 side scans back-fill the KS
+    // collect's idle cores (guide §2.6). The chi2 TAIL dispatches like
+    // driftAllExtended's: bounded inputs ⇒ the exact grouped counts
+    // collect and the driver twin computes the ordered term sum
+    // bit-identically; above the ceiling the windowed plan runs.
+    val useDriverTail = driverTail.getOrElse(
+      before.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes &&
+        after.queryExecution.optimizedPlan.stats.sizeInBytes <= KsDriverMaxBytes)
+    val (ksByCol, chiByCi) = inParallel(
+      ksStatisticMulti(before, after, numCols, roundTo = Some(6)),
+      if (catCols.isEmpty) Map.empty[Int, Option[Double]]
+      else if (useDriverTail)
+        chi2CountsDriver(collectCatSides(before, after, catCols))
+          .view.mapValues(_.map(roundLike(_, 6))).toMap
       else chi2Multi(before, after, catCols)
         .select(col("ci"), round(col("chi2_like"), 6).as("m")).collect()
-        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap)
+    val ksRows = ksByCol.map { case (c, v) => (c, "ks", v) }
     val chiRows = catCols.zipWithIndex.map { case (c, i) =>
       (c, "chi2_like", chiByCi.getOrElse(i, None))
     }

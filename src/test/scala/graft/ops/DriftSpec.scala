@@ -256,6 +256,44 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(m - expected) < 1e-12)
   }
 
+  test("driftAll / driftAllExtended: driver tail and windowed plan tail agree bit-exactly") {
+    val li = graft.Tables.lineitem(spark, Sf)
+    val after = li.filter(col("l_orderkey") % 2 === 1).drop("l_tax")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Any)] =
+      df.collect().toSeq.map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    // the exact d3/d_drift_extended catalog shapes, both tails
+    val d3d = rows(Drift.driftAll(li, after, driverTail = Some(true)))
+    val d3p = rows(Drift.driftAll(li, after, driverTail = Some(false)))
+    assert(d3d == d3p, s"\ndriver: $d3d\nplan:   $d3p")
+    val dxd = rows(Drift.driftAllExtended(li, after, driverTail = Some(true)))
+    val dxp = rows(Drift.driftAllExtended(li, after, driverTail = Some(false)))
+    assert(dxd == dxp, s"\ndriver: $dxd\nplan:   $dxp")
+    // nulls bucketing + an all-null column + empty after side
+    val b2 = Seq((Some("a"), Some(1.0)), (None, None), (Some("b"), Some(2.0)))
+      .toDF("k", "v")
+    val a2 = Seq((Some("b"), Some(2.0)), (Some("c"), None), (None, Some(3.0)))
+      .toDF("k", "v")
+    assert(rows(Drift.driftAll(b2, a2, driverTail = Some(true))) ==
+      rows(Drift.driftAll(b2, a2, driverTail = Some(false))))
+    assert(rows(Drift.driftAllExtended(b2, a2, driverTail = Some(true))) ==
+      rows(Drift.driftAllExtended(b2, a2, driverTail = Some(false))))
+    val empty = b2.filter(lit(false))
+    assert(rows(Drift.driftAll(b2, empty, driverTail = Some(true))) ==
+      rows(Drift.driftAll(b2, empty, driverTail = Some(false))))
+    assert(rows(Drift.driftAllExtended(b2, empty, driverTail = Some(true))) ==
+      rows(Drift.driftAllExtended(b2, empty, driverTail = Some(false))))
+    // byte-order-sensitive keys (supplementary plane sorts AFTER ￿ in
+    // UTF-8 byte order but BEFORE it in UTF-16 order — the twin must walk
+    // the plan's byte order) + a negative-JS-term shape (max ≠ last)
+    val b3 = Seq("￿", "😀", "a", "a", "a", "z").toDF("k")
+    val a3 = Seq("😀", "😀", "a", "z", "z", "q").toDF("k")
+    assert(rows(Drift.driftAll(b3, a3, driverTail = Some(true))) ==
+      rows(Drift.driftAll(b3, a3, driverTail = Some(false))))
+    assert(rows(Drift.driftAllExtended(b3, a3, driverTail = Some(true))) ==
+      rows(Drift.driftAllExtended(b3, a3, driverTail = Some(false))))
+  }
+
   test("driftAll: dispatch + silent skip of columns missing in after") {
     val before = Seq((1.0, "a", 2.0)).toDF("num", "cat", "dropped")
     val after = Seq((1.0, "a")).toDF("num", "cat")
