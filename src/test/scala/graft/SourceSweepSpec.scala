@@ -38,7 +38,12 @@ class SourceSweepSpec extends AnyFunSuite {
     "ext/TextStats.scala" -> (0, 5),
     "io/Csv.scala" -> (1, 0),
     "io/ZOrder.scala" -> (1, 1),
-    "ops/Drift.scala" -> (7, 3),
+    // r16 +2 collects: collectCatSides' two per-side grouped-count
+    // collects feeding the psi/js/chi2 driver tails — both behind the
+    // same KsDriverMaxBytes input ceiling as every drift driver path
+    // (bounded inputs ⇒ bounded category domains; above it the windowed
+    // plan tail runs and neither site executes), reviewed
+    "ops/Drift.scala" -> (9, 3),
     "ops/Exact.scala" -> (5, 1),
     // r14 +2 collects: collectRawState's per-column parallel path (one
     // RDD collect per fitted column) — both behind the DriverFitMaxCells
